@@ -1,0 +1,28 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Real TPU hardware is not needed for correctness tests; multi-chip sharding is
+validated on XLA's host-platform virtual devices (the analog of the fake
+backends the reference lacks — SURVEY.md §4).
+"""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+# jax may already be pre-imported by the environment with a TPU backend
+# selected; config.update works either way.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REFERENCE_DATA = "/root/reference/data"
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0xBA5EBA11)

@@ -1,0 +1,90 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tungsten_tpu.sampling import Sampler, warps
+from tungsten_tpu.sampling.distributions import Distribution1D, Distribution2D
+
+
+def make_sampler(n=4096, seed=42):
+    return Sampler.create(seed, jnp.arange(n, dtype=jnp.uint32))
+
+
+def test_sampler_uniform_and_decorrelated():
+    s = make_sampler(1 << 16)
+    u1, s = s.next_1d()
+    u2, s = s.next_2d()
+    for u in [np.asarray(u1), np.asarray(u2[:, 0]), np.asarray(u2[:, 1])]:
+        assert (u >= 0).all() and (u < 1).all()
+        assert abs(u.mean() - 0.5) < 0.01
+        assert abs(u.var() - 1.0 / 12.0) < 0.01
+    # cross-dimension and cross-lane correlation ~ 0
+    a, b = np.asarray(u1), np.asarray(u2[:, 0])
+    assert abs(np.corrcoef(a, b)[0, 1]) < 0.02
+    assert abs(np.corrcoef(a[:-1], a[1:])[0, 1]) < 0.02
+
+
+def test_sampler_deterministic_replay():
+    s1 = make_sampler()
+    s2 = make_sampler()
+    u1, _ = s1.next_1d()
+    u2, _ = s2.next_1d()
+    np.testing.assert_array_equal(np.asarray(u1), np.asarray(u2))
+
+
+def test_sampler_jit_matches_eager():
+    s = make_sampler(128)
+    u_eager, _ = s.next_1d()
+    u_jit = jax.jit(lambda s: s.next_1d()[0])(s)
+    np.testing.assert_array_equal(np.asarray(u_eager), np.asarray(u_jit))
+
+
+def test_cosine_hemisphere_distribution():
+    s = make_sampler(1 << 16)
+    u, _ = s.next_2d()
+    w = warps.cosine_hemisphere(u)
+    w = np.asarray(w)
+    np.testing.assert_allclose(np.linalg.norm(w, axis=-1), 1.0, atol=1e-5)
+    assert (w[:, 2] >= 0).all()
+    # E[cos theta] = 2/3 under pdf = cos/pi
+    assert abs(w[:, 2].mean() - 2.0 / 3.0) < 0.01
+    pdf = warps.cosine_hemisphere_pdf(jnp.asarray(w))
+    np.testing.assert_allclose(np.asarray(pdf), w[:, 2] / np.pi, atol=1e-6)
+
+
+def test_power_heuristic():
+    ph = warps.power_heuristic(jnp.float32(1.0), jnp.float32(1.0))
+    assert abs(float(ph) - 0.5) < 1e-6
+    ph0 = warps.power_heuristic(jnp.float32(0.0), jnp.float32(2.0))
+    assert float(ph0) == 0.0
+
+
+def test_distribution1d_sampling_frequencies():
+    w = np.array([1.0, 2.0, 3.0, 4.0])
+    d = Distribution1D.build(w)
+    s = make_sampler(1 << 16)
+    u, _ = s.next_1d()
+    idx, pdf, u_re = d.sample(u)
+    idx = np.asarray(idx)
+    counts = np.bincount(idx, minlength=4) / idx.size
+    np.testing.assert_allclose(counts, w / w.sum(), atol=0.01)
+    np.testing.assert_allclose(np.asarray(pdf), (w / w.sum())[idx], rtol=1e-5)
+    u_re = np.asarray(u_re)
+    assert (u_re >= 0).all() and (u_re <= 1).all()
+    assert abs(u_re.mean() - 0.5) < 0.01  # remapped uniform is still uniform
+
+
+def test_distribution2d_matches_weights():
+    rng = np.random.default_rng(3)
+    wgt = rng.random((16, 32)) ** 2
+    d = Distribution2D.build(wgt)
+    s = make_sampler(1 << 17)
+    u, _ = s.next_2d()
+    x, y, pdf, uv = d.sample(u)
+    x, y = np.asarray(x), np.asarray(y)
+    hist = np.zeros_like(wgt)
+    np.add.at(hist, (y, x), 1.0)
+    hist /= hist.sum()
+    np.testing.assert_allclose(hist, wgt / wgt.sum(), atol=0.002)
+    np.testing.assert_allclose(np.asarray(pdf), (wgt / wgt.sum())[y, x], rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(d.prob(jnp.asarray(x), jnp.asarray(y))), np.asarray(pdf), rtol=1e-5)
