@@ -1,0 +1,291 @@
+"""Wavefront unidirectional path tracer with NEE + power-heuristic MIS.
+
+The TPU inversion of the reference's recursive per-ray megakernel
+(PathTracer::traceSample, src/core/integrators/path_tracer/PathTracer.cpp:14-149
++ TraceBase::handleSurface, TraceBase.cpp:516-568): one `lax.while_loop` over
+bounce depth drives the whole sample megabatch in lockstep; dead lanes are
+masked. Estimator structure is identical to the reference:
+
+  per bounce, per lane that hit a surface:
+    1. emission at hit, added only if (no NEE | previous bounce specular |
+       light unsamplable) and bounce >= min_bounces      [handleSurface]
+    2. NEE against one uniformly chosen light, two strategies with power
+       heuristic: light sampling (shadow ray) + BSDF sampling restricted to
+       non-specular lobes (full ray, counts only the chosen light)
+       [estimateDirect -> lightSample + bsdfSample, TraceBase.cpp:246-321]
+    3. BSDF sampling (all lobes) for the continuation ray
+    4. Russian roulette after bounce 2 when max|throughput| < 0.1
+       [PathTracer.cpp:111-117]
+  lanes that miss: env-map contribution with the same MIS gating
+       [handleInfiniteLights, TraceBase.cpp:570-578]
+
+Differences from the reference are TPU-native, not semantic: stateless
+counter-based RNG instead of per-thread PCG streams, masked vectorized BSDF
+dispatch instead of virtual calls, fixed per-bounce random-dimension budget so
+all lanes stay aligned inside the while loop.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..math import vecops as vo
+from ..models.bsdfs import bsdf_eval, bsdf_pdf, bsdf_sample
+from ..models.bsdfs.common import Lobes
+from ..models.cameras import camera_rays
+from ..models.primitives import lights as L
+from ..models.textures import eval_texture
+from ..ops import intersect as isect
+from ..sampling import Sampler, warps
+from ..scene.flatten import DEFAULT_EPSILON, FlatScene
+
+INF = isect.INF
+DIMS_PER_BOUNCE = 12
+SHADOW_FUDGE = 1.0 - 1e-3  # cf. attenuatedEmission's 1+1e-3 (TraceBase.cpp:155)
+
+
+def _intersect(scene: FlatScene, o, d, tnear, tfar, any_hit=False):
+    if scene.meta.use_bvh and scene.tris.v0.shape[0] > 64:
+        return isect.intersect_bvh(scene.bvh, scene.tris, o, d, tnear, tfar, any_hit=any_hit)
+    return isect.intersect_brute(scene.tris, o, d, tnear, tfar)
+
+
+def _shading_data(scene: FlatScene, hit: isect.Hit, o, d):
+    """Gather surface info for hit lanes (garbage where prim < 0, masked out)."""
+    tri = jnp.maximum(hit.prim, 0)
+    p = o + d * hit.t[..., None]
+    ng = scene.tri_ng[tri]
+    u = hit.u[..., None]
+    v = hit.v[..., None]
+    w0 = 1.0 - u - v
+    ns = vo.normalize(
+        scene.tri_n0[tri] * w0 + scene.tri_n1[tri] * u + scene.tri_n2[tri] * v
+    )
+    uv = scene.tri_uv0[tri] * w0 + scene.tri_uv1[tri] * u + scene.tri_uv2[tri] * v
+    mat = scene.tri_mat[tri]
+    light = scene.tri_light[tri]
+    return p, ng, ns, uv, mat, light
+
+
+def _occluded(scene, p, d, dist):
+    """Shadow query: is the segment [eps, dist*fudge] blocked?"""
+    far = jnp.where(dist >= INF, INF, dist * SHADOW_FUDGE)
+    h = _intersect(scene, p, d, jnp.full(p.shape[:-1], DEFAULT_EPSILON), far, any_hit=True)
+    return h.prim >= 0
+
+
+def _nee(scene, sampler, p, ng, frame, wi, mat_id, albedo, lobes):
+    """estimateDirect: one uniformly chosen light, both MIS strategies.
+    Returns (N, 3) contribution (un-multiplied by throughput)."""
+    meta = scene.meta
+    n = p.shape[0]
+    t, b, nrm = frame
+
+    u_choose, sampler = sampler.next_1d()
+    li = jnp.minimum((u_choose * meta.n_lights).astype(jnp.int32), meta.n_lights - 1)
+    choice_weight = jnp.float32(meta.n_lights)
+    is_env_choice = scene.lights.is_env[li]
+
+    u_point, sampler = sampler.next_2d()
+    u_tri, sampler = sampler.next_1d()
+
+    # --- strategy 1: light sampling -------------------------------------
+    ls_area = L.sample_area_direct(scene, li, p, u_tri, u_point)
+    if meta.has_env and meta.env_light_index >= 0:
+        ls_env = L.sample_env_direct(scene, u_point)
+        ls = L.LightSample(
+            d=vo.where3(is_env_choice, ls_env.d, ls_area.d),
+            dist=jnp.where(is_env_choice, ls_env.dist, ls_area.dist),
+            pdf=jnp.where(is_env_choice, ls_env.pdf, ls_area.pdf),
+            radiance=vo.where3(is_env_choice, ls_env.radiance, ls_area.radiance),
+            valid=jnp.where(is_env_choice, ls_env.valid, ls_area.valid),
+        )
+    else:
+        ls = ls_area
+
+    wo_l = vo.to_local(t, b, nrm, ls.d)
+    f_l = bsdf_eval(scene.materials, mat_id, albedo, wi, wo_l, nonspecular_only=True)
+    cand = ls.valid & (ls.pdf > 0.0) & jnp.any(f_l > 0.0, axis=-1)
+    blocked = _occluded(scene, p, ls.d, jnp.where(cand, ls.dist, 0.0))
+    mis_l = warps.power_heuristic(
+        ls.pdf, bsdf_pdf(scene.materials, mat_id, albedo, wi, wo_l, nonspecular_only=True)
+    )
+    contrib_l = f_l * ls.radiance * (mis_l / jnp.maximum(ls.pdf, 1e-30))[..., None]
+    contrib_l = jnp.where((cand & ~blocked)[..., None], contrib_l, 0.0)
+
+    # --- strategy 2: bsdf sampling (non-specular lobes) -------------------
+    u_bs2, sampler = sampler.next_2d()
+    u_bs1, sampler = sampler.next_1d()
+    bs = bsdf_sample(
+        scene.materials, mat_id, albedo, wi, u_bs2, u_bs1, nonspecular_only=True
+    )
+    wo_w = vo.to_global(t, b, nrm, bs.wo)
+    bs_cand = bs.valid & jnp.any(bs.weight > 0.0, axis=-1)
+    h = _intersect(
+        scene, p, wo_w, jnp.full((n,), DEFAULT_EPSILON),
+        jnp.where(bs_cand, INF, 0.0),
+    )
+    hit_light = jnp.where(h.prim >= 0, scene.tri_light[jnp.maximum(h.prim, 0)], -1)
+    # area-light hit: must be the chosen light & front side
+    hp = p + wo_w * h.t[..., None]
+    ng_hit = scene.tri_ng[jnp.maximum(h.prim, 0)]
+    front = vo.dot(wo_w, ng_hit) < 0.0
+    tri_hit = jnp.maximum(h.prim, 0)
+    uvh = (
+        scene.tri_uv0[tri_hit] * (1.0 - h.u - h.v)[..., None]
+        + scene.tri_uv1[tri_hit] * h.u[..., None]
+        + scene.tri_uv2[tri_hit] * h.v[..., None]
+    )
+    e_area = eval_texture(scene.textures, scene.lights.tex[li], uvh)
+    match_area = (~is_env_choice) & (hit_light == li) & front & (h.prim >= 0)
+    pdf_area = L.area_direct_pdf(scene, tri_hit, p, hp, wo_w)
+
+    if meta.has_env and meta.env_light_index >= 0:
+        e_env = L.env_radiance(scene, wo_w)
+        match_env = is_env_choice & (h.prim < 0)
+        pdf_env = L.env_direct_pdf(scene, wo_w)
+        e = jnp.where(match_env[..., None], e_env, jnp.where(match_area[..., None], e_area, 0.0))
+        light_pdf = jnp.where(match_env, pdf_env, pdf_area)
+        match = match_env | match_area
+    else:
+        e = jnp.where(match_area[..., None], e_area, 0.0)
+        light_pdf = pdf_area
+        match = match_area
+
+    mis_b = warps.power_heuristic(bs.pdf, light_pdf)
+    contrib_b = e * bs.weight * mis_b[..., None]
+    contrib_b = jnp.where((bs_cand & match)[..., None], contrib_b, 0.0)
+
+    # pure-specular / forward materials skip NEE entirely (sampleDirect)
+    skip = Lobes.is_pure_specular(lobes) | (lobes == Lobes.FORWARD) | (lobes == 0)
+    total = (contrib_l + contrib_b) * choice_weight
+    return jnp.where(skip[..., None], 0.0, total), sampler
+
+
+@jax.jit
+def trace_pass(scene: FlatScene, seed, lane_ids, px, py):
+    """Trace one sample for each lane. Returns radiance (N, 3)."""
+    meta = scene.meta
+    n = px.shape[0]
+    sampler = Sampler.create(seed, lane_ids)
+
+    u_cam, sampler = sampler.next_2d()
+    o, d = camera_rays(scene.camera, meta, px, py, u_cam)
+
+    state = dict(
+        o=o,
+        d=d,
+        near=jnp.full((n,), 1e-4),
+        throughput=jnp.ones((n, 3)),
+        emission=jnp.zeros((n, 3)),
+        alive=jnp.ones((n,), bool),
+        was_specular=jnp.ones((n,), bool),
+        bounce=jnp.int32(0),
+        base_dim=sampler.dim,
+        seed=sampler.seed,
+        lane_id=sampler.lane_id,
+    )
+
+    def cond(s):
+        return jnp.any(s["alive"]) & (s["bounce"] < meta.max_bounces)
+
+    def body(s):
+        bounce = s["bounce"]
+        smp = Sampler(s["seed"], s["lane_id"], s["base_dim"] + bounce * DIMS_PER_BOUNCE)
+        o, d, alive = s["o"], s["d"], s["alive"]
+        throughput, emission = s["throughput"], s["emission"]
+        was_specular = s["was_specular"]
+
+        hit = _intersect(scene, o, d, s["near"], jnp.where(alive, INF, 0.0))
+        did_hit = (hit.prim >= 0) & alive
+
+        # ---- misses: environment (handleInfiniteLights) ----
+        miss = alive & ~did_hit
+        if meta.has_env:
+            gate = (
+                (not meta.enable_light_sampling)
+                | was_specular
+                | (meta.env_light_index < 0)
+            )
+            add_env = miss & gate & (bounce >= meta.min_bounces)
+            emission = emission + jnp.where(
+                add_env[..., None], throughput * L.env_radiance(scene, d), 0.0
+            )
+        alive = alive & did_hit
+
+        # ---- surface shading ----
+        p, ng, ns, uv, mat_id, light_id = _shading_data(scene, hit, o, d)
+        lobes = scene.materials.lobes[mat_id]
+        albedo = eval_texture(scene.textures, scene.materials.albedo_tex[mat_id], uv)
+
+        # two-sided flip (makeLocalScatterEvent, TraceBase.cpp:24-51)
+        hit_backside = vo.dot(ns, d) > 0.0
+        flip = hit_backside & ~Lobes.is_transmissive(lobes) if meta.enable_two_sided else jnp.zeros_like(hit_backside)
+        frame_n = vo.where3(flip, -ns, ns)
+        t_ax, b_ax = vo.tangent_frame(ns)
+        t_ax = vo.where3(flip, -t_ax, t_ax)
+        frame = (t_ax, b_ax, frame_n)
+        wi = vo.to_local(*frame, -d)
+
+        # emission at hit (front side geometrically: evalDirect)
+        geo_front = vo.dot(d, ng) < 0.0
+        gate_emit = (not meta.enable_light_sampling) | was_specular
+        add_emit = (
+            alive
+            & (light_id >= 0)
+            & geo_front
+            & gate_emit
+            & (bounce >= meta.min_bounces)
+        )
+        e_hit = eval_texture(scene.textures, scene.lights.tex[jnp.maximum(light_id, 0)], uv)
+        emission = emission + jnp.where(add_emit[..., None], throughput * e_hit, 0.0)
+
+        # ---- NEE ----
+        if meta.enable_light_sampling and meta.n_lights > 0:
+            nee, smp = _nee(scene, smp, p, ng, frame, wi, mat_id, albedo, lobes)
+            do_nee = alive & (bounce < meta.max_bounces - 1)
+            emission = emission + jnp.where(do_nee[..., None], throughput * nee, 0.0)
+        else:
+            smp = smp.skip(5)
+
+        # ---- continuation BSDF sample ----
+        u_c2, smp = smp.next_2d()
+        u_c1, smp = smp.next_1d()
+        bs = bsdf_sample(scene.materials, mat_id, albedo, wi, u_c2, u_c1)
+        wo_w = vo.to_global(*frame, bs.wo)
+        throughput = throughput * jnp.where(alive[..., None], bs.weight, 1.0)
+        was_specular = jnp.where(alive, Lobes.has_specular(bs.lobe), was_specular)
+        alive = alive & bs.valid & (vo.max3(jnp.abs(throughput)) > 0.0)
+
+        # ---- russian roulette (PathTracer.cpp:111-117) ----
+        rp = vo.max3(jnp.abs(throughput))
+        u_rr, smp = smp.next_1d()
+        do_rr = (bounce > 2) & (rp < 0.1)
+        survive = u_rr < rp
+        throughput = jnp.where(
+            (do_rr & survive & alive)[..., None],
+            throughput / jnp.maximum(rp, 1e-30)[..., None],
+            throughput,
+        )
+        alive = alive & (~do_rr | survive)
+
+        return dict(
+            o=p,
+            d=wo_w,
+            near=jnp.full((n,), DEFAULT_EPSILON),
+            throughput=throughput,
+            emission=emission,
+            alive=alive,
+            was_specular=was_specular,
+            bounce=bounce + 1,
+            base_dim=s["base_dim"],
+            seed=s["seed"],
+            lane_id=s["lane_id"],
+        )
+
+    final = jax.lax.while_loop(cond, body, state)
+    rad = final["emission"]
+    # NaN guard (OutputBuffer.hpp:106-107 semantics: reject non-finite samples)
+    return jnp.where(jnp.isfinite(rad), rad, 0.0)

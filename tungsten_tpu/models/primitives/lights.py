@@ -1,0 +1,152 @@
+"""Device-side light sampling: area lights (triangle sets) + env light.
+
+Semantics mirror the reference exactly:
+ - area lights: area-weighted triangle pick + uniform barycentric point,
+   one-sided, pdf = r^2 / (cos * totalArea)
+   (TriangleMesh.cpp samplePosition/sampleDirect/directPdf; Quad.cpp:150-222);
+ - infinite sphere: lat-long importance sampling of the emission bitmap with
+   sin-theta-weighted, max-dilated weights; pdf = pdf_uv / (2 pi^2 sin theta)
+   (InfiniteSphere.cpp:27-50,161-229).
+All functions are batched over the wavefront.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax.struct import dataclass as pytree
+
+from ...math import vecops as vo
+from ...sampling import warps
+from ...sampling.distributions import _searchsorted_strided
+from ...models.textures import eval_texture
+
+INV_TWO_PI_PI = 1.0 / (2.0 * jnp.pi * jnp.pi)
+INF = jnp.float32(3.0e38)
+
+
+@pytree
+class LightSample:
+    d: jnp.ndarray  # (N, 3) direction from shading point to light
+    dist: jnp.ndarray  # (N,)
+    pdf: jnp.ndarray  # (N,) solid-angle pdf
+    radiance: jnp.ndarray  # (N, 3) emitted radiance toward the shading point
+    valid: jnp.ndarray  # (N,) bool
+
+
+def direction_to_uv(env, d):
+    """World direction -> lat-long uv + sinTheta (InfiniteSphere.cpp:33-38)."""
+    w = d @ env.inv_rot.T
+    sin_theta = jnp.sqrt(jnp.maximum(1.0 - w[..., 1] * w[..., 1], 0.0))
+    u = jnp.arctan2(w[..., 2], w[..., 0]) * warps.INV_TWO_PI + 0.5
+    v = jnp.arccos(jnp.clip(-w[..., 1], -1.0, 1.0)) * warps.INV_PI
+    return jnp.stack([u, v], axis=-1), sin_theta
+
+
+def uv_to_direction(env, uv):
+    phi = (uv[..., 0] - 0.5) * (2.0 * jnp.pi)
+    theta = uv[..., 1] * jnp.pi
+    sin_theta = jnp.sin(theta)
+    local = jnp.stack(
+        [jnp.cos(phi) * sin_theta, -jnp.cos(theta), jnp.sin(phi) * sin_theta], axis=-1
+    )
+    return local @ env.rot.T, sin_theta
+
+
+def env_radiance(scene, d):
+    """Environment emission for escaped rays (evalDirect of the env prim)."""
+    uv, _ = direction_to_uv(scene.env, d)
+    return eval_texture(scene.textures, jnp.broadcast_to(scene.env.tex, d.shape[:-1]), uv)
+
+
+def env_direct_pdf(scene, d):
+    """Solid-angle pdf of env sampleDirect for direction d."""
+    if scene.meta.env_is_constant:
+        return jnp.full(d.shape[:-1], warps.INV_FOUR_PI)
+    env = scene.env
+    h, w = env.dist.shape
+    uv, sin_theta = direction_to_uv(env, d)
+    x = jnp.clip((uv[..., 0] * w).astype(jnp.int32), 0, w - 1)
+    row = jnp.clip(((1.0 - uv[..., 1]) * h).astype(jnp.int32), 0, h - 1)
+    pdf_uv = env.dist.prob(x, row) * (w * h)
+    return jnp.where(
+        sin_theta > 1e-6, pdf_uv * warps.INV_PI * warps.INV_TWO_PI / jnp.maximum(sin_theta, 1e-6), 0.0
+    )
+
+
+def sample_env_direct(scene, u2) -> LightSample:
+    env = scene.env
+    n = u2.shape[0]
+    if scene.meta.env_is_constant:
+        d = warps.uniform_sphere(u2)
+        rad = env_radiance(scene, d)
+        return LightSample(
+            d=d,
+            dist=jnp.full((n,), INF),
+            pdf=jnp.full((n,), warps.INV_FOUR_PI),
+            radiance=rad,
+            valid=jnp.ones((n,), bool),
+        )
+    h, w = env.dist.shape
+    x, row, pdf_d, uvr = env.dist.sample(u2)
+    # BitmapTexture::sample: u = (vx + x)/w, v = 1 - (vy + row)/h
+    uv = jnp.stack([(uvr[..., 0] + x) / w, 1.0 - (uvr[..., 1] + row) / h], axis=-1)
+    d, sin_theta = uv_to_direction(env, uv)
+    pdf = pdf_d * (w * h) * warps.INV_PI * warps.INV_TWO_PI / jnp.maximum(sin_theta, 1e-6)
+    rad = eval_texture(scene.textures, jnp.broadcast_to(env.tex, (n,)), uv)
+    return LightSample(
+        d=d,
+        dist=jnp.full((n,), INF),
+        pdf=pdf,
+        radiance=rad,
+        valid=(sin_theta > 1e-6) & (pdf > 0.0),
+    )
+
+
+def sample_area_direct(scene, li, p, u_tri, u2) -> LightSample:
+    """Sample a point on area light li (N,) as seen from p (N, 3)."""
+    lights = scene.lights
+    count = lights.count[li]
+    cdf_off = lights.cdf_offset[li]
+    off = lights.offset[li]
+    area = lights.area[li]
+
+    k = _searchsorted_strided(
+        lights.cdf, cdf_off, u_tri, count + 1, max_len=lights.max_count + 1
+    ) - 1
+    k = jnp.clip(k, 0, jnp.maximum(count - 1, 0))
+    tri = lights.tri_idx[jnp.clip(off + k, 0, lights.tri_idx.shape[0] - 1)]
+
+    lam = warps.uniform_triangle_uv(u2)  # barycentric weights for (p0, p1)
+    lx = lam[..., 0:1]
+    ly = lam[..., 1:2]
+    v0 = scene.tris.v0[tri]
+    e1 = scene.tris.e1[tri]
+    e2 = scene.tris.e2[tri]
+    # reference: p = p0*l.x + p1*l.y + p2*(1-lx-ly)
+    q = v0 + e1 * ly + e2 * (1.0 - lx - ly)
+    ng = scene.tri_ng[tri]
+    uv = (
+        scene.tri_uv0[tri] * lx
+        + scene.tri_uv1[tri] * ly
+        + scene.tri_uv2[tri] * (1.0 - lx - ly)
+    )
+
+    dvec = q - p
+    r_sq = vo.length_sq(dvec)
+    dist = jnp.sqrt(jnp.maximum(r_sq, 1e-30))
+    d = dvec / dist[..., None]
+    cos_theta = -vo.dot(ng, d)
+    valid = cos_theta > 0.0
+    pdf = r_sq / jnp.maximum(cos_theta * area, 1e-30)
+    rad = eval_texture(scene.textures, lights.tex[li], uv)
+    return LightSample(d=d, dist=dist, pdf=pdf, radiance=rad, valid=valid)
+
+
+def area_direct_pdf(scene, tri, p, hit_p, d):
+    """directPdf of the area light owning triangle tri, for a hit at hit_p
+    reached from p along d (TriangleMesh::directPdf)."""
+    li = scene.tri_light[tri]
+    area = scene.lights.area[jnp.maximum(li, 0)]
+    ng = scene.tri_ng[tri]
+    cos_theta = jnp.abs(vo.dot(d, ng))
+    r_sq = vo.length_sq(hit_p - p)
+    return jnp.where(li >= 0, r_sq / jnp.maximum(cos_theta * area, 1e-30), 0.0)

@@ -1,0 +1,95 @@
+"""Host-side tessellation of scene primitives into the unified triangle soup.
+
+The reference intersects quads/cubes analytically (Quad.cpp:72-97,
+Cube.cpp) and meshes through embree. The TPU design flattens *all* finite
+area primitives to triangles so one traversal kernel serves everything:
+ - quad: 2 triangles over (base, edge0, edge1) with uv = (l0, l1) along the
+   edges, winding chosen so the geometric normal equals the reference's
+   normalize(edge1 x edge0) — emission sidedness depends on it;
+ - cube: 12 triangles, outward normals, per-face unit uv;
+ - mesh: .wo3/.obj data; `smooth` selects vertex normals vs face normals
+   (TriangleMesh::_smoothed).
+Spheres stay analytic (handled separately). Results are in LOCAL space;
+flatten_scene applies the primitive transform.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+
+@dataclass
+class TriSoup:
+    pos: np.ndarray  # (V, 3)
+    normal: Optional[np.ndarray]  # (V, 3) shading normals or None -> flat
+    uv: np.ndarray  # (V, 2)
+    indices: np.ndarray  # (F, 3)
+
+
+def quad() -> TriSoup:
+    # corners: base, base+e0, base+e0+e1, base+e1 in local space where
+    # base = -(e0+e1)/2, e0 = x axis, e1 = z axis (Quad::prepareForRender)
+    c = np.array(
+        [[-0.5, 0, -0.5], [0.5, 0, -0.5], [0.5, 0, 0.5], [-0.5, 0, 0.5]], np.float32
+    )
+    uv = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+    # winding (0,2,1),(0,3,2) makes cross(p1-p0, p2-p0) == normalize(e1 x e0)
+    idx = np.array([[0, 2, 1], [0, 3, 2]], np.int32)
+    return TriSoup(pos=c, normal=None, uv=uv, indices=idx)
+
+
+def cube() -> TriSoup:
+    pos, uv, idx = [], [], []
+    # each face: (axis, sign); build so normals point outward
+    for axis in range(3):
+        for sign in (-1.0, 1.0):
+            a = (axis + 1) % 3
+            b = (axis + 2) % 3
+            corners = np.zeros((4, 3), np.float32)
+            quads_ab = [(-0.5, -0.5), (0.5, -0.5), (0.5, 0.5), (-0.5, 0.5)]
+            for i, (ua, ub) in enumerate(quads_ab):
+                corners[i, axis] = 0.5 * sign
+                corners[i, a] = ua
+                corners[i, b] = ub
+            base = len(pos)
+            pos.extend(corners)
+            uv.extend([[0, 0], [1, 0], [1, 1], [0, 1]])
+            if sign > 0:
+                idx.append([base + 0, base + 1, base + 2])
+                idx.append([base + 0, base + 2, base + 3])
+            else:
+                idx.append([base + 0, base + 2, base + 1])
+                idx.append([base + 0, base + 3, base + 2])
+    return TriSoup(
+        pos=np.asarray(pos, np.float32),
+        normal=None,
+        uv=np.asarray(uv, np.float32),
+        indices=np.asarray(idx, np.int32),
+    )
+
+
+def sphere_mesh(subdiv: int = 32) -> TriSoup:
+    """Lat-long tessellated unit sphere (fallback until analytic spheres)."""
+    nu, nv = 2 * subdiv, subdiv
+    us = np.linspace(0, 2 * np.pi, nu + 1)
+    vs = np.linspace(0, np.pi, nv + 1)
+    uu, vv = np.meshgrid(us, vs, indexing="xy")
+    x = np.sin(vv) * np.cos(uu)
+    z = np.sin(vv) * np.sin(uu)
+    y = np.cos(vv)
+    pos = np.stack([x, y, z], axis=-1).reshape(-1, 3).astype(np.float32)
+    uv = np.stack([uu / (2 * np.pi), 1 - vv / np.pi], -1).reshape(-1, 2).astype(np.float32)
+    idx = []
+    for j in range(nv):
+        for i in range(nu):
+            a = j * (nu + 1) + i
+            b = a + 1
+            c = a + (nu + 1)
+            d = c + 1
+            idx.append([a, b, d])
+            idx.append([a, d, c])
+    return TriSoup(
+        pos=pos, normal=pos.copy(), uv=uv, indices=np.asarray(idx, np.int32)
+    )

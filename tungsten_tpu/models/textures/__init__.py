@@ -1,0 +1,1 @@
+from .textures import TextureTable, TextureBuilder, eval_texture, TEX_CONSTANT, TEX_CHECKER, TEX_BITMAP

@@ -1,0 +1,202 @@
+"""Texture system: host-side builder + device-side table evaluation.
+
+The reference's Texture hierarchy (src/core/textures/, TextureFactory.cpp:11-18:
+bitmap, constant, checker, disk, blade, ies) becomes a flat SoA table: every
+texture in the scene gets a type id and a parameter row; bitmap texels are
+concatenated into one (P, 3) HBM array indexed by (offset, w, h). Evaluation
+is fully batched masked dispatch over the wavefront — no virtual calls.
+
+Bitmap lookup reproduces BitmapTexture::operator[] (BitmapTexture.cpp): v is
+flipped (row = (1-v)*h), bilinear with -0.5 texel center offset, repeat-wrap
+addressing (clamp optional).
+"""
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+import jax.numpy as jnp
+from flax.struct import dataclass as pytree, field
+
+TEX_CONSTANT = 0
+TEX_CHECKER = 1
+TEX_BITMAP = 2
+TEX_DISK = 3
+TEX_BLADE = 4
+
+_PARAMS = 8
+
+
+@pytree
+class TextureTable:
+    type: jnp.ndarray  # (K,) int32
+    params: jnp.ndarray  # (K, 8) float32
+    data: jnp.ndarray  # (P, 3) float32 concatenated bitmap texels (row-major)
+
+    # static: which types are present (drives masked dispatch)
+    present: tuple = field(pytree_node=False, default=())
+
+
+class TextureBuilder:
+    """Host-side accumulation of scene textures into a TextureTable."""
+
+    def __init__(self):
+        self.types: List[int] = []
+        self.params: List[np.ndarray] = []
+        self.blobs: List[np.ndarray] = []
+        self._blob_off = 0
+        self._cache = {}
+
+    def add_constant(self, rgb) -> int:
+        rgb = np.asarray(rgb, np.float32).ravel()
+        if rgb.size == 1:
+            rgb = np.repeat(rgb, 3)
+        key = ("const", tuple(rgb))
+        if key in self._cache:
+            return self._cache[key]
+        p = np.zeros(_PARAMS, np.float32)
+        p[:3] = rgb
+        idx = self._push(TEX_CONSTANT, p)
+        self._cache[key] = idx
+        return idx
+
+    def add_checker(self, on_color, off_color, res_u=20, res_v=20) -> int:
+        on = np.asarray(on_color, np.float32).ravel()
+        off = np.asarray(off_color, np.float32).ravel()
+        if on.size == 1:
+            on = np.repeat(on, 3)
+        if off.size == 1:
+            off = np.repeat(off, 3)
+        p = np.zeros(_PARAMS, np.float32)
+        p[:3] = on
+        p[3:6] = off
+        p[6] = res_u
+        p[7] = res_v
+        return self._push(TEX_CHECKER, p)
+
+    def add_bitmap(self, img: np.ndarray, path_key=None, clamp=False, scale=1.0) -> int:
+        key = ("bitmap", path_key, clamp, scale)
+        if path_key is not None and key in self._cache:
+            return self._cache[key]
+        img = np.asarray(img, np.float32)
+        if img.ndim == 2:
+            img = np.repeat(img[..., None], 3, axis=-1)
+        h, w = img.shape[:2]
+        p = np.zeros(_PARAMS, np.float32)
+        p[0] = self._blob_off
+        p[1] = w
+        p[2] = h
+        p[3] = 1.0 if clamp else 0.0
+        p[4] = scale
+        self.blobs.append(img.reshape(-1, 3) * scale if scale != 1.0 else img.reshape(-1, 3))
+        self._blob_off += h * w
+        idx = self._push(TEX_BITMAP, p)
+        if path_key is not None:
+            self._cache[key] = idx
+        return idx
+
+    def _push(self, t: int, p: np.ndarray) -> int:
+        self.types.append(t)
+        self.params.append(p)
+        return len(self.types) - 1
+
+    def image(self, tex_id: int) -> np.ndarray:
+        """Host-side access to a bitmap's texels (H, W, 3) — used for building
+        env-map sampling distributions."""
+        assert self.types[tex_id] == TEX_BITMAP
+        off, w, h = (int(self.params[tex_id][i]) for i in range(3))
+        flat = np.concatenate(self.blobs, axis=0) if self.blobs else np.zeros((0, 3), np.float32)
+        return flat[off : off + w * h].reshape(h, w, 3)
+
+    def average(self, tex_id: int) -> np.ndarray:
+        """Mean value of a texture (Texture::average) — for light power weights."""
+        t = self.types[tex_id]
+        p = self.params[tex_id]
+        if t == TEX_CONSTANT:
+            return p[:3].copy()
+        if t == TEX_CHECKER:
+            return 0.5 * (p[:3] + p[3:6])
+        if t == TEX_BITMAP:
+            return self.image(tex_id).mean(axis=(0, 1))
+        return np.ones(3, np.float32)
+
+    def build(self) -> TextureTable:
+        if not self.types:
+            # always keep one dummy constant so the arrays are non-empty
+            self.add_constant([0.0, 0.0, 0.0])
+        data = (
+            np.concatenate(self.blobs, axis=0)
+            if self.blobs
+            else np.zeros((1, 3), np.float32)
+        )
+        return TextureTable(
+            type=jnp.asarray(np.asarray(self.types, np.int32)),
+            params=jnp.asarray(np.stack(self.params)),
+            data=jnp.asarray(data),
+            present=tuple(sorted(set(self.types))),
+        )
+
+
+def _eval_constant(params, uv):
+    return params[..., 0:3]
+
+
+def _eval_checker(params, uv):
+    # CheckerTexture::operator[] (CheckerTexture.cpp): on = (iu ^ iv) & 1
+    iu = (uv[..., 0] * params[..., 6]).astype(jnp.int32)
+    iv = (uv[..., 1] * params[..., 7]).astype(jnp.int32)
+    on = ((iu ^ iv) & 1) == 1
+    return jnp.where(on[..., None], params[..., 0:3], params[..., 3:6])
+
+
+def _eval_bitmap(data, params, uv):
+    off = params[..., 0].astype(jnp.int32)
+    w = params[..., 1].astype(jnp.int32)
+    h = params[..., 2].astype(jnp.int32)
+    clamp = params[..., 3] > 0.5
+
+    u = uv[..., 0] * params[..., 1] - 0.5
+    v = (1.0 - uv[..., 1]) * params[..., 2] - 0.5
+    iu0 = jnp.floor(u).astype(jnp.int32)
+    iv0 = jnp.floor(v).astype(jnp.int32)
+    fu = u - iu0
+    fv = v - iv0
+
+    def wrap(i, n, clamp_mask):
+        return jnp.where(clamp_mask, jnp.clip(i, 0, n - 1), ((i % n) + n) % n)
+
+    iu1 = wrap(iu0 + 1, w, clamp)
+    iv1 = wrap(iv0 + 1, h, clamp)
+    iu0 = wrap(iu0, w, clamp)
+    iv0 = wrap(iv0, h, clamp)
+
+    safe = lambda idx: jnp.clip(idx, 0, data.shape[0] - 1)
+    c00 = data[safe(off + iu0 + iv0 * w)]
+    c10 = data[safe(off + iu1 + iv0 * w)]
+    c01 = data[safe(off + iu0 + iv1 * w)]
+    c11 = data[safe(off + iu1 + iv1 * w)]
+    fu = fu[..., None]
+    fv = fv[..., None]
+    return (c00 * (1 - fu) + c10 * fu) * (1 - fv) + (c01 * (1 - fu) + c11 * fu) * fv
+
+
+def eval_texture(table: TextureTable, tex_id, uv):
+    """Batched lookup: tex_id (N,), uv (N, 2) -> rgb (N, 3).
+
+    Dispatch is masked over the texture types *present in the scene* (static),
+    so a scene with only constants compiles to a single gather.
+    """
+    params = table.params[tex_id]
+    ttype = table.type[tex_id]
+    out = jnp.zeros(uv.shape[:-1] + (3,), jnp.float32)
+    for t in table.present:
+        if t == TEX_CONSTANT:
+            val = _eval_constant(params, uv)
+        elif t == TEX_CHECKER:
+            val = _eval_checker(params, uv)
+        elif t == TEX_BITMAP:
+            val = _eval_bitmap(table.data, params, uv)
+        else:
+            continue
+        out = jnp.where((ttype == t)[..., None], val, out)
+    return out

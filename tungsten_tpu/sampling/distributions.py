@@ -111,17 +111,20 @@ class Distribution2D:
         return self.marginal_pdf[y] * self.cond_pdf[y, x]
 
 
-def _searchsorted_strided(flat, base, u, row_len):
+def _searchsorted_strided(flat, base, u, row_len, max_len=None):
     """'right' searchsorted of u in flat[base : base+row_len], per lane.
 
-    flat: (h*(row_len),) sorted per row; base, u: (...,). Branchless binary
-    search with ceil(log2(row_len)) scalar gathers — VPU/gather friendly.
+    flat: concatenated sorted rows; base, u: (...,); row_len: int or per-lane
+    array. Branchless binary search with ceil(log2(max_len)) scalar gathers —
+    VPU/gather friendly.
     """
     import math
 
-    steps = max(1, math.ceil(math.log2(row_len + 1)))
+    if max_len is None:
+        max_len = int(row_len)
+    steps = max(1, math.ceil(math.log2(max_len + 1)))
     lo = jnp.zeros_like(base)  # invariant: flat[base+lo] <= u (cdf[0] == 0)
-    width = jnp.full_like(base, row_len)
+    width = jnp.broadcast_to(jnp.asarray(row_len, base.dtype), base.shape)
     for _ in range(steps):
         half = width // 2
         mid = lo + half

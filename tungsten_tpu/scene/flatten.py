@@ -1,0 +1,404 @@
+"""Scene flattening: SceneDocument -> device-resident FlatScene tables.
+
+The TPU analog of TraceableScene (src/core/renderer/TraceableScene.hpp:25-274):
+pointer-based scene objects become index-based SoA tables — triangle soup with
+per-triangle material/light ids, a flat skip-pointer BVH, a material parameter
+table, a texture table, an area-light table with per-light triangle CDFs, and
+an optional environment light with a 2D importance distribution
+(InfiniteSphere.cpp:117-230 semantics).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+from flax.struct import dataclass as pytree, field
+
+from ..accel.bvh import build_bvh_cached
+from ..io.meshio import load_mesh, compute_smooth_normals
+from ..math import transform as tf
+from ..models.bsdfs import MaterialTable, pack_materials
+from ..models.primitives import tessellate
+from ..models.textures import TextureBuilder, TextureTable
+from ..ops.intersect import BvhSoA, TriangleSoA
+from ..sampling.distributions import Distribution2D
+from .load import SceneDocument
+
+DEFAULT_EPSILON = 5e-4  # TraceableScene.hpp:39
+
+
+@pytree
+class CameraParams:
+    rot: jnp.ndarray  # (3, 3) camera-to-world rotation (columns = x, y, z)
+    pos: jnp.ndarray  # (3,)
+    plane_dist: jnp.ndarray  # ()
+
+
+@pytree
+class LightTable:
+    """Area lights: per-light triangle sets with area CDFs."""
+
+    offset: jnp.ndarray  # (L,) start into tri_idx
+    count: jnp.ndarray  # (L,)
+    cdf_offset: jnp.ndarray  # (L,) start into cdf (count+1 entries per light)
+    area: jnp.ndarray  # (L,) total area
+    tex: jnp.ndarray  # (L,) emission texture id
+    is_env: jnp.ndarray  # (L,) bool
+    tri_idx: jnp.ndarray  # (LT,) global triangle index (post BVH permutation)
+    cdf: jnp.ndarray  # (LT + L,)
+
+    max_count: int = field(pytree_node=False, default=1)
+
+
+@pytree
+class EnvLight:
+    rot: jnp.ndarray  # (3, 3)
+    inv_rot: jnp.ndarray  # (3, 3)
+    tex: jnp.ndarray  # () int32 emission texture
+    dist: Distribution2D  # over the emission bitmap (sin-weighted, dilated)
+
+
+@dataclass(frozen=True)
+class SceneMeta:
+    """Static (trace-time) scene facts."""
+
+    res_x: int
+    res_y: int
+    tonemap: str
+    filter: str
+    fov_deg: float
+    n_lights: int
+    has_env: bool
+    env_light_index: int  # index in light list, -1 if none
+    env_is_constant: bool
+    min_bounces: int
+    max_bounces: int
+    enable_light_sampling: bool
+    enable_two_sided: bool
+    spp: int
+    spp_step: int
+    use_bvh: bool
+
+
+@pytree
+class FlatScene:
+    tris: TriangleSoA
+    tri_ng: jnp.ndarray  # (T, 3) geometric normal (winding)
+    tri_n0: jnp.ndarray  # (T, 3) shading normals at the 3 verts
+    tri_n1: jnp.ndarray
+    tri_n2: jnp.ndarray
+    tri_uv0: jnp.ndarray  # (T, 2)
+    tri_uv1: jnp.ndarray
+    tri_uv2: jnp.ndarray
+    tri_mat: jnp.ndarray  # (T,) int32
+    tri_light: jnp.ndarray  # (T,) int32 (-1 = not emissive)
+    bvh: BvhSoA
+    materials: MaterialTable
+    textures: TextureTable
+    lights: LightTable
+    env: EnvLight
+    camera: CameraParams
+    meta: SceneMeta = field(pytree_node=False, default=None)
+
+
+def flatten_scene(doc: SceneDocument) -> FlatScene:
+    tex_builder = TextureBuilder()
+
+    # ---- geometry ---------------------------------------------------------
+    pos_l, n_l, uv_l, idx_l, mat_l, prim_l = [], [], [], [], [], []
+    emissive_prims = []  # (prim_index, emission_spec)
+    env_spec = None
+    vert_base = 0
+
+    for pi, prim in enumerate(doc.primitives):
+        ptype = prim.get("type", "mesh")
+        m = tf.mat4_from_json(prim.get("transform"))
+
+        if ptype == "infinite_sphere":
+            if "emission" in prim or "power" in prim:
+                env_spec = (prim, m)
+            continue
+        if ptype in ("infinite_sphere_cap", "skydome"):
+            raise NotImplementedError(f"primitive type '{ptype}' not implemented yet")
+
+        if ptype == "quad":
+            soup = tessellate.quad()
+        elif ptype == "cube":
+            soup = tessellate.cube()
+        elif ptype == "sphere":
+            soup = tessellate.sphere_mesh()
+        elif ptype == "mesh":
+            mesh = load_mesh(doc.resolve_path(prim["file"]))
+            smooth = prim.get("smooth", True)
+            if prim.get("recompute_normals", False) or (
+                smooth and not np.any(mesh.normal)
+            ):
+                compute_smooth_normals(mesh)
+            soup = tessellate.TriSoup(
+                pos=mesh.pos,
+                normal=mesh.normal if smooth else None,
+                uv=mesh.uv,
+                indices=mesh.indices,
+            )
+        else:
+            raise NotImplementedError(f"primitive type '{ptype}' not implemented yet")
+
+        wpos = tf.transform_point(m, soup.pos).astype(np.float32)
+        if soup.normal is not None:
+            wn = tf.transform_normal(m, soup.normal)
+            lens = np.linalg.norm(wn, axis=-1, keepdims=True)
+            wn = np.where(lens > 1e-20, wn / np.maximum(lens, 1e-20), 0.0).astype(np.float32)
+        else:
+            wn = None
+
+        pos_l.append(wpos)
+        n_l.append(wn)
+        uv_l.append(soup.uv.astype(np.float32))
+        idx_l.append(soup.indices + vert_base)
+        mat_l.append(np.full(len(soup.indices), prim["_bsdf_index"], np.int32))
+        prim_l.append(np.full(len(soup.indices), pi, np.int32))
+        vert_base += len(wpos)
+
+        if "emission" in prim or "power" in prim:
+            emissive_prims.append(pi)
+
+    if not idx_l:
+        raise ValueError("scene has no finite geometry")
+
+    # assemble vertex/triangle arrays (normals: fill flat prims after)
+    all_pos = np.concatenate(pos_l)
+    all_uv = np.concatenate(uv_l)
+    indices = np.concatenate(idx_l)
+    tri_mat = np.concatenate(mat_l)
+    tri_prim = np.concatenate(prim_l)
+
+    p0 = all_pos[indices[:, 0]]
+    p1 = all_pos[indices[:, 1]]
+    p2 = all_pos[indices[:, 2]]
+    face_n = np.cross(p1 - p0, p2 - p0)
+    face_area = 0.5 * np.linalg.norm(face_n, axis=-1)
+    norm = np.linalg.norm(face_n, axis=-1, keepdims=True)
+    tri_ng = (face_n / np.maximum(norm, 1e-30)).astype(np.float32)
+
+    # shading normals: vertex normals where present, face normal otherwise
+    all_n = np.zeros_like(all_pos)
+    off = 0
+    for wpos, wn in zip(pos_l, n_l):
+        if wn is not None:
+            all_n[off : off + len(wpos)] = wn
+        off += len(wpos)
+    n0 = all_n[indices[:, 0]]
+    n1 = all_n[indices[:, 1]]
+    n2 = all_n[indices[:, 2]]
+    missing = (np.linalg.norm(n0, axis=-1) < 0.5)[:, None]
+    n0 = np.where(missing, tri_ng, n0)
+    n1 = np.where(missing, tri_ng, n1)
+    n2 = np.where(missing, tri_ng, n2)
+
+    # ---- BVH + permutation ------------------------------------------------
+    bb_min = np.minimum(np.minimum(p0, p1), p2)
+    bb_max = np.maximum(np.maximum(p0, p1), p2)
+    bvh = build_bvh_cached(bb_min, bb_max)
+    perm = bvh.prim_order
+    inv_perm = np.empty_like(perm)
+    inv_perm[perm] = np.arange(len(perm), dtype=np.int32)
+
+    def permute(a):
+        return np.ascontiguousarray(a[perm])
+
+    p0, p1, p2 = permute(p0), permute(p1), permute(p2)
+    tri_ng = permute(tri_ng)
+    n0, n1, n2 = permute(n0), permute(n1), permute(n2)
+    uv0 = permute(all_uv[indices[:, 0]])
+    uv1 = permute(all_uv[indices[:, 1]])
+    uv2 = permute(all_uv[indices[:, 2]])
+    tri_mat = permute(tri_mat)
+    tri_prim = permute(tri_prim)
+    face_area = permute(face_area)
+
+    # ---- materials & textures --------------------------------------------
+    materials = pack_materials(doc.bsdfs, tex_builder)
+
+    # ---- lights ------------------------------------------------------------
+    tri_light = np.full(len(tri_mat), -1, np.int32)
+    l_offset, l_count, l_cdf_off, l_area, l_tex, l_env = [], [], [], [], [], []
+    tri_idx_list, cdf_list = [], []
+    cur_off = 0
+    cur_cdf = 0
+
+    def emission_tex(prim, area=None):
+        if "power" in prim:
+            # emission = power * powerToRadianceFactor (Primitive.cpp:111-116);
+            # area lights: 1/(pi * area)
+            p = np.asarray(prim["power"], np.float64)
+            if p.ndim == 0:
+                p = np.repeat(p, 3)
+            return tex_builder.add_constant((p / (np.pi * area)).astype(np.float32))
+        e = prim["emission"]
+        if isinstance(e, str):
+            from ..io.imageio import load_image
+
+            return tex_builder.add_bitmap(load_image(doc.resolve_path(e)), path_key=e)
+        if isinstance(e, dict):
+            raise NotImplementedError("textured emission object")
+        return tex_builder.add_constant(e)
+
+    for pi in emissive_prims:
+        prim = doc.primitives[pi]
+        sel = np.nonzero(tri_prim == pi)[0].astype(np.int32)
+        if len(sel) == 0:
+            continue
+        areas = face_area[sel]
+        total = float(areas.sum())
+        if total <= 0:
+            continue
+        light_id = len(l_offset)
+        tri_light[sel] = light_id
+        cdf = np.concatenate([[0.0], np.cumsum(areas / total)]).astype(np.float32)
+        cdf[-1] = 1.0
+        l_offset.append(cur_off)
+        l_count.append(len(sel))
+        l_cdf_off.append(cur_cdf)
+        l_area.append(total)
+        l_tex.append(emission_tex(prim, total))
+        l_env.append(False)
+        tri_idx_list.append(sel)
+        cdf_list.append(cdf)
+        cur_off += len(sel)
+        cur_cdf += len(sel) + 1
+
+    # environment light
+    env_index = -1
+    env_is_constant = True
+    env = _default_env(tex_builder)
+    if env_spec is not None:
+        prim, m = env_spec
+        rot = m[:3, :3].astype(np.float64)
+        # extractRotation: normalize columns
+        rot = rot / np.maximum(np.linalg.norm(rot, axis=0, keepdims=True), 1e-30)
+        etex = emission_tex(prim, 1.0)
+        samplable = prim.get("sample", True)
+        e = prim.get("emission")
+        env_is_constant = not isinstance(e, str)
+        if env_is_constant:
+            dist = Distribution2D.build(np.ones((1, 1), np.float32))
+        else:
+            img = tex_builder.image(etex)
+            dist = Distribution2D.build(_env_weights(img))
+        env = EnvLight(
+            rot=jnp.asarray(rot, jnp.float32),
+            inv_rot=jnp.asarray(rot.T, jnp.float32),
+            tex=jnp.int32(etex),
+            dist=dist,
+        )
+        if samplable:
+            env_index = len(l_offset)
+            l_offset.append(cur_off)
+            l_count.append(0)
+            l_cdf_off.append(cur_cdf)
+            l_area.append(1.0)
+            l_tex.append(etex)
+            l_env.append(True)
+
+    n_lights = len(l_offset)
+    if not tri_idx_list:
+        tri_idx_list = [np.zeros(1, np.int32)]
+        cdf_list = [np.array([0.0, 1.0], np.float32)]
+    lights = LightTable(
+        offset=jnp.asarray(np.asarray(l_offset or [0], np.int32)),
+        count=jnp.asarray(np.asarray(l_count or [0], np.int32)),
+        cdf_offset=jnp.asarray(np.asarray(l_cdf_off or [0], np.int32)),
+        area=jnp.asarray(np.asarray(l_area or [1.0], np.float32)),
+        tex=jnp.asarray(np.asarray(l_tex or [0], np.int32)),
+        is_env=jnp.asarray(np.asarray(l_env or [False], bool)),
+        tri_idx=jnp.asarray(np.concatenate(tri_idx_list)),
+        cdf=jnp.asarray(np.concatenate(cdf_list)),
+        max_count=max([c for c in (l_count or [1])] + [1]),
+    )
+
+    # ---- camera ------------------------------------------------------------
+    cam = doc.camera
+    cam_m = tf.mat4_from_json(cam.get("transform"))
+    fov = float(cam.get("fov", 60.0))
+    plane_dist = 1.0 / np.tan(np.deg2rad(fov) * 0.5)
+    camera = CameraParams(
+        rot=jnp.asarray(cam_m[:3, :3], jnp.float32),
+        pos=jnp.asarray(cam_m[:3, 3], jnp.float32),
+        plane_dist=jnp.float32(plane_dist),
+    )
+
+    res = cam.get("resolution", [1000, 563])
+    if isinstance(res, (int, float)):
+        res = [int(res), int(res)]
+    integ = doc.integrator
+    meta = SceneMeta(
+        res_x=int(res[0]),
+        res_y=int(res[1]),
+        tonemap=cam.get("tonemap", "gamma"),
+        filter=cam.get("reconstruction_filter", "tent"),
+        fov_deg=fov,
+        n_lights=n_lights,
+        has_env=env_spec is not None,
+        env_light_index=env_index,
+        env_is_constant=env_is_constant,
+        min_bounces=int(integ.get("min_bounces", 0)),
+        max_bounces=int(integ.get("max_bounces", 64)),
+        enable_light_sampling=bool(integ.get("enable_light_sampling", True)),
+        enable_two_sided=bool(integ.get("enable_two_sided_shading", True)),
+        spp=int(doc.renderer.get("spp", 32)),
+        spp_step=int(doc.renderer.get("spp_step", 16)),
+        use_bvh=bool(doc.renderer.get("scene_bvh", True)),
+    )
+
+    return FlatScene(
+        tris=TriangleSoA(
+            v0=jnp.asarray(p0), e1=jnp.asarray(p1 - p0), e2=jnp.asarray(p2 - p0)
+        ),
+        tri_ng=jnp.asarray(tri_ng),
+        tri_n0=jnp.asarray(n0),
+        tri_n1=jnp.asarray(n1),
+        tri_n2=jnp.asarray(n2),
+        tri_uv0=jnp.asarray(uv0),
+        tri_uv1=jnp.asarray(uv1),
+        tri_uv2=jnp.asarray(uv2),
+        tri_mat=jnp.asarray(tri_mat),
+        tri_light=jnp.asarray(tri_light),
+        bvh=BvhSoA(
+            node_min=jnp.asarray(bvh.node_min),
+            node_max=jnp.asarray(bvh.node_max),
+            first=jnp.asarray(bvh.first),
+            count=jnp.asarray(bvh.count),
+            skip=jnp.asarray(bvh.skip),
+        ),
+        materials=materials,
+        textures=tex_builder.build(),
+        lights=lights,
+        env=env,
+        camera=camera,
+        meta=meta,
+    )
+
+
+def _default_env(tex_builder) -> EnvLight:
+    return EnvLight(
+        rot=jnp.eye(3),
+        inv_rot=jnp.eye(3),
+        tex=jnp.int32(tex_builder.add_constant([0.0, 0.0, 0.0])),
+        dist=Distribution2D.build(np.ones((1, 1), np.float32)),
+    )
+
+
+def _env_weights(img: np.ndarray) -> np.ndarray:
+    """Env importance weights: max-channel luminance * sin(theta), dilated by a
+    1-px 3x3 max filter with wraparound (BitmapTexture::makeSamplable,
+    BitmapTexture.cpp:400-431) so bilinear-interpolated bright texels keep
+    nonzero pdf."""
+    h = img.shape[0]
+    w = img.max(axis=-1)
+    row_theta = np.sin(np.arange(h) * np.pi / h)
+    w = w * row_theta[:, None]
+    w = np.maximum(np.maximum(np.roll(w, 1, 1), np.roll(w, -1, 1)), w)
+    w = np.maximum(np.maximum(np.roll(w, 1, 0), np.roll(w, -1, 0)), w)
+    return w.astype(np.float32)
