@@ -164,6 +164,20 @@ def _nee(scene, sampler, p, ng, frame, wi, mat_id, albedo, lobes):
     return jnp.where(skip[..., None], 0.0, total), sampler
 
 
+@partial(jax.jit, static_argnames=("n_passes",))
+def trace_batch(scene: FlatScene, seed, lane_base, px, py, pass_start, n_passes=1):
+    """Accumulate n_passes wavefront passes in one dispatch (fori_loop) —
+    amortizes launch/transfer latency, critical on remote-attached TPUs.
+    Returns summed radiance (N, 3)."""
+
+    def body(i, acc):
+        pass_seed = jnp.stack([seed[0], seed[1] + (pass_start + i).astype(jnp.uint32)])
+        return acc + trace_pass(scene, pass_seed, lane_base, px, py)
+
+    acc = jnp.zeros(px.shape + (3,), jnp.float32)
+    return jax.lax.fori_loop(0, n_passes, body, acc)
+
+
 @jax.jit
 def trace_pass(scene: FlatScene, seed, lane_ids, px, py):
     """Trace one sample for each lane. Returns radiance (N, 3)."""

@@ -79,6 +79,7 @@ def intersect_brute(tris: TriangleSoA, o, d, tnear, tfar, chunk: int = 512) -> H
     nearest hit. Memory is O(N * chunk)."""
     n = o.shape[0]
     t_count = tris.v0.shape[0]
+    chunk = min(chunk, -(-t_count // 8) * 8)  # don't pad tiny scenes to 512
     pad = (-t_count) % chunk
     v0 = jnp.pad(tris.v0, ((0, pad), (0, 0)))
     e1 = jnp.pad(tris.e1, ((0, pad), (0, 0)))

@@ -321,6 +321,10 @@ def flatten_scene(doc: SceneDocument) -> FlatScene:
     # ---- camera ------------------------------------------------------------
     cam = doc.camera
     cam_m = tf.mat4_from_json(cam.get("transform"))
+    # cameras negate their x axis after loading (Camera.cpp:63
+    # `_transform.setRight(-_transform.right())`) so +x_local maps to
+    # image-right in world space
+    cam_m[:3, 0] = -cam_m[:3, 0]
     fov = float(cam.get("fov", 60.0))
     plane_dist = 1.0 / np.tan(np.deg2rad(fov) * 0.5)
     camera = CameraParams(
