@@ -2,7 +2,14 @@ import numpy as np
 import jax.numpy as jnp
 
 from tungsten_tpu.accel.bvh import build_bvh
-from tungsten_tpu.ops.intersect import TriangleSoA, BvhSoA, intersect_brute, intersect_bvh, INF
+from tungsten_tpu.ops.intersect import (
+    TriangleSoA,
+    BvhSoA,
+    intersect_brute,
+    intersect_bvh,
+    pack_bvh,
+    INF,
+)
 
 
 def random_scene(rng, n_tris=200, spread=2.0):
@@ -21,12 +28,15 @@ def make_bvh(v0, e1, e2):
     tris = TriangleSoA(
         v0=jnp.asarray(v0[perm]), e1=jnp.asarray(e1[perm]), e2=jnp.asarray(e2[perm])
     )
-    soa = BvhSoA(
-        node_min=jnp.asarray(bvh.node_min),
-        node_max=jnp.asarray(bvh.node_max),
-        first=jnp.asarray(bvh.first),
-        count=jnp.asarray(bvh.count),
-        skip=jnp.asarray(bvh.skip),
+    soa = pack_bvh(
+        BvhSoA(
+            node_min=jnp.asarray(bvh.node_min),
+            node_max=jnp.asarray(bvh.node_max),
+            first=jnp.asarray(bvh.first),
+            count=jnp.asarray(bvh.count),
+            skip=jnp.asarray(bvh.skip),
+        ),
+        tris,
     )
     return tris, soa, perm
 

@@ -76,10 +76,11 @@ def _occluded(scene, p, d, dist):
     return h.prim >= 0
 
 
-def _nee(scene, sampler, p, ng, frame, wi, mat_id, albedo, lobes):
+def _nee(scene, sampler, p, ng, frame, wi, mat_id, uv, lobes):
     """estimateDirect: one uniformly chosen light, both MIS strategies.
     Returns (N, 3) contribution (un-multiplied by throughput)."""
     meta = scene.meta
+    ctx = (scene.materials, scene.textures)
     n = p.shape[0]
     t, b, nrm = frame
 
@@ -106,27 +107,32 @@ def _nee(scene, sampler, p, ng, frame, wi, mat_id, albedo, lobes):
         ls = ls_area
 
     wo_l = vo.to_local(t, b, nrm, ls.d)
-    f_l = bsdf_eval(scene.materials, mat_id, albedo, wi, wo_l, nonspecular_only=True)
+    f_l = bsdf_eval(ctx, mat_id, uv, wi, wo_l, nonspecular_only=True)
     cand = ls.valid & (ls.pdf > 0.0) & jnp.any(f_l > 0.0, axis=-1)
-    blocked = _occluded(scene, p, ls.d, jnp.where(cand, ls.dist, 0.0))
     mis_l = warps.power_heuristic(
-        ls.pdf, bsdf_pdf(scene.materials, mat_id, albedo, wi, wo_l, nonspecular_only=True)
+        ls.pdf, bsdf_pdf(ctx, mat_id, uv, wi, wo_l, nonspecular_only=True)
     )
-    contrib_l = f_l * ls.radiance * (mis_l / jnp.maximum(ls.pdf, 1e-30))[..., None]
-    contrib_l = jnp.where((cand & ~blocked)[..., None], contrib_l, 0.0)
 
     # --- strategy 2: bsdf sampling (non-specular lobes) -------------------
     u_bs2, sampler = sampler.next_2d()
     u_bs1, sampler = sampler.next_1d()
-    bs = bsdf_sample(
-        scene.materials, mat_id, albedo, wi, u_bs2, u_bs1, nonspecular_only=True
-    )
+    bs = bsdf_sample(ctx, mat_id, uv, wi, u_bs2, u_bs1, nonspecular_only=True)
     wo_w = vo.to_global(t, b, nrm, bs.wo)
     bs_cand = bs.valid & jnp.any(bs.weight > 0.0, axis=-1)
-    h = _intersect(
-        scene, p, wo_w, jnp.full((n,), DEFAULT_EPSILON),
-        jnp.where(bs_cand, INF, 0.0),
+
+    # both strategies' rays traverse in ONE 2N-lane lockstep call: the
+    # divergent while-loop cost is max-over-lanes, so merging halves it
+    shadow_far = jnp.where(
+        cand, jnp.where(ls.dist >= INF, INF, ls.dist * SHADOW_FUDGE), 0.0
     )
+    o2 = jnp.concatenate([p, p])
+    d2 = jnp.concatenate([ls.d, wo_w])
+    far2 = jnp.concatenate([shadow_far, jnp.where(bs_cand, INF, 0.0)])
+    h2 = _intersect(scene, o2, d2, jnp.full((2 * n,), DEFAULT_EPSILON), far2)
+    blocked = h2.prim[:n] >= 0
+    contrib_l = f_l * ls.radiance * (mis_l / jnp.maximum(ls.pdf, 1e-30))[..., None]
+    contrib_l = jnp.where((cand & ~blocked)[..., None], contrib_l, 0.0)
+    h = isect.Hit(t=h2.t[n:], prim=h2.prim[n:], u=h2.u[n:], v=h2.v[n:])
     hit_light = jnp.where(h.prim >= 0, scene.tri_light[jnp.maximum(h.prim, 0)], -1)
     # area-light hit: must be the chosen light & front side
     hp = p + wo_w * h.t[..., None]
@@ -232,7 +238,7 @@ def trace_pass(scene: FlatScene, seed, lane_ids, px, py):
         # ---- surface shading ----
         p, ng, ns, uv, mat_id, light_id = _shading_data(scene, hit, o, d)
         lobes = scene.materials.lobes[mat_id]
-        albedo = eval_texture(scene.textures, scene.materials.albedo_tex[mat_id], uv)
+        ctx = (scene.materials, scene.textures)
 
         # two-sided flip (makeLocalScatterEvent, TraceBase.cpp:24-51)
         hit_backside = vo.dot(ns, d) > 0.0
@@ -258,7 +264,7 @@ def trace_pass(scene: FlatScene, seed, lane_ids, px, py):
 
         # ---- NEE ----
         if meta.enable_light_sampling and meta.n_lights > 0:
-            nee, smp = _nee(scene, smp, p, ng, frame, wi, mat_id, albedo, lobes)
+            nee, smp = _nee(scene, smp, p, ng, frame, wi, mat_id, uv, lobes)
             do_nee = alive & (bounce < meta.max_bounces - 1)
             emission = emission + jnp.where(do_nee[..., None], throughput * nee, 0.0)
         else:
@@ -267,7 +273,7 @@ def trace_pass(scene: FlatScene, seed, lane_ids, px, py):
         # ---- continuation BSDF sample ----
         u_c2, smp = smp.next_2d()
         u_c1, smp = smp.next_1d()
-        bs = bsdf_sample(scene.materials, mat_id, albedo, wi, u_c2, u_c1)
+        bs = bsdf_sample(ctx, mat_id, uv, wi, u_c2, u_c1)
         wo_w = vo.to_global(*frame, bs.wo)
         throughput = throughput * jnp.where(alive[..., None], bs.weight, 1.0)
         was_specular = jnp.where(alive, Lobes.has_specular(bs.lobe), was_specular)

@@ -7,6 +7,20 @@ type *present in the scene* (a static set known at trace time) over all lanes
 and selects by mask. With material-sorted queues (later optimization) the
 masked work collapses to near-zero waste; for typical scenes (2-5 types) the
 overhead is already small.
+
+Nesting: wrapper BSDFs (smooth_coat/rough_coat/mixed/transparency) reference a
+substrate material by table index and re-enter the dispatcher with
+nested=True, which restricts the type loop to non-wrapper types — one level
+of nesting, matching every scene the reference ships (coat-on-coat would need
+a second level and is rejected at pack time).
+
+Impl module interface (all batched over lanes; ctx = (MaterialTable,
+TextureTable)):
+    NAME: str; LOBES: int or lobes_for(spec); IS_WRAPPER: bool (default False)
+    pack(spec, params, tex_builder) -> params
+    eval(ctx, params, albedo, uv, wi, wo, nonspecular_only) -> (N, 3)
+    pdf(ctx, params, albedo, uv, wi, wo, nonspecular_only) -> (N,)
+    sample(ctx, params, albedo, uv, wi, u2, u1, nonspecular_only) -> BsdfSample
 """
 from __future__ import annotations
 
@@ -17,16 +31,18 @@ import jax.numpy as jnp
 from flax.struct import dataclass as pytree, field
 
 from .common import BsdfSample, Lobes
-from . import lambert, null, mirror
+from . import lambert, null, mirror, rough_conductor, smooth_coat, oren_nayar, phong
+from . import dielectric, rough_dielectric, conductor, plastic, rough_plastic
+from . import thinsheet, transparency, forward, mixed, diffuse_transmission, rough_coat
 
 N_PARAMS = 16
 
 # type-name -> (type_id, module). Order defines the stable type-id space.
-_MODULES = [lambert, null, mirror]
-
-
-def register_module(mod):
-    _MODULES.append(mod)
+_MODULES = [
+    lambert, null, mirror, rough_conductor, smooth_coat, oren_nayar, phong,
+    dielectric, rough_dielectric, conductor, plastic, rough_plastic,
+    thinsheet, transparency, forward, mixed, diffuse_transmission, rough_coat,
+]
 
 
 def _registry() -> Dict[str, tuple]:
@@ -35,6 +51,10 @@ def _registry() -> Dict[str, tuple]:
 
 def module_for_id(type_id: int):
     return _MODULES[type_id]
+
+
+def is_wrapper(mod) -> bool:
+    return getattr(mod, "IS_WRAPPER", False)
 
 
 @pytree
@@ -47,45 +67,69 @@ class MaterialTable:
     present: tuple = field(pytree_node=False, default=())  # static type-id set
 
 
+def _albedo_tex_for(spec, tex_builder) -> int:
+    a = spec.get("albedo", 1.0)
+    if isinstance(a, dict):
+        if a.get("type") == "checker":
+            return tex_builder.add_checker(
+                a.get("on_color", 0.8), a.get("off_color", 0.2),
+                a.get("res_u", 20), a.get("res_v", 20),
+            )
+        if a.get("type") == "constant":
+            return tex_builder.add_constant(a.get("value", 1.0))
+        if a.get("type") == "bitmap":
+            from ...io.imageio import load_image
+
+            img = load_image(spec["_resolve_path"](a["file"]))
+            return tex_builder.add_bitmap(img, path_key=a["file"])
+        raise NotImplementedError(f"albedo texture type {a.get('type')}")
+    if isinstance(a, str):
+        from ...io.imageio import load_image
+
+        img = load_image(spec["_resolve_path"](a))
+        return tex_builder.add_bitmap(img, path_key=a)
+    return tex_builder.add_constant(a)
+
+
 def pack_materials(bsdf_specs: List[dict], tex_builder) -> MaterialTable:
     """bsdf_specs: resolved JSON dicts (one per material instance, in scene
-    order). tex_builder: TextureBuilder for albedo/parameter textures."""
+    order; nested refs pre-resolved to "_substrate_index" etc. by load.py)."""
     reg = _registry()
-    types, lobes, params, albedo = [], [], [], []
-    for spec in bsdf_specs:
+    n = len(bsdf_specs)
+    types = [0] * n
+    lobes = [0] * n
+    params = [np.zeros(N_PARAMS, np.float32)] * n
+    albedo = [0] * n
+
+    def lobes_of(i, depth=0):
+        spec = bsdf_specs[i]
         tname = spec.get("type", "lambert")
         if tname not in reg:
             raise NotImplementedError(f"bsdf type '{tname}' not implemented yet")
         tid, mod = reg[tname]
+        if hasattr(mod, "lobes_for"):
+            if depth > 1:
+                raise NotImplementedError("bsdf nesting deeper than one level")
+            return mod.lobes_for(spec, lambda j: lobes_of(j, depth + 1))
+        return mod.LOBES
+
+    for i, spec in enumerate(bsdf_specs):
+        tname = spec.get("type", "lambert")
+        if tname not in reg:
+            raise NotImplementedError(f"bsdf type '{tname}' not implemented yet")
+        tid, mod = reg[tname]
+        if is_wrapper(mod):
+            for key in ("_substrate_index", "_bsdf0_index", "_bsdf1_index"):
+                j = spec.get(key, -1)
+                if j >= 0 and is_wrapper(reg[bsdf_specs[j].get("type", "lambert")][1]):
+                    raise NotImplementedError("nested wrapper bsdfs (coat-on-coat)")
         p = np.zeros(N_PARAMS, np.float32)
         p = mod.pack(spec, p, tex_builder)
-        a = spec.get("albedo", 1.0)
-        if isinstance(a, dict):
-            if a.get("type") == "checker":
-                tex = tex_builder.add_checker(
-                    a.get("on_color", 0.8), a.get("off_color", 0.2),
-                    a.get("res_u", 20), a.get("res_v", 20),
-                )
-            elif a.get("type") == "constant":
-                tex = tex_builder.add_constant(a.get("value", 1.0))
-            elif a.get("type") == "bitmap":
-                from ...io.imageio import load_image
+        types[i] = tid
+        lobes[i] = lobes_of(i)
+        params[i] = p
+        albedo[i] = _albedo_tex_for(spec, tex_builder)
 
-                img = load_image(spec["_resolve_path"](a["file"]))
-                tex = tex_builder.add_bitmap(img, path_key=a["file"])
-            else:
-                raise NotImplementedError(f"albedo texture type {a.get('type')}")
-        elif isinstance(a, str):
-            from ...io.imageio import load_image
-
-            img = load_image(spec["_resolve_path"](a))
-            tex = tex_builder.add_bitmap(img, path_key=a)
-        else:
-            tex = tex_builder.add_constant(a)
-        types.append(tid)
-        lobes.append(mod.LOBES if not hasattr(mod, "lobes_for") else mod.lobes_for(spec))
-        params.append(p)
-        albedo.append(tex)
     if not types:
         types, lobes, params, albedo = [0], [0], [np.zeros(N_PARAMS, np.float32)], [0]
     return MaterialTable(
@@ -97,33 +141,46 @@ def pack_materials(bsdf_specs: List[dict], tex_builder) -> MaterialTable:
     )
 
 
-def bsdf_eval(mats: MaterialTable, mat_id, albedo, wi, wo, nonspecular_only=False):
-    """Masked dispatch of eval over lanes. mat_id (N,), albedo (N,3) pre-looked-up."""
+def _present(ctx, nested):
+    mats, _ = ctx
+    if not nested:
+        return mats.present
+    return tuple(t for t in mats.present if not is_wrapper(module_for_id(t)))
+
+
+def _gather(ctx, mat_id, uv):
+    from ..textures import eval_texture
+
+    mats, texs = ctx
     params = mats.params[mat_id]
     mtype = mats.type[mat_id]
+    albedo = eval_texture(texs, mats.albedo_tex[mat_id], uv)
+    return params, mtype, albedo
+
+
+def bsdf_eval(ctx, mat_id, uv, wi, wo, nonspecular_only=False, nested=False):
+    params, mtype, albedo = _gather(ctx, mat_id, uv)
     out = jnp.zeros(wi.shape[:-1] + (3,), jnp.float32)
-    for tid in mats.present:
-        f = module_for_id(tid).eval(params, albedo, wi, wo, nonspecular_only)
+    for tid in _present(ctx, nested):
+        f = module_for_id(tid).eval(ctx, params, albedo, uv, wi, wo, nonspecular_only)
         out = jnp.where((mtype == tid)[..., None], f, out)
     return out
 
 
-def bsdf_pdf(mats: MaterialTable, mat_id, albedo, wi, wo, nonspecular_only=False):
-    params = mats.params[mat_id]
-    mtype = mats.type[mat_id]
+def bsdf_pdf(ctx, mat_id, uv, wi, wo, nonspecular_only=False, nested=False):
+    params, mtype, albedo = _gather(ctx, mat_id, uv)
     out = jnp.zeros(wi.shape[:-1], jnp.float32)
-    for tid in mats.present:
-        p = module_for_id(tid).pdf(params, albedo, wi, wo, nonspecular_only)
+    for tid in _present(ctx, nested):
+        p = module_for_id(tid).pdf(ctx, params, albedo, uv, wi, wo, nonspecular_only)
         out = jnp.where(mtype == tid, p, out)
     return out
 
 
-def bsdf_sample(mats: MaterialTable, mat_id, albedo, wi, u2, u1, nonspecular_only=False) -> BsdfSample:
-    params = mats.params[mat_id]
-    mtype = mats.type[mat_id]
+def bsdf_sample(ctx, mat_id, uv, wi, u2, u1, nonspecular_only=False, nested=False) -> BsdfSample:
+    params, mtype, albedo = _gather(ctx, mat_id, uv)
     res = BsdfSample.invalid(wi.shape[0])
-    for tid in mats.present:
-        s = module_for_id(tid).sample(params, albedo, wi, u2, u1, nonspecular_only)
+    for tid in _present(ctx, nested):
+        s = module_for_id(tid).sample(ctx, params, albedo, uv, wi, u2, u1, nonspecular_only)
         m = mtype == tid
         res = BsdfSample(
             wo=jnp.where(m[..., None], s.wo, res.wo),

@@ -1,13 +1,13 @@
-"""Null BSDF (src/core/bsdfs/NullBsdf.cpp) — absorbs everything; used on
-light geometry so paths terminate after collecting emission."""
+"""Forward BSDF (src/core/bsdfs/ForwardBsdf.cpp): pure pass-through; only
+participates via the integrator's transparency lottery (forward lobe)."""
 from __future__ import annotations
 
 import jax.numpy as jnp
 
 from .common import BsdfSample, Lobes
 
-NAME = "null"
-LOBES = Lobes.NULL
+NAME = "forward"
+LOBES = Lobes.FORWARD
 
 
 def pack(spec, params, tex_builder):
@@ -16,6 +16,12 @@ def pack(spec, params, tex_builder):
 
 def eval(ctx, params, albedo, uv, wi, wo, nonspecular_only=False):
     return jnp.zeros(wi.shape[:-1] + (3,), jnp.float32)
+
+
+def forward_transparency(ctx, params, albedo, uv, wi):
+    """bsdf.eval(forwardEvent): transmitted fraction for straight-through
+    continuation (TraceBase::handleSurface lottery)."""
+    return jnp.ones(wi.shape[:-1] + (3,), jnp.float32)
 
 
 def pdf(ctx, params, albedo, uv, wi, wo, nonspecular_only=False):

@@ -10,22 +10,22 @@ NAME = "lambert"
 LOBES = Lobes.DIFFUSE_R
 
 
-def pack(json_obj, params, tex_builder):
+def pack(spec, params, tex_builder):
     return params  # no extra parameters
 
 
-def eval(params, albedo, wi, wo, nonspecular_only=False):
+def eval(ctx, params, albedo, uv, wi, wo, nonspecular_only=False):
     valid = (wi[..., 2] > 0.0) & (wo[..., 2] > 0.0)
     f = albedo * (warps.INV_PI * jnp.maximum(wo[..., 2], 0.0))[..., None]
     return jnp.where(valid[..., None], f, 0.0)
 
 
-def pdf(params, albedo, wi, wo, nonspecular_only=False):
+def pdf(ctx, params, albedo, uv, wi, wo, nonspecular_only=False):
     valid = (wi[..., 2] > 0.0) & (wo[..., 2] > 0.0)
     return jnp.where(valid, warps.cosine_hemisphere_pdf(wo), 0.0)
 
 
-def sample(params, albedo, wi, u2, u1, nonspecular_only=False):
+def sample(ctx, params, albedo, uv, wi, u2, u1, nonspecular_only=False):
     wo = warps.cosine_hemisphere(u2)
     valid = wi[..., 2] > 0.0
     return BsdfSample(

@@ -22,7 +22,7 @@ from ..math import transform as tf
 from ..models.bsdfs import MaterialTable, pack_materials
 from ..models.primitives import tessellate
 from ..models.textures import TextureBuilder, TextureTable
-from ..ops.intersect import BvhSoA, TriangleSoA
+from ..ops.intersect import BvhSoA, TriangleSoA, pack_bvh
 from ..sampling.distributions import Distribution2D
 from .load import SceneDocument
 
@@ -356,10 +356,21 @@ def flatten_scene(doc: SceneDocument) -> FlatScene:
         use_bvh=bool(doc.renderer.get("scene_bvh", True)),
     )
 
-    return FlatScene(
-        tris=TriangleSoA(
-            v0=jnp.asarray(p0), e1=jnp.asarray(p1 - p0), e2=jnp.asarray(p2 - p0)
+    tris_soa = TriangleSoA(
+        v0=jnp.asarray(p0), e1=jnp.asarray(p1 - p0), e2=jnp.asarray(p2 - p0)
+    )
+    bvh_soa = pack_bvh(
+        BvhSoA(
+            node_min=jnp.asarray(bvh.node_min),
+            node_max=jnp.asarray(bvh.node_max),
+            first=jnp.asarray(bvh.first),
+            count=jnp.asarray(bvh.count),
+            skip=jnp.asarray(bvh.skip),
         ),
+        tris_soa,
+    )
+    return FlatScene(
+        tris=tris_soa,
         tri_ng=jnp.asarray(tri_ng),
         tri_n0=jnp.asarray(n0),
         tri_n1=jnp.asarray(n1),
@@ -369,13 +380,7 @@ def flatten_scene(doc: SceneDocument) -> FlatScene:
         tri_uv2=jnp.asarray(uv2),
         tri_mat=jnp.asarray(tri_mat),
         tri_light=jnp.asarray(tri_light),
-        bvh=BvhSoA(
-            node_min=jnp.asarray(bvh.node_min),
-            node_max=jnp.asarray(bvh.node_max),
-            first=jnp.asarray(bvh.first),
-            count=jnp.asarray(bvh.count),
-            skip=jnp.asarray(bvh.skip),
-        ),
+        bvh=bvh_soa,
         materials=materials,
         textures=tex_builder.build(),
         lights=lights,

@@ -131,6 +131,22 @@ def parse_scene(raw: dict, path: str = ".") -> SceneDocument:
         p["_ext_medium"] = resolve_medium(p.get("ext_medium"))
         doc.primitives.append(p)
 
+    # resolve nested bsdf references (coat substrates, transparency base,
+    # mixed blend inputs); inline definitions are appended anonymously.
+    # Iterate with a growing list so appended inline specs are processed too.
+    i = 0
+    while i < len(doc.bsdfs):
+        b = doc.bsdfs[i]
+        for json_key, idx_key in (
+            ("substrate", "_substrate_index"),
+            ("base", "_base_index"),
+            ("bsdf0", "_bsdf0_index"),
+            ("bsdf1", "_bsdf1_index"),
+        ):
+            if json_key in b and idx_key not in b:
+                b[idx_key] = resolve_bsdf(b[json_key])
+        i += 1
+
     # give material packers access to resource resolution
     for b in doc.bsdfs:
         b["_resolve_path"] = doc.resolve_path
