@@ -42,12 +42,18 @@ from ..sampling import Sampler, warps
 from ..scene.flatten import DEFAULT_EPSILON, FlatScene
 
 INF = isect.INF
-DIMS_PER_BOUNCE = 12
+DIMS_PER_BOUNCE = 24
 SHADOW_FUDGE = 1.0 - 1e-3  # cf. attenuatedEmission's 1+1e-3 (TraceBase.cpp:155)
 
 
 def _intersect(scene: FlatScene, o, d, tnear, tfar, any_hit=False):
-    if scene.meta.use_bvh and scene.tris.v0.shape[0] > 64:
+    n_tris = scene.tris.v0.shape[0]
+    backend = jax.default_backend()
+    if backend == "tpu" and n_tris > 64:
+        from .. ops.pallas_intersect import intersect_pallas
+
+        return intersect_pallas(scene.ptris, o, d, tnear, tfar)
+    if scene.meta.use_bvh and n_tris > 64:
         return isect.intersect_bvh(scene.bvh, scene.tris, o, d, tnear, tfar, any_hit=any_hit)
     return isect.intersect_brute(scene.tris, o, d, tnear, tfar)
 
@@ -76,7 +82,7 @@ def _occluded(scene, p, d, dist):
     return h.prim >= 0
 
 
-def _nee(scene, sampler, p, ng, frame, wi, mat_id, uv, lobes):
+def _nee(scene, sampler, p, ng, frame, wi, mat_id, uv, lobes, medium=None):
     """estimateDirect: one uniformly chosen light, both MIS strategies.
     Returns (N, 3) contribution (un-multiplied by throughput)."""
     meta = scene.meta
@@ -131,6 +137,16 @@ def _nee(scene, sampler, p, ng, frame, wi, mat_id, uv, lobes):
     h2 = _intersect(scene, o2, d2, jnp.full((2 * n,), DEFAULT_EPSILON), far2)
     blocked = h2.prim[:n] >= 0
     contrib_l = f_l * ls.radiance * (mis_l / jnp.maximum(ls.pdf, 1e-30))[..., None]
+    if meta.has_media and medium is not None:
+        from ..models.media import medium_transmittance
+
+        # attenuate the shadow segment by the current medium
+        # (generalizedShadowRay's medium term, TraceBase.cpp:103-113)
+        tr_l = medium_transmittance(
+            scene.media, medium, ls.dist,
+            jnp.ones((n,), bool), jnp.ones((n,), bool),
+        )
+        contrib_l = contrib_l * tr_l
     contrib_l = jnp.where((cand & ~blocked)[..., None], contrib_l, 0.0)
     h = isect.Hit(t=h2.t[n:], prim=h2.prim[n:], u=h2.u[n:], v=h2.v[n:])
     hit_light = jnp.where(h.prim >= 0, scene.tri_light[jnp.maximum(h.prim, 0)], -1)
@@ -162,12 +178,117 @@ def _nee(scene, sampler, p, ng, frame, wi, mat_id, uv, lobes):
 
     mis_b = warps.power_heuristic(bs.pdf, light_pdf)
     contrib_b = e * bs.weight * mis_b[..., None]
+    if meta.has_media and medium is not None:
+        from ..models.media import medium_transmittance
+
+        tr_b = medium_transmittance(
+            scene.media, medium, jnp.where(h.prim >= 0, h.t, INF),
+            jnp.ones((n,), bool), jnp.ones((n,), bool),
+        )
+        contrib_b = contrib_b * tr_b
     contrib_b = jnp.where((bs_cand & match)[..., None], contrib_b, 0.0)
 
     # pure-specular / forward materials skip NEE entirely (sampleDirect)
     skip = Lobes.is_pure_specular(lobes) | (lobes == Lobes.FORWARD) | (lobes == 0)
     total = (contrib_l + contrib_b) * choice_weight
     return jnp.where(skip[..., None], 0.0, total), sampler
+
+
+
+
+def _volume_nee(scene, sampler, p, d_in, medium, ptype, g):
+    """volumeEstimateDirect (TraceBase.cpp:323-381): one chosen light from the
+    medium scatter point p, phase light-sampling + phase-sampling strategies
+    with power-heuristic MIS, both attenuated by the current medium.
+    Consumes exactly 5 sampler dims."""
+    from ..models.media import medium_transmittance
+    from ..models.phase import phase_eval, phase_sample
+
+    meta = scene.meta
+    n = p.shape[0]
+
+    u_choose, sampler = sampler.next_1d()
+    li = jnp.minimum((u_choose * meta.n_lights).astype(jnp.int32), meta.n_lights - 1)
+    choice_weight = jnp.float32(meta.n_lights)
+    is_env_choice = scene.lights.is_env[li]
+
+    u_point, sampler = sampler.next_2d()
+    u_tri, sampler = sampler.next_1d()
+
+    ls_area = L.sample_area_direct(scene, li, p, u_tri, u_point)
+    if meta.has_env and meta.env_light_index >= 0:
+        ls_env = L.sample_env_direct(scene, u_point)
+        ls = L.LightSample(
+            d=vo.where3(is_env_choice, ls_env.d, ls_area.d),
+            dist=jnp.where(is_env_choice, ls_env.dist, ls_area.dist),
+            pdf=jnp.where(is_env_choice, ls_env.pdf, ls_area.pdf),
+            radiance=vo.where3(is_env_choice, ls_env.radiance, ls_area.radiance),
+            valid=jnp.where(is_env_choice, ls_env.valid, ls_area.valid),
+        )
+    else:
+        ls = ls_area
+
+    f_l = phase_eval(ptype, g, d_in, ls.d)
+    cand = ls.valid & (ls.pdf > 0.0) & (f_l > 0.0)
+    mis_l = warps.power_heuristic(ls.pdf, f_l)  # phase pdf == phase eval
+
+    # phase-sampling strategy
+    u_ph, sampler = sampler.next_2d()
+    w_ph, pdf_ph = phase_sample(ptype, g, d_in, u_ph)
+
+    shadow_far = jnp.where(
+        cand, jnp.where(ls.dist >= INF, INF, ls.dist * SHADOW_FUDGE), 0.0
+    )
+    o2 = jnp.concatenate([p, p])
+    d2 = jnp.concatenate([ls.d, w_ph])
+    far2 = jnp.concatenate([shadow_far, jnp.full((n,), INF)])
+    h2 = _intersect(scene, o2, d2, jnp.zeros((2 * n,)), far2)
+    blocked = h2.prim[:n] >= 0
+    h = isect.Hit(t=h2.t[n:], prim=h2.prim[n:], u=h2.u[n:], v=h2.v[n:])
+
+    tr_l = medium_transmittance(
+        scene.media, medium, ls.dist, jnp.zeros((n,), bool), jnp.ones((n,), bool)
+    )
+    contrib_l = (
+        (f_l * mis_l / jnp.maximum(ls.pdf, 1e-30))[..., None] * ls.radiance * tr_l
+    )
+    contrib_l = jnp.where((cand & ~blocked)[..., None], contrib_l, 0.0)
+
+    # phase strategy: did it reach the chosen light?
+    tri_hit = jnp.maximum(h.prim, 0)
+    hit_light = jnp.where(h.prim >= 0, scene.tri_light[tri_hit], -1)
+    hp = p + w_ph * h.t[..., None]
+    ng_hit = scene.tri_ng[tri_hit]
+    front = vo.dot(w_ph, ng_hit) < 0.0
+    uvh = (
+        scene.tri_uv0[tri_hit] * (1.0 - h.u - h.v)[..., None]
+        + scene.tri_uv1[tri_hit] * h.u[..., None]
+        + scene.tri_uv2[tri_hit] * h.v[..., None]
+    )
+    e_area = eval_texture(scene.textures, scene.lights.tex[li], uvh)
+    match_area = (~is_env_choice) & (hit_light == li) & front & (h.prim >= 0)
+    pdf_area = L.area_direct_pdf(scene, tri_hit, p, hp, w_ph)
+    if meta.has_env and meta.env_light_index >= 0:
+        e_env = L.env_radiance(scene, w_ph)
+        match_env = is_env_choice & (h.prim < 0)
+        pdf_env = L.env_direct_pdf(scene, w_ph)
+        e = jnp.where(match_env[..., None], e_env, jnp.where(match_area[..., None], e_area, 0.0))
+        light_pdf = jnp.where(match_env, pdf_env, pdf_area)
+        match = match_env | match_area
+    else:
+        e = jnp.where(match_area[..., None], e_area, 0.0)
+        light_pdf = pdf_area
+        match = match_area
+
+    tr_b = medium_transmittance(
+        scene.media, medium, jnp.where(h.prim >= 0, h.t, INF),
+        jnp.zeros((n,), bool), jnp.ones((n,), bool),
+    )
+    mis_b = warps.power_heuristic(pdf_ph, light_pdf)
+    contrib_b = e * tr_b * mis_b[..., None]
+    contrib_b = jnp.where(match[..., None], contrib_b, 0.0)
+
+    return (contrib_l + contrib_b) * choice_weight, sampler
 
 
 @partial(jax.jit, static_argnames=("n_passes",))
@@ -202,6 +323,9 @@ def trace_pass(scene: FlatScene, seed, lane_ids, px, py):
         emission=jnp.zeros((n, 3)),
         alive=jnp.ones((n,), bool),
         was_specular=jnp.ones((n,), bool),
+        medium=jnp.full((n,), meta.camera_medium, jnp.int32),
+        first_scatter=jnp.ones((n,), bool),
+        med_bounce=jnp.zeros((n,), jnp.int32),
         bounce=jnp.int32(0),
         base_dim=sampler.dim,
         seed=sampler.seed,
@@ -217,12 +341,40 @@ def trace_pass(scene: FlatScene, seed, lane_ids, px, py):
         o, d, alive = s["o"], s["d"], s["alive"]
         throughput, emission = s["throughput"], s["emission"]
         was_specular = s["was_specular"]
+        medium = s["medium"]
+        first_scatter = s["first_scatter"]
+        med_bounce = s["med_bounce"]
 
         hit = _intersect(scene, o, d, s["near"], jnp.where(alive, INF, 0.0))
         did_hit = (hit.prim >= 0) & alive
+        far = jnp.where(did_hit, hit.t, INF)
+
+        # ---- medium interaction (PathTracer.cpp:52-62) ----
+        if meta.has_media:
+            from ..models.media import medium_sample_distance
+
+            u_mc, smp = smp.next_1d()
+            u_md, smp = smp.next_1d()
+            u_mb, smp = smp.next_1d()
+            ms = medium_sample_distance(
+                scene.media, medium, o, d, far, first_scatter, med_bounce,
+                u_mc, u_md, u_mb,
+            )
+            throughput = throughput * jnp.where(alive[..., None], ms.weight, 1.0)
+            scattered = ms.scattered & alive
+            hit_surface_lane = ms.exited & did_hit
+            # lanes whose medium sample failed (absorption-only to infinity,
+            # max medium bounce) terminate
+            alive = alive & (scattered | ms.exited)
+            med_bounce = jnp.where(scattered, med_bounce + 1, med_bounce)
+            first_scatter = jnp.where(scattered, False, first_scatter)
+        else:
+            smp = smp.skip(3)
+            scattered = jnp.zeros((n,), bool)
+            hit_surface_lane = did_hit
 
         # ---- misses: environment (handleInfiniteLights) ----
-        miss = alive & ~did_hit
+        miss = alive & ~did_hit & ~scattered
         if meta.has_env:
             gate = (
                 (not meta.enable_light_sampling)
@@ -233,7 +385,39 @@ def trace_pass(scene: FlatScene, seed, lane_ids, px, py):
             emission = emission + jnp.where(
                 add_env[..., None], throughput * L.env_radiance(scene, d), 0.0
             )
-        alive = alive & did_hit
+        alive = alive & (did_hit | scattered)
+
+        # ---- volume scattering (handleVolume, TraceBase.cpp:496-514) ----
+        if meta.has_media:
+            from ..models.phase import phase_eval, phase_sample
+
+            vol_nee_gate = meta.enable_volume_light_sampling and meta.n_lights > 0
+            if vol_nee_gate:
+                mi_v = jnp.maximum(medium, 0)
+                vnee, smp = _volume_nee(
+                    scene, smp, ms.p, d, medium,
+                    scene.media.phase_type[mi_v], scene.media.phase_g[mi_v],
+                )
+                do_vnee = (
+                    scattered
+                    & (bounce < meta.max_bounces - 1)
+                    & (meta.low_order_scattering | (med_bounce > 1))
+                )
+                emission = emission + jnp.where(
+                    do_vnee[..., None], throughput * vnee, 0.0
+                )
+            else:
+                smp = smp.skip(5)
+            u_ph, smp = smp.next_2d()
+            mi = jnp.maximum(medium, 0)
+            w_phase, _ = phase_sample(
+                scene.media.phase_type[mi], scene.media.phase_g[mi], d, u_ph
+            )
+            vol_spec = not meta.enable_volume_light_sampling
+        else:
+            smp = smp.skip(6)
+            w_phase = d
+            vol_spec = False
 
         # ---- surface shading ----
         p, ng, ns, uv, mat_id, light_id = _shading_data(scene, hit, o, d)
@@ -253,7 +437,7 @@ def trace_pass(scene: FlatScene, seed, lane_ids, px, py):
         geo_front = vo.dot(d, ng) < 0.0
         gate_emit = (not meta.enable_light_sampling) | was_specular
         add_emit = (
-            alive
+            hit_surface_lane
             & (light_id >= 0)
             & geo_front
             & gate_emit
@@ -262,10 +446,10 @@ def trace_pass(scene: FlatScene, seed, lane_ids, px, py):
         e_hit = eval_texture(scene.textures, scene.lights.tex[jnp.maximum(light_id, 0)], uv)
         emission = emission + jnp.where(add_emit[..., None], throughput * e_hit, 0.0)
 
-        # ---- NEE ----
+        # ---- surface NEE ----
         if meta.enable_light_sampling and meta.n_lights > 0:
-            nee, smp = _nee(scene, smp, p, ng, frame, wi, mat_id, uv, lobes)
-            do_nee = alive & (bounce < meta.max_bounces - 1)
+            nee, smp = _nee(scene, smp, p, ng, frame, wi, mat_id, uv, lobes, medium)
+            do_nee = hit_surface_lane & (bounce < meta.max_bounces - 1)
             emission = emission + jnp.where(do_nee[..., None], throughput * nee, 0.0)
         else:
             smp = smp.skip(5)
@@ -275,9 +459,36 @@ def trace_pass(scene: FlatScene, seed, lane_ids, px, py):
         u_c1, smp = smp.next_1d()
         bs = bsdf_sample(ctx, mat_id, uv, wi, u_c2, u_c1)
         wo_w = vo.to_global(*frame, bs.wo)
-        throughput = throughput * jnp.where(alive[..., None], bs.weight, 1.0)
-        was_specular = jnp.where(alive, Lobes.has_specular(bs.lobe), was_specular)
-        alive = alive & bs.valid & (vo.max3(jnp.abs(throughput)) > 0.0)
+        throughput = throughput * jnp.where(hit_surface_lane[..., None], bs.weight, 1.0)
+        was_specular = jnp.where(
+            hit_surface_lane, Lobes.has_specular(bs.lobe),
+            jnp.where(scattered, vol_spec, was_specular),
+        )
+        alive = alive & jnp.where(hit_surface_lane, bs.valid, True)
+
+        # medium handoff at surface crossings (selectMedium, Primitive.hpp:177)
+        if meta.has_media:
+            tri = jnp.maximum(hit.prim, 0)
+            backside_new = vo.dot(wo_w, ng) < 0.0
+            override = scene.tri_med_override[tri] & hit_surface_lane
+            new_med = jnp.where(
+                backside_new, scene.tri_med_int[tri], scene.tri_med_ext[tri]
+            )
+            medium = jnp.where(override, new_med, medium)
+            first_scatter = jnp.where(hit_surface_lane, True, first_scatter)
+            med_bounce = jnp.where(hit_surface_lane, 0, med_bounce)
+
+        # next ray: phase-scattered lanes continue from the scatter point
+        if meta.has_media:
+            o_new = jnp.where(scattered[..., None], ms.p, p)
+            d_new = vo.where3(scattered, w_phase, wo_w)
+            near_new = jnp.where(scattered, 0.0, DEFAULT_EPSILON)
+        else:
+            o_new = p
+            d_new = wo_w
+            near_new = jnp.full((n,), DEFAULT_EPSILON)
+
+        alive = alive & (vo.max3(jnp.abs(throughput)) > 0.0)
 
         # ---- russian roulette (PathTracer.cpp:111-117) ----
         rp = vo.max3(jnp.abs(throughput))
@@ -292,13 +503,16 @@ def trace_pass(scene: FlatScene, seed, lane_ids, px, py):
         alive = alive & (~do_rr | survive)
 
         return dict(
-            o=p,
-            d=wo_w,
-            near=jnp.full((n,), DEFAULT_EPSILON),
+            o=o_new,
+            d=d_new,
+            near=jnp.where(scattered, 0.0, jnp.full((n,), DEFAULT_EPSILON)),
             throughput=throughput,
             emission=emission,
             alive=alive,
             was_specular=was_specular,
+            medium=medium,
+            first_scatter=first_scatter,
+            med_bounce=med_bounce,
             bounce=bounce + 1,
             base_dim=s["base_dim"],
             seed=s["seed"],

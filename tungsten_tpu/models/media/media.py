@@ -1,0 +1,180 @@
+"""Participating media: homogeneous medium with pluggable generalized
+transmittance and phase function (src/core/media/HomogeneousMedium.cpp:66-110,
+Medium.hpp:22-76).
+
+Per-lane medium id (-1 = vacuum) indexes the SoA medium table. The reference's
+MediumState{firstScatter, bounce} threads through the wavefront as two lane
+arrays (needed by the non-exponential 4-case transmittance).
+
+Distance sampling matches the reference exactly: spectral channel selection
+via nextDiscrete(3), free-flight tau from the transmittance model scaled by
+the chosen channel's sigma_t, MIS-style spectral pdf averaging, and separate
+surface/medium pdf cases.
+"""
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+import jax.numpy as jnp
+from flax.struct import dataclass as pytree, field
+
+from ..phase import phase_id
+from ..transmittance import (
+    trans_eval,
+    trans_id,
+    trans_medium_pdf,
+    trans_sample,
+    trans_sigma_bar,
+    trans_surface_prob,
+)
+
+INF = jnp.float32(3.0e38)
+
+
+@pytree
+class MediumTable:
+    sigma_a: jnp.ndarray  # (K, 3)
+    sigma_s: jnp.ndarray  # (K, 3)
+    sigma_t: jnp.ndarray  # (K, 3)
+    absorption_only: jnp.ndarray  # (K,) bool
+    phase_type: jnp.ndarray  # (K,) int32
+    phase_g: jnp.ndarray  # (K,)
+    trans_type: jnp.ndarray  # (K,) int32
+    trans_params: jnp.ndarray  # (K, 2)
+    max_bounce: jnp.ndarray  # (K,) int32
+
+    n_media: int = field(pytree_node=False, default=0)
+
+
+def pack_media(specs: List[dict]) -> MediumTable:
+    k = max(len(specs), 1)
+    sa = np.zeros((k, 3), np.float32)
+    ss = np.zeros((k, 3), np.float32)
+    pt = np.zeros(k, np.int32)
+    pg = np.zeros(k, np.float32)
+    tt = np.zeros(k, np.int32)
+    tp = np.ones((k, 2), np.float32)
+    mb = np.full(k, 1024, np.int32)
+    for i, spec in enumerate(specs):
+        mtype = spec.get("type", "homogeneous")
+        if mtype != "homogeneous":
+            raise NotImplementedError(f"medium type '{mtype}' not implemented yet")
+        density = spec.get("density", 1.0)
+
+        def vec3(v, default=0.0):
+            a = np.asarray(spec.get(v, default), np.float32).ravel()
+            return np.repeat(a, 3) if a.size == 1 else a
+
+        sa[i] = vec3("sigma_a") * density
+        ss[i] = vec3("sigma_s") * density
+        ph = spec.get("phase_function", {"type": "isotropic"})
+        if isinstance(ph, str):
+            ph = {"type": ph}
+        pt[i] = phase_id(ph.get("type", "isotropic"))
+        pg[i] = ph.get("g", 0.0)
+        tr = spec.get("transmittance", {"type": "exponential"})
+        if isinstance(tr, str):
+            tr = {"type": tr}
+        tt[i] = trans_id(tr.get("type", "exponential"))
+        tp[i, 0] = tr.get(
+            "sigma_a", tr.get("max_t", tr.get("rate", tr.get("alpha", 1.0)))
+        )
+        tp[i, 1] = tr.get("sigma_b", 1.0)
+        mb[i] = spec.get("max_bounces", 1024)
+    return MediumTable(
+        sigma_a=jnp.asarray(sa),
+        sigma_s=jnp.asarray(ss),
+        sigma_t=jnp.asarray(sa + ss),
+        absorption_only=jnp.asarray((ss == 0).all(axis=1)),
+        phase_type=jnp.asarray(pt),
+        phase_g=jnp.asarray(pg),
+        trans_type=jnp.asarray(tt),
+        trans_params=jnp.asarray(tp),
+        max_bounce=jnp.asarray(mb),
+        n_media=len(specs),
+    )
+
+
+@pytree
+class MediumSample:
+    t: jnp.ndarray  # (N,) sampled distance (= far_t when exited)
+    weight: jnp.ndarray  # (N, 3) throughput factor
+    pdf: jnp.ndarray  # (N,)
+    exited: jnp.ndarray  # (N,) bool — reached the surface
+    scattered: jnp.ndarray  # (N,) bool — scatter event inside the medium
+    p: jnp.ndarray  # (N, 3)
+
+
+def medium_sample_distance(
+    media: MediumTable, mid, o, d, far_t, first_scatter, med_bounce, u_comp, u_dist, u_b
+):
+    """HomogeneousMedium::sampleDistance, batched. mid (N,) medium ids (lanes
+    with mid < 0 are vacuum: exited with weight 1)."""
+    i = jnp.maximum(mid, 0)
+    sigma_t = media.sigma_t[i]
+    sigma_s = media.sigma_s[i]
+    ttype = media.trans_type[i]
+    tparams = media.trans_params[i]
+    abs_only = media.absorption_only[i]
+    in_medium = mid >= 0
+
+    # spectral channel choice
+    comp = jnp.minimum((u_comp * 3).astype(jnp.int32), 2)
+    sigma_tc = jnp.take_along_axis(sigma_t, comp[..., None], axis=-1)[..., 0]
+
+    tau_sample = trans_sample(ttype, tparams, u_dist, u_b, first_scatter)
+    t_free = tau_sample / jnp.maximum(sigma_tc, 1e-20)
+    exited = t_free >= far_t
+    t = jnp.minimum(t_free, far_t)
+    tau = t[..., None] * sigma_t
+    sbar = trans_sigma_bar(ttype, tparams)
+
+    w = trans_eval(ttype, tparams, tau, first_scatter, exited)
+    pdf_exit = jnp.mean(trans_surface_prob(ttype, tparams, tau, first_scatter), axis=-1)
+    pdf_scatter = jnp.mean(sigma_t * trans_medium_pdf(ttype, tparams, tau, first_scatter), axis=-1)
+    pdf = jnp.where(exited, pdf_exit, pdf_scatter)
+    w = jnp.where(exited[..., None], w, w * sigma_s * sbar[..., None])
+    w = w / jnp.maximum(pdf, 1e-30)[..., None]
+
+    # absorption-only media never scatter: deterministic transmittance to far_t
+    far_finite = far_t < INF
+    w_abs = trans_eval(
+        ttype, tparams, far_t[..., None] * sigma_t, first_scatter, jnp.ones_like(exited)
+    )
+    t = jnp.where(abs_only, far_t, t)
+    w = jnp.where(abs_only[..., None], w_abs, w)
+    pdf = jnp.where(abs_only, 1.0, pdf)
+    exited = jnp.where(abs_only, True, exited)
+    # absorption-only + infinite ray: invalid (reference returns false)
+    valid = in_medium & jnp.where(abs_only, far_finite, True)
+    # max_bounce cut (reference returns false -> path ends)
+    valid = valid & (med_bounce <= media.max_bounce[i])
+
+    # vacuum lanes pass through
+    t = jnp.where(in_medium, t, far_t)
+    w = jnp.where(in_medium[..., None], w, 1.0)
+    exited = exited | ~in_medium
+    scattered = in_medium & ~exited & valid & ~abs_only
+
+    return MediumSample(
+        t=t,
+        weight=jnp.where(valid[..., None], w, jnp.where(in_medium[..., None], 0.0, 1.0)),
+        pdf=pdf,
+        exited=exited & valid | ~in_medium,
+        scattered=scattered,
+        p=o + d * t[..., None],
+    )
+
+
+def medium_transmittance(media: MediumTable, mid, far_t, start_on_surface, end_on_surface):
+    """Medium::transmittance for shadow segments; mid < 0 -> 1."""
+    i = jnp.maximum(mid, 0)
+    sigma_t = media.sigma_t[i]
+    ttype = media.trans_type[i]
+    tparams = media.trans_params[i]
+    infinite = far_t >= INF
+    tau = jnp.minimum(far_t, 1e30)[..., None] * sigma_t
+    tr = trans_eval(ttype, tparams, tau, start_on_surface, end_on_surface)
+    tr = jnp.where(infinite[..., None], 0.0, tr)
+    return jnp.where((mid >= 0)[..., None], tr, 1.0)

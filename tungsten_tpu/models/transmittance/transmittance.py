@@ -1,0 +1,177 @@
+"""Generalized (non-exponential) free-flight transmittance family.
+
+The Bitterli non-exponential-transport feature (src/core/transmittances/,
+Transmittance.hpp:17-57): transmittance depends on whether the endpoints of a
+segment are on surfaces or at medium scatter events (history-dependent,
+non-reciprocal). Four-case eval:
+
+    surface->surface: surfaceSurface(tau)
+    medium->medium:   mediumMedium(tau) / sigmaBar
+    mixed:            mediumSurface(tau)
+
+Models: exponential, double_exponential, quadratic, linear, erlang, davis
+(davis_weinstein / pulse / interpolated pending). All batched over lanes with
+per-lane type/params (media carry their transmittance in the medium table).
+
+params layout (2 floats): model-specific
+    double_exponential: [sigma_a, sigma_b]; quadratic/linear: [max_t];
+    erlang: [rate]; davis: [alpha].
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+T_EXPONENTIAL = 0
+T_DOUBLE_EXPONENTIAL = 1
+T_QUADRATIC = 2
+T_LINEAR = 3
+T_ERLANG = 4
+T_DAVIS = 5
+
+_NAMES = {
+    "exponential": T_EXPONENTIAL,
+    "double_exponential": T_DOUBLE_EXPONENTIAL,
+    "quadratic": T_QUADRATIC,
+    "linear": T_LINEAR,
+    "erlang": T_ERLANG,
+    "davis": T_DAVIS,
+}
+
+
+def trans_id(name: str) -> int:
+    if name not in _NAMES:
+        raise NotImplementedError(f"transmittance model '{name}' not implemented yet")
+    return _NAMES[name]
+
+
+def _cases(ttype, pa, pb, tau):
+    """Returns dict of the four case values, each (N, 3). pa/pb: (N, 1)."""
+    e = jnp.exp(-tau)
+
+    de_ss = 0.5 * (jnp.exp(-pa * tau) + jnp.exp(-pb * tau))
+    de_sm = 0.5 * (pa * jnp.exp(-pa * tau) + pb * jnp.exp(-pb * tau))
+    de_ms = (pa * jnp.exp(-pa * tau) + pb * jnp.exp(-pb * tau)) / (pa + pb)
+    de_mm = (pa * pa * jnp.exp(-pa * tau) + pb * pb * jnp.exp(-pb * tau)) / (pa + pb)
+
+    tq = jnp.minimum(tau / pa, 1.0)
+    q_ss = 1.0 - 2.0 * tq + tq * tq
+    q_sm = (2.0 / pa) * (1.0 - tq)
+    q_ms = 1.0 - tq
+    q_mm = jnp.where(tau > pa, 0.0, 1.0 / pa)
+
+    l_ss = 1.0 - jnp.minimum(tau / pa, 1.0)
+    l_sm = jnp.where(tau > pa, 0.0, 1.0 / pa)
+    l_ms = jnp.where(tau > pa, 0.0, 1.0)
+    l_mm = jnp.where(jnp.abs(tau - pa) < 1e-3, 1.0, 0.0)
+
+    lam = pa
+    er_ss = 0.5 * jnp.exp(-lam * tau) * (2.0 + lam * tau)
+    er_ms = jnp.exp(-lam * tau) * (1.0 + lam * tau)
+    er_sm = er_ms * lam * 0.5
+    er_mm = lam * lam * tau * jnp.exp(-lam * tau)
+
+    al = pa
+    d_ss = jnp.power(1.0 + tau / al, -al)
+    d_sm = jnp.power(1.0 + tau / al, -(al + 1.0))
+    d_ms = d_sm
+    d_mm = (1.0 + 1.0 / al) * jnp.power(1.0 + tau / al, -(al + 2.0))
+
+    def pick(exp_v, de, q, l, er, d):
+        out = exp_v
+        out = jnp.where(ttype == T_DOUBLE_EXPONENTIAL, de, out)
+        out = jnp.where(ttype == T_QUADRATIC, q, out)
+        out = jnp.where(ttype == T_LINEAR, l, out)
+        out = jnp.where(ttype == T_ERLANG, er, out)
+        out = jnp.where(ttype == T_DAVIS, d, out)
+        return out
+
+    return dict(
+        ss=pick(e, de_ss, q_ss, l_ss, er_ss, d_ss),
+        sm=pick(e, de_sm, q_sm, l_sm, er_sm, d_sm),
+        ms=pick(e, de_ms, q_ms, l_ms, er_ms, d_ms),
+        mm=pick(e, de_mm, q_mm, l_mm, er_mm, d_mm),
+    )
+
+
+def trans_sigma_bar(ttype, params):
+    pa = params[..., 0]
+    pb = params[..., 1]
+    out = jnp.ones_like(pa)  # exponential, davis
+    out = jnp.where(ttype == T_DOUBLE_EXPONENTIAL, 0.5 * (pa + pb), out)
+    out = jnp.where(ttype == T_QUADRATIC, 2.0 / pa, out)
+    out = jnp.where(ttype == T_LINEAR, 1.0 / pa, out)
+    out = jnp.where(ttype == T_ERLANG, pa * 0.5, out)
+    return out
+
+
+def _case(ttype, params, tau, key):
+    pa = params[..., 0:1]
+    pb = params[..., 1:2]
+    ttype = ttype[..., None] if tau.ndim > ttype.ndim else ttype
+    return _cases(ttype, pa, pb, tau)[key]
+
+
+def trans_eval(ttype, params, tau, start_on_surface, end_on_surface):
+    """Transmittance.eval — tau: (N, 3), flags: (N,) bool."""
+    c = _cases(ttype[..., None], params[..., 0:1], params[..., 1:2], tau)
+    sbar = trans_sigma_bar(ttype, params)[..., None]
+    both_s = (start_on_surface & end_on_surface)[..., None]
+    both_m = (~start_on_surface & ~end_on_surface)[..., None]
+    return jnp.where(both_s, c["ss"], jnp.where(both_m, c["mm"] / sbar, c["ms"]))
+
+
+def trans_surface_prob(ttype, params, tau, start_on_surface):
+    c = _cases(ttype[..., None], params[..., 0:1], params[..., 1:2], tau)
+    return jnp.where(start_on_surface[..., None], c["ss"], c["ms"])
+
+
+def trans_medium_pdf(ttype, params, tau, start_on_surface):
+    c = _cases(ttype[..., None], params[..., 0:1], params[..., 1:2], tau)
+    return jnp.where(start_on_surface[..., None], c["sm"], c["mm"])
+
+
+def trans_sample(ttype, params, u, u_b, start_on_surface):
+    """Free-flight tau sample (unitless optical depth). u, u_b: uniforms."""
+    pa = params[..., 0]
+    pb = params[..., 1]
+    u = jnp.clip(u, 1e-7, 1.0 - 1e-7)
+    t_exp = -jnp.log1p(-u)
+
+    # double exponential: surface: pick a/b evenly; medium: pick prop sigma
+    p_pick = jnp.where(start_on_surface, 0.5, pa / (pa + pb))
+    t_de = jnp.where(u_b < p_pick, t_exp / pa, t_exp / pb)
+
+    t_q = jnp.where(start_on_surface, pa * (1.0 - jnp.sqrt(1.0 - u)), pa * u)
+    t_l = jnp.where(start_on_surface, pa * u, pa)
+
+    # erlang: surface case uses 10 Newton steps (reference); medium:
+    # -log(u1*u2)/lambda
+    lam = pa
+
+    def erlang_newton(u):
+        x = jnp.full_like(u, 0.5)
+        for _ in range(10):
+            ss = 0.5 * jnp.exp(-lam * x) * (2.0 + lam * x)
+            sm = jnp.exp(-lam * x) * (1.0 + lam * x) * lam * 0.5
+            x = jnp.maximum(x + (u - (1.0 - ss)) / jnp.maximum(sm, 1e-20), 0.0)
+        return x
+
+    u2c = jnp.clip(u_b, 1e-7, 1.0)
+    t_er = jnp.where(
+        start_on_surface, erlang_newton(u), -jnp.log(u * u2c) / lam
+    )
+
+    al = pa
+    t_dv = jnp.where(
+        start_on_surface,
+        al * (jnp.power(1.0 - u, -1.0 / al) - 1.0),
+        al * (jnp.power(1.0 - u, -1.0 / (1.0 + al)) - 1.0),
+    )
+
+    out = t_exp
+    out = jnp.where(ttype == T_DOUBLE_EXPONENTIAL, t_de, out)
+    out = jnp.where(ttype == T_QUADRATIC, t_q, out)
+    out = jnp.where(ttype == T_LINEAR, t_l, out)
+    out = jnp.where(ttype == T_ERLANG, t_er, out)
+    out = jnp.where(ttype == T_DAVIS, t_dv, out)
+    return out

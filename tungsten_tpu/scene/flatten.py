@@ -20,9 +20,11 @@ from ..accel.bvh import build_bvh_cached
 from ..io.meshio import load_mesh, compute_smooth_normals
 from ..math import transform as tf
 from ..models.bsdfs import MaterialTable, pack_materials
+from ..models.media import MediumTable, pack_media
 from ..models.primitives import tessellate
 from ..models.textures import TextureBuilder, TextureTable
 from ..ops.intersect import BvhSoA, TriangleSoA, pack_bvh
+from ..ops.pallas_intersect import PallasTriPack, build_tri_pack
 from ..sampling.distributions import Distribution2D
 from .load import SceneDocument
 
@@ -76,7 +78,12 @@ class SceneMeta:
     min_bounces: int
     max_bounces: int
     enable_light_sampling: bool
+    enable_volume_light_sampling: bool
+    low_order_scattering: bool
+    include_surfaces: bool
     enable_two_sided: bool
+    has_media: bool
+    camera_medium: int
     spp: int
     spp_step: int
     use_bvh: bool
@@ -94,8 +101,13 @@ class FlatScene:
     tri_uv2: jnp.ndarray
     tri_mat: jnp.ndarray  # (T,) int32
     tri_light: jnp.ndarray  # (T,) int32 (-1 = not emissive)
+    tri_med_int: jnp.ndarray  # (T,) int32 interior medium (-1 = vacuum)
+    tri_med_ext: jnp.ndarray  # (T,) int32 exterior medium
+    tri_med_override: jnp.ndarray  # (T,) bool (Primitive::overridesMedia)
     bvh: BvhSoA
+    ptris: PallasTriPack
     materials: MaterialTable
+    media: MediumTable
     textures: TextureTable
     lights: LightTable
     env: EnvLight
@@ -108,6 +120,7 @@ def flatten_scene(doc: SceneDocument) -> FlatScene:
 
     # ---- geometry ---------------------------------------------------------
     pos_l, n_l, uv_l, idx_l, mat_l, prim_l = [], [], [], [], [], []
+    med_int_l, med_ext_l, med_ov_l = [], [], []
     emissive_prims = []  # (prim_index, emission_spec)
     env_spec = None
     vert_base = 0
@@ -159,6 +172,10 @@ def flatten_scene(doc: SceneDocument) -> FlatScene:
         idx_l.append(soup.indices + vert_base)
         mat_l.append(np.full(len(soup.indices), prim["_bsdf_index"], np.int32))
         prim_l.append(np.full(len(soup.indices), pi, np.int32))
+        nt = len(soup.indices)
+        med_int_l.append(np.full(nt, prim.get("_int_medium", -1), np.int32))
+        med_ext_l.append(np.full(nt, prim.get("_ext_medium", -1), np.int32))
+        med_ov_l.append(np.full(nt, prim.get("_int_medium", -1) >= 0 or prim.get("_ext_medium", -1) >= 0, bool))
         vert_base += len(wpos)
 
         if "emission" in prim or "power" in prim:
@@ -173,6 +190,9 @@ def flatten_scene(doc: SceneDocument) -> FlatScene:
     indices = np.concatenate(idx_l)
     tri_mat = np.concatenate(mat_l)
     tri_prim = np.concatenate(prim_l)
+    tri_med_int = np.concatenate(med_int_l)
+    tri_med_ext = np.concatenate(med_ext_l)
+    tri_med_ov = np.concatenate(med_ov_l)
 
     p0 = all_pos[indices[:, 0]]
     p1 = all_pos[indices[:, 1]]
@@ -217,9 +237,13 @@ def flatten_scene(doc: SceneDocument) -> FlatScene:
     tri_mat = permute(tri_mat)
     tri_prim = permute(tri_prim)
     face_area = permute(face_area)
+    tri_med_int = permute(tri_med_int)
+    tri_med_ext = permute(tri_med_ext)
+    tri_med_ov = permute(tri_med_ov)
 
-    # ---- materials & textures --------------------------------------------
+    # ---- materials, media & textures ---------------------------------------
     materials = pack_materials(doc.bsdfs, tex_builder)
+    media = pack_media(doc.media)
 
     # ---- lights ------------------------------------------------------------
     tri_light = np.full(len(tri_mat), -1, np.int32)
@@ -350,7 +374,12 @@ def flatten_scene(doc: SceneDocument) -> FlatScene:
         min_bounces=int(integ.get("min_bounces", 0)),
         max_bounces=int(integ.get("max_bounces", 64)),
         enable_light_sampling=bool(integ.get("enable_light_sampling", True)),
+        enable_volume_light_sampling=bool(integ.get("enable_volume_light_sampling", True)),
+        low_order_scattering=bool(integ.get("low_order_scattering", True)),
+        include_surfaces=bool(integ.get("include_surfaces", True)),
         enable_two_sided=bool(integ.get("enable_two_sided_shading", True)),
+        has_media=len(doc.media) > 0,
+        camera_medium=int(doc.medium_names.get(cam.get("medium"), -1)) if isinstance(cam.get("medium"), str) else -1,
         spp=int(doc.renderer.get("spp", 32)),
         spp_step=int(doc.renderer.get("spp_step", 16)),
         use_bvh=bool(doc.renderer.get("scene_bvh", True)),
@@ -380,8 +409,13 @@ def flatten_scene(doc: SceneDocument) -> FlatScene:
         tri_uv2=jnp.asarray(uv2),
         tri_mat=jnp.asarray(tri_mat),
         tri_light=jnp.asarray(tri_light),
+        tri_med_int=jnp.asarray(tri_med_int),
+        tri_med_ext=jnp.asarray(tri_med_ext),
+        tri_med_override=jnp.asarray(tri_med_ov),
         bvh=bvh_soa,
+        ptris=build_tri_pack(p0, p1 - p0, p2 - p0),
         materials=materials,
+        media=media,
         textures=tex_builder.build(),
         lights=lights,
         env=env,
