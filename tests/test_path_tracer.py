@@ -121,3 +121,28 @@ def test_emissive_quad_direct_view():
     img = render_flat(flatten_scene(doc), spp=4, seed=7)
     crop = img[12:20, 12:20]
     np.testing.assert_allclose(crop.mean(axis=(0, 1)), [2.0, 3.0, 4.0], rtol=1e-3)
+
+
+def test_light_tracer_matches_path_tracer():
+    """Light tracing and path tracing are dual estimators of the same image;
+    their means must agree (cornell box, lambert only)."""
+    import json
+
+    from tungsten_tpu.renderer.render import render_light_traced
+
+    with open("/root/reference/data/example-scenes/cornell-box/scene.json") as f:
+        raw = json.load(f)
+    raw["camera"]["resolution"] = [32, 24]
+    raw["integrator"]["max_bounces"] = 5
+
+    doc = parse_scene(raw, path="/root/reference/data/example-scenes/cornell-box/scene.json")
+    scene = flatten_scene(doc)
+    img_pt = render_flat(scene, spp=64, seed=21)
+    img_lt = render_light_traced(scene, spp=64, seed=22)
+    # light tracer never renders directly-seen emitters
+    # (Primitive::evalDirectionalEmission is zero for area lights); exclude
+    # the emitter and its reconstruction-filter edge pixels
+    mask = (img_pt.max(-1) < 0.5) & (img_pt.max(-1) > 0.01)
+    m_pt = img_pt[mask].mean(0)
+    m_lt = img_lt[mask].mean(0)
+    np.testing.assert_allclose(m_lt, m_pt, rtol=0.06)

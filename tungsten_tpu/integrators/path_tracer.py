@@ -82,6 +82,110 @@ def _occluded(scene, p, d, dist):
     return h.prim >= 0
 
 
+def _forward_transparency(scene, mat_id, uv, wi):
+    """bsdf.eval(makeForwardEvent()): per-lane straight-through transmission
+    (nonzero only for forward-lobed materials: forward/thinsheet/transparency).
+    """
+    from ..models.bsdfs.dispatch import module_for_id, _gather
+
+    ctx = (scene.materials, scene.textures)
+    params, mtype, albedo = _gather(ctx, mat_id, uv)
+    out = jnp.zeros(wi.shape[:-1] + (3,), jnp.float32)
+    for tid in scene.materials.present:
+        mod = module_for_id(tid)
+        if hasattr(mod, "forward_transparency"):
+            val = mod.forward_transparency(ctx, params, albedo, uv, wi)
+            out = jnp.where((mtype == tid)[..., None], val, out)
+    return out
+
+
+def _trace_transparent(scene, o, d, far, medium, start_on_surface, end_on_surface):
+    """Generalized shadow/connection walk (TraceBase::generalizedShadowRayImpl,
+    TraceBase.cpp:62-125): repeatedly intersect; forward-lobed surfaces are
+    crossed (throughput *= transparency, medium handoff), anything else is a
+    terminal hit. Every segment is attenuated by the current medium with the
+    correct surface/medium endpoint cases.
+
+    Returns (throughput (N,3), final Hit with t measured from the *original*
+    origin, final medium). Lanes that exhaust the crossing budget or hit an
+    opaque surface before `far` end with throughput 0 or the terminal hit.
+    """
+    from ..models.media import medium_transmittance
+
+    meta = scene.meta
+    n = o.shape[0]
+    max_cross = 8 if meta.has_forward else 1
+
+    weight = jnp.ones((n, 3))
+    t_base = jnp.zeros((n,))
+    cur_o = o
+    remaining = far
+    cur_med = medium
+    done = jnp.zeros((n,), bool)
+    fin_t = jnp.full((n,), INF)
+    fin_prim = jnp.full((n,), -1, jnp.int32)
+    fin_u = jnp.zeros((n,))
+    fin_v = jnp.zeros((n,))
+    start_surf = start_on_surface
+
+    for step in range(max_cross):
+        h = _intersect(
+            scene, cur_o, d, jnp.full((n,), DEFAULT_EPSILON),
+            jnp.where(done, 0.0, remaining),
+        )
+        did_hit = (h.prim >= 0) & ~done
+        seg = jnp.where(did_hit, h.t, remaining)
+        if meta.has_media:
+            end_surf = did_hit | end_on_surface
+            tr = medium_transmittance(scene.media, cur_med, seg, start_surf, end_surf)
+            weight = jnp.where(done[..., None], weight, weight * tr)
+
+        tri = jnp.maximum(h.prim, 0)
+        uvh = (
+            scene.tri_uv0[tri] * (1.0 - h.u - h.v)[..., None]
+            + scene.tri_uv1[tri] * h.u[..., None]
+            + scene.tri_uv2[tri] * h.v[..., None]
+        )
+        mat_id = scene.tri_mat[tri]
+        if meta.has_forward:
+            lobes = scene.materials.lobes[mat_id]
+            t_ax, b_ax = vo.tangent_frame(scene.tri_ng[tri])
+            wi_loc = vo.to_local(t_ax, b_ax, scene.tri_ng[tri], -d)
+            trans = _forward_transparency(scene, mat_id, uvh, wi_loc)
+            can_cross = Lobes.has_forward(lobes) & jnp.any(trans > 0.0, axis=-1)
+        else:
+            trans = jnp.zeros((n, 3))
+            can_cross = jnp.zeros((n,), bool)
+
+        terminal = did_hit & ~can_cross
+        fin_t = jnp.where(terminal, t_base + h.t, fin_t)
+        fin_prim = jnp.where(terminal, h.prim, fin_prim)
+        fin_u = jnp.where(terminal, h.u, fin_u)
+        fin_v = jnp.where(terminal, h.v, fin_v)
+
+        crossing = did_hit & can_cross
+        weight = jnp.where(crossing[..., None], weight * trans, weight)
+        if meta.has_media:
+            backside = vo.dot(d, scene.tri_ng[tri]) < 0.0
+            override = scene.tri_med_override[tri]
+            new_med = jnp.where(
+                backside, scene.tri_med_int[tri], scene.tri_med_ext[tri]
+            )
+            cur_med = jnp.where(crossing & override, new_med, cur_med)
+
+        done = done | terminal | ~did_hit
+        t_base = jnp.where(crossing, t_base + h.t, t_base)
+        remaining = jnp.where(crossing, remaining - h.t, remaining)
+        cur_o = jnp.where(crossing[..., None], cur_o + d * h.t[..., None], cur_o)
+        start_surf = jnp.where(crossing, True, start_surf)
+        if max_cross == 1:
+            break
+
+    # exhausted the crossing budget without resolving -> treat as blocked
+    weight = jnp.where((~done)[..., None], 0.0, weight)
+    return weight, isect.Hit(t=fin_t, prim=fin_prim, u=fin_u, v=fin_v), cur_med
+
+
 def _nee(scene, sampler, p, ng, frame, wi, mat_id, uv, lobes, medium=None):
     """estimateDirect: one uniformly chosen light, both MIS strategies.
     Returns (N, 3) contribution (un-multiplied by throughput)."""
@@ -126,28 +230,29 @@ def _nee(scene, sampler, p, ng, frame, wi, mat_id, uv, lobes, medium=None):
     wo_w = vo.to_global(t, b, nrm, bs.wo)
     bs_cand = bs.valid & jnp.any(bs.weight > 0.0, axis=-1)
 
-    # both strategies' rays traverse in ONE 2N-lane lockstep call: the
-    # divergent while-loop cost is max-over-lanes, so merging halves it
+    # both strategies' rays walk in ONE 2N-lane generalized-shadow call
+    # (lockstep cost is max-over-lanes, so merging halves it); the walk
+    # crosses forward-lobed surfaces and attenuates by media per segment
     shadow_far = jnp.where(
         cand, jnp.where(ls.dist >= INF, INF, ls.dist * SHADOW_FUDGE), 0.0
     )
     o2 = jnp.concatenate([p, p])
     d2 = jnp.concatenate([ls.d, wo_w])
     far2 = jnp.concatenate([shadow_far, jnp.where(bs_cand, INF, 0.0)])
-    h2 = _intersect(scene, o2, d2, jnp.full((2 * n,), DEFAULT_EPSILON), far2)
+    med2 = (
+        jnp.concatenate([medium, medium])
+        if medium is not None
+        else jnp.full((2 * n,), -1, jnp.int32)
+    )
+    w2, h2, _ = _trace_transparent(
+        scene, o2, d2, far2, med2,
+        jnp.ones((2 * n,), bool), jnp.ones((2 * n,), bool),
+    )
     blocked = h2.prim[:n] >= 0
     contrib_l = f_l * ls.radiance * (mis_l / jnp.maximum(ls.pdf, 1e-30))[..., None]
-    if meta.has_media and medium is not None:
-        from ..models.media import medium_transmittance
-
-        # attenuate the shadow segment by the current medium
-        # (generalizedShadowRay's medium term, TraceBase.cpp:103-113)
-        tr_l = medium_transmittance(
-            scene.media, medium, ls.dist,
-            jnp.ones((n,), bool), jnp.ones((n,), bool),
-        )
-        contrib_l = contrib_l * tr_l
+    contrib_l = contrib_l * w2[:n]
     contrib_l = jnp.where((cand & ~blocked)[..., None], contrib_l, 0.0)
+    tr_b = w2[n:]
     h = isect.Hit(t=h2.t[n:], prim=h2.prim[n:], u=h2.u[n:], v=h2.v[n:])
     hit_light = jnp.where(h.prim >= 0, scene.tri_light[jnp.maximum(h.prim, 0)], -1)
     # area-light hit: must be the chosen light & front side
@@ -177,15 +282,7 @@ def _nee(scene, sampler, p, ng, frame, wi, mat_id, uv, lobes, medium=None):
         match = match_area
 
     mis_b = warps.power_heuristic(bs.pdf, light_pdf)
-    contrib_b = e * bs.weight * mis_b[..., None]
-    if meta.has_media and medium is not None:
-        from ..models.media import medium_transmittance
-
-        tr_b = medium_transmittance(
-            scene.media, medium, jnp.where(h.prim >= 0, h.t, INF),
-            jnp.ones((n,), bool), jnp.ones((n,), bool),
-        )
-        contrib_b = contrib_b * tr_b
+    contrib_b = e * bs.weight * mis_b[..., None] * tr_b
     contrib_b = jnp.where((bs_cand & match)[..., None], contrib_b, 0.0)
 
     # pure-specular / forward materials skip NEE entirely (sampleDirect)
@@ -242,15 +339,16 @@ def _volume_nee(scene, sampler, p, d_in, medium, ptype, g):
     o2 = jnp.concatenate([p, p])
     d2 = jnp.concatenate([ls.d, w_ph])
     far2 = jnp.concatenate([shadow_far, jnp.full((n,), INF)])
-    h2 = _intersect(scene, o2, d2, jnp.zeros((2 * n,)), far2)
+    med2 = jnp.concatenate([medium, medium])
+    w2, h2, _ = _trace_transparent(
+        scene, o2, d2, far2, med2,
+        jnp.zeros((2 * n,), bool), jnp.ones((2 * n,), bool),
+    )
     blocked = h2.prim[:n] >= 0
     h = isect.Hit(t=h2.t[n:], prim=h2.prim[n:], u=h2.u[n:], v=h2.v[n:])
 
-    tr_l = medium_transmittance(
-        scene.media, medium, ls.dist, jnp.zeros((n,), bool), jnp.ones((n,), bool)
-    )
     contrib_l = (
-        (f_l * mis_l / jnp.maximum(ls.pdf, 1e-30))[..., None] * ls.radiance * tr_l
+        (f_l * mis_l / jnp.maximum(ls.pdf, 1e-30))[..., None] * ls.radiance * w2[:n]
     )
     contrib_l = jnp.where((cand & ~blocked)[..., None], contrib_l, 0.0)
 
@@ -280,15 +378,41 @@ def _volume_nee(scene, sampler, p, d_in, medium, ptype, g):
         light_pdf = pdf_area
         match = match_area
 
-    tr_b = medium_transmittance(
-        scene.media, medium, jnp.where(h.prim >= 0, h.t, INF),
-        jnp.zeros((n,), bool), jnp.ones((n,), bool),
-    )
     mis_b = warps.power_heuristic(pdf_ph, light_pdf)
-    contrib_b = e * tr_b * mis_b[..., None]
+    contrib_b = e * w2[n:] * mis_b[..., None]
     contrib_b = jnp.where(match[..., None], contrib_b, 0.0)
 
     return (contrib_l + contrib_b) * choice_weight, sampler
+
+
+
+
+def _compact_sort(key, state_dict, names_3, names_1):
+    """Co-sort all lane state by `key` ascending in ONE lax.sort call —
+    dead lanes sink to the tail (their tfar=0 rays make whole Pallas tiles
+    cull every triangle chunk), alive lanes group by direction octant so
+    tile-level AABB culling sees coherent beams."""
+    ops = [key]
+    layout = []
+    for name in names_3:
+        a = state_dict[name]
+        ops.extend([a[:, 0], a[:, 1], a[:, 2]])
+        layout.append((name, 3, a.dtype))
+    for name in names_1:
+        a = state_dict[name]
+        ops.append(a)
+        layout.append((name, 1, a.dtype))
+    sorted_ops = jax.lax.sort(tuple(ops), dimension=0, is_stable=False, num_keys=1)
+    out = dict(state_dict)
+    i = 1
+    for name, width, dtype in layout:
+        if width == 3:
+            out[name] = jnp.stack(sorted_ops[i : i + 3], axis=-1)
+            i += 3
+        else:
+            out[name] = sorted_ops[i]
+            i += 1
+    return out
 
 
 @partial(jax.jit, static_argnames=("n_passes",))
@@ -318,6 +442,7 @@ def trace_pass(scene: FlatScene, seed, lane_ids, px, py):
     state = dict(
         o=o,
         d=d,
+        pix=jnp.arange(n, dtype=jnp.int32),
         near=jnp.full((n,), 1e-4),
         throughput=jnp.ones((n, 3)),
         emission=jnp.zeros((n, 3)),
@@ -433,11 +558,26 @@ def trace_pass(scene: FlatScene, seed, lane_ids, px, py):
         frame = (t_ax, b_ax, frame_n)
         wi = vo.to_local(*frame, -d)
 
+        # transparency lottery (handleSurface forward branch,
+        # TraceBase.cpp:528-537): pass straight through forward-lobed
+        # surfaces with probability avg(transparency)
+        if meta.has_forward:
+            u_fwd, smp = smp.next_1d()
+            trans_f = _forward_transparency(scene, mat_id, uv, wi)
+            trans_scalar = vo.avg3(trans_f)
+            go_forward = hit_surface_lane & (u_fwd < trans_scalar)
+            fwd_weight = trans_f / jnp.maximum(trans_scalar, 1e-20)[..., None]
+        else:
+            smp = smp.skip(1)
+            go_forward = jnp.zeros((n,), bool)
+            fwd_weight = jnp.ones((n, 3))
+
         # emission at hit (front side geometrically: evalDirect)
         geo_front = vo.dot(d, ng) < 0.0
         gate_emit = (not meta.enable_light_sampling) | was_specular
         add_emit = (
             hit_surface_lane
+            & ~go_forward
             & (light_id >= 0)
             & geo_front
             & gate_emit
@@ -449,7 +589,7 @@ def trace_pass(scene: FlatScene, seed, lane_ids, px, py):
         # ---- surface NEE ----
         if meta.enable_light_sampling and meta.n_lights > 0:
             nee, smp = _nee(scene, smp, p, ng, frame, wi, mat_id, uv, lobes, medium)
-            do_nee = hit_surface_lane & (bounce < meta.max_bounces - 1)
+            do_nee = hit_surface_lane & ~go_forward & (bounce < meta.max_bounces - 1)
             emission = emission + jnp.where(do_nee[..., None], throughput * nee, 0.0)
         else:
             smp = smp.skip(5)
@@ -459,12 +599,14 @@ def trace_pass(scene: FlatScene, seed, lane_ids, px, py):
         u_c1, smp = smp.next_1d()
         bs = bsdf_sample(ctx, mat_id, uv, wi, u_c2, u_c1)
         wo_w = vo.to_global(*frame, bs.wo)
-        throughput = throughput * jnp.where(hit_surface_lane[..., None], bs.weight, 1.0)
+        wo_w = vo.where3(go_forward, d, wo_w)
+        weight_step = vo.where3(go_forward, fwd_weight, bs.weight)
+        throughput = throughput * jnp.where(hit_surface_lane[..., None], weight_step, 1.0)
         was_specular = jnp.where(
-            hit_surface_lane, Lobes.has_specular(bs.lobe),
+            hit_surface_lane & ~go_forward, Lobes.has_specular(bs.lobe),
             jnp.where(scattered, vol_spec, was_specular),
         )
-        alive = alive & jnp.where(hit_surface_lane, bs.valid, True)
+        alive = alive & jnp.where(hit_surface_lane & ~go_forward, bs.valid, True)
 
         # medium handoff at surface crossings (selectMedium, Primitive.hpp:177)
         if meta.has_media:
@@ -502,9 +644,10 @@ def trace_pass(scene: FlatScene, seed, lane_ids, px, py):
         )
         alive = alive & (~do_rr | survive)
 
-        return dict(
+        new_state = dict(
             o=o_new,
             d=d_new,
+            pix=s["pix"],
             near=jnp.where(scattered, 0.0, jnp.full((n,), DEFAULT_EPSILON)),
             throughput=throughput,
             emission=emission,
@@ -518,8 +661,27 @@ def trace_pass(scene: FlatScene, seed, lane_ids, px, py):
             seed=s["seed"],
             lane_id=s["lane_id"],
         )
+        if n >= 4096:
+            # compaction: dead lanes last, alive lanes grouped by octant
+            oct_key = (
+                (d_new[:, 0] > 0).astype(jnp.int32)
+                + 2 * (d_new[:, 1] > 0).astype(jnp.int32)
+                + 4 * (d_new[:, 2] > 0).astype(jnp.int32)
+            )
+            key = jnp.where(alive, oct_key, 8)
+            new_state = _compact_sort(
+                key,
+                new_state,
+                ("o", "d", "throughput", "emission"),
+                (
+                    "pix", "near", "alive", "was_specular", "medium",
+                    "first_scatter", "med_bounce", "lane_id",
+                ),
+            )
+        return new_state
 
     final = jax.lax.while_loop(cond, body, state)
-    rad = final["emission"]
+    # un-permute compacted lanes back to pixel order
+    rad = jnp.zeros((n, 3), jnp.float32).at[final["pix"]].set(final["emission"])
     # NaN guard (OutputBuffer.hpp:106-107 semantics: reject non-finite samples)
     return jnp.where(jnp.isfinite(rad), rad, 0.0)

@@ -70,3 +70,10 @@ def sample(ctx, params, albedo, uv, wi, u2, u1, nonspecular_only=False):
         lobe=lobe,
         valid=valid,
     )
+
+
+def eta_sq(params, wi, wo):
+    ior = params[..., 0]
+    transmit = wi[..., 2] * wo[..., 2] < 0.0
+    eta = jnp.where(wi[..., 2] < 0.0, ior, 1.0 / ior)
+    return jnp.where(transmit, eta * eta, 1.0)

@@ -190,3 +190,16 @@ def bsdf_sample(ctx, mat_id, uv, wi, u2, u1, nonspecular_only=False, nested=Fals
             valid=jnp.where(m, s.valid, res.valid),
         )
     return res
+
+
+def bsdf_eta_sq(ctx, mat_id, uv, wi, wo):
+    """sqr(Bsdf::eta(event)) — the non-adjoint radiance factor that eval/sample
+    fold in (Bsdf.hpp:87). Adjoint transport divides it back out. Only
+    dielectrics/rough dielectrics have eta != 1."""
+    params, mtype, _ = _gather(ctx, mat_id, uv)
+    out = jnp.ones(wi.shape[:-1], jnp.float32)
+    for tid in ctx[0].present:
+        mod = module_for_id(tid)
+        if hasattr(mod, "eta_sq"):
+            out = jnp.where(mtype == tid, mod.eta_sq(params, wi, wo), out)
+    return out

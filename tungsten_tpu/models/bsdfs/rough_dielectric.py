@@ -166,3 +166,7 @@ def sample(ctx, params, albedo, uv, wi, u2, u1, nonspecular_only=False):
         lobe=s.lobe,
         valid=s.valid,
     )
+
+
+def eta_sq(params, wi, wo):
+    return _eta2(wi, wo, params[..., 0])

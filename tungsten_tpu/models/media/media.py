@@ -41,7 +41,7 @@ class MediumTable:
     phase_type: jnp.ndarray  # (K,) int32
     phase_g: jnp.ndarray  # (K,)
     trans_type: jnp.ndarray  # (K,) int32
-    trans_params: jnp.ndarray  # (K, 2)
+    trans_params: jnp.ndarray  # (K, 3)
     max_bounce: jnp.ndarray  # (K,) int32
 
     n_media: int = field(pytree_node=False, default=0)
@@ -54,7 +54,7 @@ def pack_media(specs: List[dict]) -> MediumTable:
     pt = np.zeros(k, np.int32)
     pg = np.zeros(k, np.float32)
     tt = np.zeros(k, np.int32)
-    tp = np.ones((k, 2), np.float32)
+    tp = np.ones((k, 3), np.float32)
     mb = np.full(k, 1024, np.int32)
     for i, spec in enumerate(specs):
         mtype = spec.get("type", "homogeneous")
@@ -77,10 +77,16 @@ def pack_media(specs: List[dict]) -> MediumTable:
         if isinstance(tr, str):
             tr = {"type": tr}
         tt[i] = trans_id(tr.get("type", "exponential"))
-        tp[i, 0] = tr.get(
-            "sigma_a", tr.get("max_t", tr.get("rate", tr.get("alpha", 1.0)))
-        )
-        tp[i, 1] = tr.get("sigma_b", 1.0)
+        if tr.get("type") == "pulse":
+            tp[i, 0] = tr.get("min", 0.0)
+            tp[i, 1] = tr.get("max", 1.0)
+            tp[i, 2] = tr.get("num_pulses", 4)
+        else:
+            tp[i, 0] = tr.get(
+                "sigma_a", tr.get("max_t", tr.get("rate", tr.get("alpha", 1.0)))
+            )
+            tp[i, 1] = tr.get("sigma_b", 1.0)
+            tp[i, 2] = 4.0
         mb[i] = spec.get("max_bounces", 1024)
     return MediumTable(
         sigma_a=jnp.asarray(sa),

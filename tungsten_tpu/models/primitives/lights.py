@@ -150,3 +150,53 @@ def area_direct_pdf(scene, tri, p, hit_p, d):
     cos_theta = jnp.abs(vo.dot(d, ng))
     r_sq = vo.length_sq(hit_p - p)
     return jnp.where(li >= 0, r_sq / jnp.maximum(cos_theta * area, 1e-30), 0.0)
+
+
+@pytree
+class EmitterSample:
+    p: jnp.ndarray  # (N, 3) position on the light
+    ng: jnp.ndarray  # (N, 3)
+    uv: jnp.ndarray  # (N, 2)
+    weight: jnp.ndarray  # (N, 3) position weight = pi * area * emission
+    radiance: jnp.ndarray  # (N, 3) emitted radiance
+    valid: jnp.ndarray
+
+
+def sample_emitter_position(scene, li, u_tri, u2) -> EmitterSample:
+    """Primitive::samplePosition for area lights (TriangleMesh.cpp / Quad.cpp:
+    area-weighted triangle + uniform barycentric; weight = pi*area*emission)."""
+    lights = scene.lights
+    count = lights.count[li]
+    cdf_off = lights.cdf_offset[li]
+    off = lights.offset[li]
+    area = lights.area[li]
+
+    k = _searchsorted_strided(
+        lights.cdf, cdf_off, u_tri, count + 1, max_len=lights.max_count + 1
+    ) - 1
+    k = jnp.clip(k, 0, jnp.maximum(count - 1, 0))
+    tri = lights.tri_idx[jnp.clip(off + k, 0, lights.tri_idx.shape[0] - 1)]
+
+    lam = warps.uniform_triangle_uv(u2)
+    lx = lam[..., 0:1]
+    ly = lam[..., 1:2]
+    v0 = scene.tris.v0[tri]
+    e1 = scene.tris.e1[tri]
+    e2 = scene.tris.e2[tri]
+    q = v0 + e1 * ly + e2 * (1.0 - lx - ly)
+    ng = scene.tri_ng[tri]
+    uv = (
+        scene.tri_uv0[tri] * lx
+        + scene.tri_uv1[tri] * ly
+        + scene.tri_uv2[tri] * (1.0 - lx - ly)
+    )
+    rad = eval_texture(scene.textures, lights.tex[li], uv)
+    is_area = ~lights.is_env[li]
+    return EmitterSample(
+        p=q,
+        ng=ng,
+        uv=uv,
+        weight=(jnp.pi * area)[..., None] * rad,
+        radiance=rad,
+        valid=is_area & (count > 0),
+    )

@@ -27,6 +27,7 @@ T_QUADRATIC = 2
 T_LINEAR = 3
 T_ERLANG = 4
 T_DAVIS = 5
+T_PULSE = 6
 
 _NAMES = {
     "exponential": T_EXPONENTIAL,
@@ -35,7 +36,10 @@ _NAMES = {
     "linear": T_LINEAR,
     "erlang": T_ERLANG,
     "davis": T_DAVIS,
+    "pulse": T_PULSE,
 }
+
+MAX_PULSES = 8
 
 
 def trans_id(name: str) -> int:
@@ -44,8 +48,8 @@ def trans_id(name: str) -> int:
     return _NAMES[name]
 
 
-def _cases(ttype, pa, pb, tau):
-    """Returns dict of the four case values, each (N, 3). pa/pb: (N, 1)."""
+def _cases(ttype, pa, pb, tau, pc=4.0):
+    """Returns dict of the four case values, each (N, 3). pa/pb/pc: (N, 1)."""
     e = jnp.exp(-tau)
 
     de_ss = 0.5 * (jnp.exp(-pa * tau) + jnp.exp(-pb * tau))
@@ -76,20 +80,42 @@ def _cases(ttype, pa, pb, tau):
     d_ms = d_sm
     d_mm = (1.0 + 1.0 / al) * jnp.power(1.0 + tau / al, -(al + 2.0))
 
-    def pick(exp_v, de, q, l, er, d):
+    # pulse (PulseTransmittance.cpp): piecewise-linear comb, dirac mm
+    npul = pc
+    rel = (tau - pa) / jnp.maximum(pb - pa, 1e-20)
+    idx_f = jnp.clip(npul * rel + 0.5, 0.0, npul)
+    idx = jnp.floor(idx_f)
+    height = (npul - idx) / npul
+    cell = height * (idx_f - idx)
+    cell = jnp.where(
+        idx > 0,
+        cell + (idx - 0.5) - (idx * (idx - 1.0)) / (2.0 * npul),
+        cell - 0.5,
+    )
+    p_ss = 1.0 - (2.0 / npul) * cell
+    idx_ms = jnp.clip(jnp.floor(npul * rel + 0.5), 0.0, npul)
+    p_ms = 1.0 - idx_ms / npul
+    p_sm = 2.0 / jnp.maximum(pb - pa, 1e-20) * p_ms
+    idx_mm_f = jnp.clip(npul * rel, 0.0, npul)
+    p_mm = (1.0 / npul) * jnp.where(
+        jnp.abs(idx_mm_f - jnp.floor(idx_mm_f) - 0.5) < 1e-3, 1.0, 0.0
+    )
+
+    def pick(exp_v, de, q, l, er, d, pu):
         out = exp_v
         out = jnp.where(ttype == T_DOUBLE_EXPONENTIAL, de, out)
         out = jnp.where(ttype == T_QUADRATIC, q, out)
         out = jnp.where(ttype == T_LINEAR, l, out)
         out = jnp.where(ttype == T_ERLANG, er, out)
         out = jnp.where(ttype == T_DAVIS, d, out)
+        out = jnp.where(ttype == T_PULSE, pu, out)
         return out
 
     return dict(
-        ss=pick(e, de_ss, q_ss, l_ss, er_ss, d_ss),
-        sm=pick(e, de_sm, q_sm, l_sm, er_sm, d_sm),
-        ms=pick(e, de_ms, q_ms, l_ms, er_ms, d_ms),
-        mm=pick(e, de_mm, q_mm, l_mm, er_mm, d_mm),
+        ss=pick(e, de_ss, q_ss, l_ss, er_ss, d_ss, p_ss),
+        sm=pick(e, de_sm, q_sm, l_sm, er_sm, d_sm, p_sm),
+        ms=pick(e, de_ms, q_ms, l_ms, er_ms, d_ms, p_ms),
+        mm=pick(e, de_mm, q_mm, l_mm, er_mm, d_mm, p_mm),
     )
 
 
@@ -101,6 +127,7 @@ def trans_sigma_bar(ttype, params):
     out = jnp.where(ttype == T_QUADRATIC, 2.0 / pa, out)
     out = jnp.where(ttype == T_LINEAR, 1.0 / pa, out)
     out = jnp.where(ttype == T_ERLANG, pa * 0.5, out)
+    out = jnp.where(ttype == T_PULSE, 2.0 / jnp.maximum(pb - pa, 1e-20), out)
     return out
 
 
@@ -113,7 +140,7 @@ def _case(ttype, params, tau, key):
 
 def trans_eval(ttype, params, tau, start_on_surface, end_on_surface):
     """Transmittance.eval — tau: (N, 3), flags: (N,) bool."""
-    c = _cases(ttype[..., None], params[..., 0:1], params[..., 1:2], tau)
+    c = _cases(ttype[..., None], params[..., 0:1], params[..., 1:2], tau, params[..., 2:3])
     sbar = trans_sigma_bar(ttype, params)[..., None]
     both_s = (start_on_surface & end_on_surface)[..., None]
     both_m = (~start_on_surface & ~end_on_surface)[..., None]
@@ -121,12 +148,12 @@ def trans_eval(ttype, params, tau, start_on_surface, end_on_surface):
 
 
 def trans_surface_prob(ttype, params, tau, start_on_surface):
-    c = _cases(ttype[..., None], params[..., 0:1], params[..., 1:2], tau)
+    c = _cases(ttype[..., None], params[..., 0:1], params[..., 1:2], tau, params[..., 2:3])
     return jnp.where(start_on_surface[..., None], c["ss"], c["ms"])
 
 
 def trans_medium_pdf(ttype, params, tau, start_on_surface):
-    c = _cases(ttype[..., None], params[..., 0:1], params[..., 1:2], tau)
+    c = _cases(ttype[..., None], params[..., 0:1], params[..., 1:2], tau, params[..., 2:3])
     return jnp.where(start_on_surface[..., None], c["sm"], c["mm"])
 
 
@@ -168,10 +195,35 @@ def trans_sample(ttype, params, u, u_b, start_on_surface):
         al * (jnp.power(1.0 - u, -1.0 / (1.0 + al)) - 1.0),
     )
 
+    # pulse: piecewise-constant comb (PulseTransmittance::sampleSurface /
+    # sampleMedium); unrolled over MAX_PULSES with masking
+    a = params[..., 0]
+    b = params[..., 1]
+    npul = params[..., 2]
+    delta = 1.0 / jnp.maximum(npul, 1.0)
+    xi = u * npul * 0.5
+    t_pu_s = jnp.zeros_like(u)
+    found = jnp.zeros_like(u, dtype=bool)
+    for i in range(MAX_PULSES):
+        h0 = 1.0 - i * delta
+        h1 = 1.0 - (i + 1.0) * delta
+        in_range = i < npul
+        hit0 = ~found & in_range & (xi - h0 * 0.5 < 0.0)
+        t_pu_s = jnp.where(hit0, a + (i + 0.5 * u_b) * (b - a) * delta, t_pu_s)
+        found = found | hit0
+        xi = jnp.where(~found & in_range, xi - h0 * 0.5, xi)
+        hit1 = ~found & in_range & (xi - h1 * 0.5 < 0.0)
+        t_pu_s = jnp.where(hit1, a + (i + 0.5 + 0.5 * u_b) * (b - a) * delta, t_pu_s)
+        found = found | hit1
+        xi = jnp.where(~found & in_range, xi - h1 * 0.5, xi)
+    t_pu_m = a + (0.5 + jnp.floor(u * npul)) * delta * (b - a)
+    t_pu = jnp.where(start_on_surface, t_pu_s, t_pu_m)
+
     out = t_exp
     out = jnp.where(ttype == T_DOUBLE_EXPONENTIAL, t_de, out)
     out = jnp.where(ttype == T_QUADRATIC, t_q, out)
     out = jnp.where(ttype == T_LINEAR, t_l, out)
     out = jnp.where(ttype == T_ERLANG, t_er, out)
     out = jnp.where(ttype == T_DAVIS, t_dv, out)
+    out = jnp.where(ttype == T_PULSE, t_pu, out)
     return out

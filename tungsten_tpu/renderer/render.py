@@ -104,3 +104,24 @@ def render_scene(doc_or_path, spp=None, seed=DEFAULT_SEED, verbose=False):
     hdr = render_flat(scene, spp=spp, seed=seed, verbose=verbose)
     ldr = np.asarray(tonemap(scene.meta.tonemap, jnp.asarray(hdr)))
     return hdr, np.clip(ldr, 0.0, 1.0)
+
+
+def render_light_traced(scene: FlatScene, spp=None, seed=DEFAULT_SEED, verbose=False):
+    """Light-traced render: spp passes of W*H light paths each; the splat
+    estimator satisfies E[splat_j per path] = I_j, so the image is
+    splat_sum / total_paths (LightTraceIntegrator semantics)."""
+    from ..integrators.light_tracer import trace_light_pass
+
+    meta = scene.meta
+    spp = spp if spp is not None else meta.spp
+    w, h = meta.res_x, meta.res_y
+    n = w * h
+    lane_ids = jnp.arange(n, dtype=jnp.uint32)
+    acc = None
+    for s in range(spp):
+        pass_seed = jnp.array([seed & 0xFFFFFFFF, 0x10000 + s], jnp.uint32)
+        buf = trace_light_pass(scene, pass_seed, lane_ids)
+        acc = buf if acc is None else acc + buf
+    # E[splat_j per light path] = I_j  =>  normalize by total path count
+    img = np.asarray(acc).reshape(h, w, 3) / (spp * float(n))
+    return img

@@ -83,6 +83,7 @@ class SceneMeta:
     include_surfaces: bool
     enable_two_sided: bool
     has_media: bool
+    has_forward: bool
     camera_medium: int
     spp: int
     spp_step: int
@@ -379,6 +380,7 @@ def flatten_scene(doc: SceneDocument) -> FlatScene:
         include_surfaces=bool(integ.get("include_surfaces", True)),
         enable_two_sided=bool(integ.get("enable_two_sided_shading", True)),
         has_media=len(doc.media) > 0,
+        has_forward=bool(np.any(np.asarray(materials.lobes) & 0x80)),
         camera_medium=int(doc.medium_names.get(cam.get("medium"), -1)) if isinstance(cam.get("medium"), str) else -1,
         spp=int(doc.renderer.get("spp", 32)),
         spp_step=int(doc.renderer.get("spp_step", 16)),
