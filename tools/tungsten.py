@@ -3,10 +3,9 @@
 
 Usage: python tools/tungsten.py scene.json [scene2.json ...] [options]
 
-Renders a queue of Tungsten scene files (schema unmodified) and writes the
-tonemapped PNG (and optional HDR) outputs. Options mirror the reference CLI
-(src/tungsten/Shared.hpp:134-145): spp, seed, output, restart/checkpoint to
-come with the resume system.
+Renders a queue of Tungsten scene files (schema unmodified): spp/seed
+overrides, adaptive sampling, AOV output buffers, checkpointing and full
+resume (options mirror src/tungsten/Shared.hpp:134-145).
 """
 from __future__ import annotations
 
@@ -22,27 +21,46 @@ def main():
     ap = argparse.ArgumentParser(description="tungsten-tpu renderer")
     ap.add_argument("scenes", nargs="+", help="scene JSON files")
     ap.add_argument("-o", "--output", help="override output file")
-    ap.add_argument("--hdr-output", help="override HDR output file")
+    ap.add_argument("-e", "--hdr-output", help="override HDR output file")
     ap.add_argument("-s", "--spp", type=int, help="override sample count")
     ap.add_argument("--seed", type=int, default=0xBA5EBA11)
     ap.add_argument("--scale", type=float, default=1.0, help="resolution scale factor")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("-r", "--restart", action="store_true", help="ignore saved resume state")
+    ap.add_argument("-c", "--checkpoint", type=float, default=None,
+                    help="checkpoint interval in seconds (0 disables)")
+    ap.add_argument("-d", "--output-directory", help="override output directory")
+    ap.add_argument("--samples-per-pass", type=int, default=1)
+    ap.add_argument("--passes-per-batch", type=int, default=16)
     ap.add_argument("-q", "--quiet", action="store_true")
     args = ap.parse_args()
 
     import jax
 
+    jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp"))
+    try:
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    except Exception:
+        pass
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
     from tungsten_tpu.io.imageio import save_image
     from tungsten_tpu.models.cameras import tonemap
-    from tungsten_tpu.renderer.render import render_flat
+    from tungsten_tpu.renderer.framebuffer import scene_hash
+    from tungsten_tpu.renderer.render import render_buffers, render_light_traced
     from tungsten_tpu.scene.flatten import flatten_scene
     from tungsten_tpu.scene.load import load_scene
 
     import jax.numpy as jnp
     import numpy as np
+
+    def parse_duration(v) -> float:
+        if v in (None, "", "0", 0):
+            return 0.0
+        v = str(v)
+        mult = {"s": 1, "m": 60, "h": 3600}.get(v[-1], None)
+        return float(v[:-1]) * mult if mult else float(v)
 
     for scene_path in args.scenes:
         try:
@@ -51,26 +69,80 @@ def main():
             if args.scale != 1.0:
                 rx, ry = doc.camera.get("resolution", [1000, 563])
                 doc.camera["resolution"] = [
-                    max(1, int(rx * args.scale)),
-                    max(1, int(ry * args.scale)),
+                    max(1, int(rx * args.scale)), max(1, int(ry * args.scale))
                 ]
             scene = flatten_scene(doc)
+            meta = scene.meta
+            out_dir = args.output_directory or os.path.dirname(scene_path) or "."
+
+            def outpath(name):
+                return name if os.path.isabs(name) else os.path.join(out_dir, name)
+
             if not args.quiet:
                 print(
                     f"[{scene_path}] {scene.tris.v0.shape[0]} tris, "
-                    f"{scene.meta.n_lights} lights, {scene.meta.res_x}x{scene.meta.res_y}, "
-                    f"{args.spp or scene.meta.spp} spp on {jax.devices()[0].platform}"
+                    f"{meta.n_lights} lights, {meta.res_x}x{meta.res_y}, "
+                    f"{args.spp or meta.spp} spp on {jax.devices()[0].platform}"
                 )
-            hdr = render_flat(scene, spp=args.spp, seed=args.seed, verbose=not args.quiet)
 
-            out = args.output or doc.renderer.get("output_file", "TungstenRender.png")
-            if not os.path.isabs(out) and not args.output:
-                out = os.path.join(os.path.dirname(scene_path) or ".", out)
-            ldr = np.clip(np.asarray(tonemap(scene.meta.tonemap, jnp.asarray(hdr))), 0, 1)
-            save_image(out, ldr)
-            hdr_out = args.hdr_output or doc.renderer.get("hdr_output_file", "")
-            if hdr_out:
-                save_image(hdr_out, hdr)
+            itype = doc.integrator.get("type", "path_tracer")
+            resume_file = None
+            sh = scene_hash(doc)
+            if doc.renderer.get("enable_resume_render") and not args.restart:
+                resume_file = outpath(doc.renderer.get("resume_render_file", "RenderState.dat"))
+            ckpt_interval = (
+                args.checkpoint
+                if args.checkpoint is not None
+                else parse_duration(doc.renderer.get("checkpoint_interval", "0"))
+            )
+
+            def write_outputs(bufs, suffix=""):
+                hdr = bufs.color()
+                out = args.output or doc.renderer.get("output_file", "TungstenRender.png")
+                out = outpath(out)
+                if suffix:
+                    stem, ext = os.path.splitext(out)
+                    out = stem + suffix + ext
+                ldr = np.clip(np.asarray(tonemap(meta.tonemap, jnp.asarray(hdr))), 0, 1)
+                save_image(out, ldr)
+                hdr_out = args.hdr_output or doc.renderer.get("hdr_output_file", "")
+                if hdr_out:
+                    save_image(outpath(hdr_out), hdr)
+                for aov_type, ldr_file, hdr_file in meta.aovs:
+                    img = bufs.aov(aov_type)
+                    if img.shape[-1] == 1:
+                        img = np.repeat(img, 3, -1)
+                    if aov_type == "depth":
+                        img = img / max(img.max(), 1e-9)
+                    if ldr_file:
+                        save_image(outpath(ldr_file), np.clip(img, 0, 1))
+                    if hdr_file:
+                        save_image(outpath(hdr_file), img)
+                return out
+
+            if itype == "light_tracer":
+                hdr = render_light_traced(scene, spp=args.spp, seed=args.seed)
+                out = args.output or doc.renderer.get("output_file", "TungstenRender.png")
+                out = outpath(out)
+                ldr = np.clip(np.asarray(tonemap(meta.tonemap, jnp.asarray(hdr))), 0, 1)
+                save_image(out, ldr)
+            else:
+                bufs = render_buffers(
+                    scene,
+                    spp=args.spp,
+                    seed=args.seed,
+                    verbose=not args.quiet,
+                    samples_per_pass=args.samples_per_pass,
+                    passes_per_batch=args.passes_per_batch,
+                    adaptive=bool(doc.renderer.get("adaptive_sampling", False)),
+                    resume_file=resume_file,
+                    scene_hash_value=sh,
+                    checkpoint_cb=(lambda b, p: write_outputs(b, "_checkpoint"))
+                    if ckpt_interval > 0
+                    else None,
+                    checkpoint_interval=ckpt_interval,
+                )
+                out = write_outputs(bufs)
             if not args.quiet:
                 print(f"  wrote {out} in {time.time() - t0:.1f}s")
         except Exception as e:

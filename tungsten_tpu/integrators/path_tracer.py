@@ -421,12 +421,19 @@ def trace_batch(scene: FlatScene, seed, lane_base, px, py, pass_start, n_passes=
     amortizes launch/transfer latency, critical on remote-attached TPUs.
     Returns summed radiance (N, 3)."""
 
+    want_aovs = bool(scene.meta.aovs)
+
     def body(i, acc):
         pass_seed = jnp.stack([seed[0], seed[1] + (pass_start + i).astype(jnp.uint32)])
-        return acc + trace_pass(scene, pass_seed, lane_base, px, py)
+        out = trace_pass(scene, pass_seed, lane_base, px, py)
+        return jax.tree.map(lambda a, b: a + b, acc, out)
 
-    acc = jnp.zeros(px.shape + (3,), jnp.float32)
-    return jax.lax.fori_loop(0, n_passes, body, acc)
+    zero = jnp.zeros(px.shape + (3,), jnp.float32)
+    if want_aovs:
+        init = (zero, dict(depth=jnp.zeros(px.shape), normal=zero, albedo=zero))
+    else:
+        init = zero
+    return jax.lax.fori_loop(0, n_passes, body, init)
 
 
 @jax.jit
@@ -437,7 +444,8 @@ def trace_pass(scene: FlatScene, seed, lane_ids, px, py):
     sampler = Sampler.create(seed, lane_ids)
 
     u_cam, sampler = sampler.next_2d()
-    o, d = camera_rays(scene.camera, meta, px, py, u_cam)
+    u_lens, sampler = sampler.next_2d()
+    o, d = camera_rays(scene.camera, meta, px, py, u_cam, u_lens)
 
     state = dict(
         o=o,
@@ -456,6 +464,14 @@ def trace_pass(scene: FlatScene, seed, lane_ids, px, py):
         seed=sampler.seed,
         lane_id=sampler.lane_id,
     )
+    if meta.aovs:
+        state.update(
+            aov_recorded=jnp.zeros((n,), bool),
+            aov_depth=jnp.zeros((n,)),
+            aov_dist=jnp.zeros((n,)),
+            aov_normal=jnp.zeros((n, 3)),
+            aov_albedo=jnp.zeros((n, 3)),
+        )
 
     def cond(s):
         return jnp.any(s["alive"]) & (s["bounce"] < meta.max_bounces)
@@ -586,6 +602,20 @@ def trace_pass(scene: FlatScene, seed, lane_ids, px, py):
         e_hit = eval_texture(scene.textures, scene.lights.tex[jnp.maximum(light_id, 0)], uv)
         emission = emission + jnp.where(add_emit[..., None], throughput * e_hit, 0.0)
 
+        # ---- AOV capture at the first non-specular hit (PathTracer.cpp:78-96) ----
+        if meta.aovs:
+            dist_new = s["aov_dist"] + jnp.where(did_hit, hit.t, 0.0)
+            not_spec = ~Lobes.is_pure_specular(lobes)
+            rec_now = hit_surface_lane & ~s["aov_recorded"] & ~go_forward
+            albedo_aov = eval_texture(
+                scene.textures, scene.materials.albedo_tex[mat_id], uv
+            ) + jnp.where((light_id >= 0)[..., None], e_hit, 0.0)
+            s["aov_depth"] = jnp.where(rec_now & not_spec, dist_new, s["aov_depth"])
+            s["aov_normal"] = vo.where3(rec_now & not_spec, ns, s["aov_normal"])
+            s["aov_albedo"] = jnp.where((rec_now & not_spec)[..., None], albedo_aov, s["aov_albedo"])
+            s["aov_recorded"] = s["aov_recorded"] | (rec_now & not_spec)
+            s["aov_dist"] = dist_new
+
         # ---- surface NEE ----
         if meta.enable_light_sampling and meta.n_lights > 0:
             nee, smp = _nee(scene, smp, p, ng, frame, wi, mat_id, uv, lobes, medium)
@@ -661,6 +691,14 @@ def trace_pass(scene: FlatScene, seed, lane_ids, px, py):
             seed=s["seed"],
             lane_id=s["lane_id"],
         )
+        if meta.aovs:
+            new_state.update(
+                aov_recorded=s["aov_recorded"],
+                aov_depth=s["aov_depth"],
+                aov_dist=s["aov_dist"],
+                aov_normal=s["aov_normal"],
+                aov_albedo=s["aov_albedo"],
+            )
         if n >= 4096:
             # compaction: dead lanes last, alive lanes grouped by octant
             oct_key = (
@@ -669,19 +707,28 @@ def trace_pass(scene: FlatScene, seed, lane_ids, px, py):
                 + 4 * (d_new[:, 2] > 0).astype(jnp.int32)
             )
             key = jnp.where(alive, oct_key, 8)
-            new_state = _compact_sort(
-                key,
-                new_state,
-                ("o", "d", "throughput", "emission"),
-                (
-                    "pix", "near", "alive", "was_specular", "medium",
-                    "first_scatter", "med_bounce", "lane_id",
-                ),
-            )
+            names_3 = ["o", "d", "throughput", "emission"]
+            names_1 = [
+                "pix", "near", "alive", "was_specular", "medium",
+                "first_scatter", "med_bounce", "lane_id",
+            ]
+            if meta.aovs:
+                names_3 += ["aov_normal", "aov_albedo"]
+                names_1 += ["aov_recorded", "aov_depth", "aov_dist"]
+            new_state = _compact_sort(key, new_state, tuple(names_3), tuple(names_1))
         return new_state
 
     final = jax.lax.while_loop(cond, body, state)
     # un-permute compacted lanes back to pixel order
     rad = jnp.zeros((n, 3), jnp.float32).at[final["pix"]].set(final["emission"])
     # NaN guard (OutputBuffer.hpp:106-107 semantics: reject non-finite samples)
-    return jnp.where(jnp.isfinite(rad), rad, 0.0)
+    rad = jnp.where(jnp.isfinite(rad), rad, 0.0)
+    if meta.aovs:
+        pixf = final["pix"]
+        aux = dict(
+            depth=jnp.zeros((n,)).at[pixf].set(final["aov_depth"]),
+            normal=jnp.zeros((n, 3)).at[pixf].set(final["aov_normal"]),
+            albedo=jnp.zeros((n, 3)).at[pixf].set(final["aov_albedo"]),
+        )
+        return rad, aux
+    return rad

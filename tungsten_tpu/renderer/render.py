@@ -1,9 +1,14 @@
-"""Render driver: spp-batched accumulation into the framebuffer.
+"""Render driver: spp-batched accumulation, adaptive sampling, AOVs,
+checkpoint/resume.
 
 The analog of the reference's render loop (src/tungsten/Shared.hpp:283-311 +
-PathTraceIntegrator): render proceeds in spp batches; each batch is one jitted
-wavefront pass over all pixels. Seeds fold the pass index so every sample is
-an independent, replayable stream (default seed 0xBA5EBA11, Shared.hpp:246).
+PathTraceIntegrator): render proceeds in spp_step batches; each batch is one
+jitted wavefront dispatch. Seeds fold the pass index so every sample is an
+independent, replayable stream (default seed 0xBA5EBA11, Shared.hpp:246).
+
+Adaptive sampling mirrors PathTraceIntegrator.cpp:44-134: after a 16-spp
+uniform warmup, per-4x4-tile relative error (two-buffer variance) with a 95th
+percentile clamp and neighbor dilation drives a stochastic per-tile budget.
 """
 from __future__ import annotations
 
@@ -17,8 +22,147 @@ from ..integrators.path_tracer import trace_batch, trace_pass
 from ..models.cameras import tonemap
 from ..scene.flatten import FlatScene, flatten_scene
 from ..scene.load import SceneDocument, load_scene
+from .framebuffer import OutputBuffers
 
 DEFAULT_SEED = 0xBA5EBA11
+ADAPTIVE_THRESHOLD_SPP = 16  # PathTraceIntegrator.hpp:27-29
+
+
+def _lane_arrays(meta, m, mesh=None):
+    w, h = meta.res_x, meta.res_y
+    px = np.tile(np.tile(np.arange(w, dtype=np.int32), h), m)
+    py = np.tile(np.repeat(np.arange(h, dtype=np.int32), w), m)
+    if mesh is not None:
+        from ..parallel.mesh import pad_to_devices
+
+        n_dev = mesh.devices.size
+        n_pad = pad_to_devices(len(px), n_dev)
+        if n_pad != len(px):
+            px = np.concatenate([px, np.zeros(n_pad - len(px), np.int32)])
+            py = np.concatenate([py, np.zeros(n_pad - len(py), np.int32)])
+    lane = np.arange(len(px), dtype=np.uint32)
+    return px, py, lane
+
+
+def _place(mesh, lane, px, py):
+    if mesh is None:
+        return jnp.asarray(lane), jnp.asarray(px), jnp.asarray(py)
+    from ..parallel.mesh import shard_lanes
+
+    return shard_lanes(mesh, jnp.asarray(lane), jnp.asarray(px), jnp.asarray(py))
+
+
+def render_buffers(
+    scene: FlatScene,
+    spp: int | None = None,
+    seed: int = DEFAULT_SEED,
+    verbose: bool = False,
+    mesh=None,
+    samples_per_pass: int = 1,
+    passes_per_batch: int = 16,
+    adaptive: bool = False,
+    resume_file: str | None = None,
+    scene_hash_value: str = "",
+    checkpoint_cb=None,
+    checkpoint_interval: float = 0.0,
+) -> OutputBuffers:
+    """Full render into OutputBuffers (color + AOVs + variance)."""
+    meta = scene.meta
+    spp = spp if spp is not None else meta.spp
+    w, h = meta.res_x, meta.res_y
+    n_pix = w * h
+    m = samples_per_pass
+    aov_names = tuple(a[0] for a in meta.aovs)
+    bufs = OutputBuffers(w, h, aovs=aov_names)
+
+    start_pass = 0
+    if resume_file:
+        extra = bufs.load_state(resume_file, scene_hash_value)
+        if extra is not None:
+            start_pass = int(extra.get("next_pass", 0))
+            if verbose:
+                print(f"  resumed at pass {start_pass}")
+
+    if mesh is not None:
+        from ..parallel.mesh import replicate
+
+        scene = replicate(mesh, scene)
+
+    px, py, lane = _lane_arrays(meta, m, mesh)
+    lane_arr, px_arr, py_arr = _place(mesh, lane, px, py)
+    seed_arr = jnp.array([seed & 0xFFFFFFFF, 0], jnp.uint32)
+
+    total_passes = (spp + m - 1) // m
+    done = start_pass
+    t0 = time.time()
+    last_ckpt = t0
+    rng = np.random.default_rng(seed ^ 0x5EED)
+
+    while done < total_passes:
+        if adaptive and bufs.count.min() >= ADAPTIVE_THRESHOLD_SPP:
+            # ---- adaptive step: allocate one pass of budget by tile error
+            budget = n_pix * m
+            err = _tile_error(bufs, w, h)
+            p = err.ravel() / max(err.sum(), 1e-20)
+            pix_sel = _sample_pixels_by_tile(p, w, h, rng, budget)
+            px_a = (pix_sel % w).astype(np.int32)
+            py_a = (pix_sel // w).astype(np.int32)
+            lane_a = np.arange(len(pix_sel), dtype=np.uint32)
+            la, pxa, pya = _place(mesh, lane_a, px_a, py_a)
+            out = trace_batch(scene, seed_arr, la, pxa, pya, jnp.uint32(done), n_passes=1)
+            rad = np.asarray(out[0] if aov_names else out)
+            bufs.add_batch_sparse(rad, pix_sel)
+            done += 1
+        else:
+            nb = min(passes_per_batch, total_passes - done)
+            out = trace_batch(
+                scene, seed_arr, lane_arr, px_arr, py_arr, jnp.uint32(done), n_passes=nb
+            )
+            if aov_names:
+                rad, aux = out
+                aux_np = {k: np.asarray(v) for k, v in aux.items()}
+            else:
+                rad, aux_np = out, None
+            bufs.add_batch(np.asarray(rad), nb, m, n_pix, aux_np)
+            done += nb
+        if verbose:
+            dt = time.time() - t0
+            rate = n_pix * m * (done - start_pass) / dt / 1e6
+            print(f"  spp {min(done * m, spp)}/{total_passes * m}  ({dt:.1f}s, {rate:.2f} Mpaths/s)")
+        if checkpoint_cb and checkpoint_interval > 0 and time.time() - last_ckpt > checkpoint_interval:
+            checkpoint_cb(bufs, done)
+            last_ckpt = time.time()
+
+    if resume_file:
+        bufs.save_state(resume_file, scene_hash_value, {"next_pass": done})
+    return bufs
+
+
+def _tile_error(bufs, w, h):
+    """4x4-tile relative error from two-buffer variance with 95th percentile
+    clamp and neighbor dilation (PathTraceIntegrator.cpp:44-85)."""
+    var = bufs.pixel_variance()
+    mean = bufs.color().mean(-1)
+    rel = var / np.maximum(mean * mean, 1e-4)
+    th, tw = (h + 3) // 4, (w + 3) // 4
+    rel = np.pad(rel, ((0, th * 4 - h), (0, tw * 4 - w)))
+    tiles = rel.reshape(th, 4, tw, 4).mean((1, 3))
+    clamp = np.percentile(tiles, 95)
+    tiles = np.minimum(tiles, max(clamp, 1e-20))
+    d = np.maximum(tiles, np.roll(tiles, 1, 0))
+    d = np.maximum(d, np.roll(tiles, -1, 0))
+    d = np.maximum(d, np.roll(tiles, 1, 1))
+    d = np.maximum(d, np.roll(tiles, -1, 1))
+    return d + 1e-12
+
+
+def _sample_pixels_by_tile(tile_p, w, h, rng, budget):
+    tw = (w + 3) // 4
+    tiles = rng.choice(len(tile_p), size=budget, p=tile_p)
+    ty, tx = tiles // tw, tiles % tw
+    x = np.minimum(tx * 4 + rng.integers(0, 4, len(tiles)), w - 1)
+    y = np.minimum(ty * 4 + rng.integers(0, 4, len(tiles)), h - 1)
+    return (y * w + x).astype(np.int64)
 
 
 def render_flat(
@@ -29,72 +173,20 @@ def render_flat(
     mesh=None,
     samples_per_pass: int = 1,
     passes_per_batch: int = 16,
+    adaptive: bool = False,
 ) -> np.ndarray:
     """Render and return the *linear* HDR framebuffer (H, W, 3) float32.
 
     mesh: optional jax.sharding.Mesh — shards the wavefront over devices
     (scene replicated, lanes pixel-sharded; bitwise identical to single-chip
     because lane ids are global).
-    samples_per_pass: lanes per pixel per pass (bigger wavefronts amortize
-    launch/while_loop overhead on big chips).
     """
-    meta = scene.meta
-    spp = spp if spp is not None else meta.spp
-    w, h = meta.res_x, meta.res_y
-    n_pix = w * h
-    m = samples_per_pass
-    n = n_pix * m
-    px = np.tile(np.tile(np.arange(w, dtype=np.int32), h), m)
-    py = np.tile(np.repeat(np.arange(h, dtype=np.int32), w), m)
-
-    if mesh is not None:
-        from ..parallel.mesh import pad_to_devices, replicate, shard_lanes
-
-        n_dev = mesh.devices.size
-        n_pad = pad_to_devices(n, n_dev)
-        if n_pad != n:
-            px = np.concatenate([px, np.zeros(n_pad - n, np.int32)])
-            py = np.concatenate([py, np.zeros(n_pad - n, np.int32)])
-        scene = replicate(mesh, scene)
-
-    n_total = len(px)
-    # lane ids must be globally unique within a pass; pass index enters the
-    # seed, so lane arrays are constant across passes (one transfer per render)
-    lane_base = np.arange(n_total, dtype=np.uint32)
-    if mesh is not None:
-        from ..parallel.mesh import shard_lanes
-
-        lane_arr, px_arr, py_arr = shard_lanes(
-            mesh, jnp.asarray(lane_base), jnp.asarray(px), jnp.asarray(py)
-        )
-    else:
-        lane_arr, px_arr, py_arr = (
-            jnp.asarray(lane_base),
-            jnp.asarray(px),
-            jnp.asarray(py),
-        )
-
-    passes = (spp + m - 1) // m
-    batch = max(1, min(passes, passes_per_batch))
-    seed_arr = jnp.array([seed & 0xFFFFFFFF, 0], jnp.uint32)
-    acc = None
-    t0 = time.time()
-    done = 0
-    while done < passes:
-        nb = min(batch, passes - done)
-        rad = trace_batch(
-            scene, seed_arr, lane_arr, px_arr, py_arr, jnp.uint32(done), n_passes=nb
-        )
-        acc = rad if acc is None else acc + rad
-        done += nb
-        if verbose:
-            acc.block_until_ready()
-            dt = time.time() - t0
-            rate = n_pix * m * done / dt / 1e6
-            print(f"  spp {done * m}/{passes * m}  ({dt:.1f}s, {rate:.2f} Mpaths/s)")
-    acc = np.asarray(acc)[:n]
-    img = acc.reshape(m, n_pix, 3).sum(0) / (passes * m)
-    return img.reshape(h, w, 3)
+    bufs = render_buffers(
+        scene, spp=spp, seed=seed, verbose=verbose, mesh=mesh,
+        samples_per_pass=samples_per_pass, passes_per_batch=passes_per_batch,
+        adaptive=adaptive,
+    )
+    return bufs.color()
 
 
 def render_scene(doc_or_path, spp=None, seed=DEFAULT_SEED, verbose=False):

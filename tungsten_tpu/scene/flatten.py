@@ -36,6 +36,8 @@ class CameraParams:
     rot: jnp.ndarray  # (3, 3) camera-to-world rotation (columns = x, y, z)
     pos: jnp.ndarray  # (3,)
     plane_dist: jnp.ndarray  # ()
+    aperture_size: jnp.ndarray = None  # () thinlens
+    focus_dist: jnp.ndarray = None  # () thinlens
 
 
 @pytree
@@ -68,6 +70,7 @@ class SceneMeta:
 
     res_x: int
     res_y: int
+    camera_type: str
     tonemap: str
     filter: str
     fov_deg: float
@@ -88,6 +91,7 @@ class SceneMeta:
     spp: int
     spp_step: int
     use_bvh: bool
+    aovs: tuple = ()  # ((type, ldr_file, hdr_file), ...) from renderer output_buffers
 
 
 @pytree
@@ -356,6 +360,8 @@ def flatten_scene(doc: SceneDocument) -> FlatScene:
         rot=jnp.asarray(cam_m[:3, :3], jnp.float32),
         pos=jnp.asarray(cam_m[:3, 3], jnp.float32),
         plane_dist=jnp.float32(plane_dist),
+        aperture_size=jnp.float32(cam.get("aperture_size", 0.001)),
+        focus_dist=jnp.float32(cam.get("focus_distance", 1.0)),
     )
 
     res = cam.get("resolution", [1000, 563])
@@ -365,6 +371,7 @@ def flatten_scene(doc: SceneDocument) -> FlatScene:
     meta = SceneMeta(
         res_x=int(res[0]),
         res_y=int(res[1]),
+        camera_type=cam.get("type", "pinhole"),
         tonemap=cam.get("tonemap", "gamma"),
         filter=cam.get("reconstruction_filter", "tent"),
         fov_deg=fov,
@@ -385,6 +392,15 @@ def flatten_scene(doc: SceneDocument) -> FlatScene:
         spp=int(doc.renderer.get("spp", 32)),
         spp_step=int(doc.renderer.get("spp_step", 16)),
         use_bvh=bool(doc.renderer.get("scene_bvh", True)),
+        aovs=tuple(
+            (
+                b.get("type"),
+                b.get("output_file", ""),
+                b.get("hdr_output_file", ""),
+            )
+            for b in doc.renderer.get("output_buffers", [])
+            if b.get("type") in ("depth", "normal", "albedo")
+        ),
     )
 
     tris_soa = TriangleSoA(
