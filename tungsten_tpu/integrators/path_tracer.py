@@ -388,31 +388,467 @@ def _volume_nee(scene, sampler, p, d_in, medium, ptype, g):
 
 
 def _compact_sort(key, state_dict, names_3, names_1):
-    """Co-sort all lane state by `key` ascending in ONE lax.sort call —
-    dead lanes sink to the tail (their tfar=0 rays make whole Pallas tiles
-    cull every triangle chunk), alive lanes group by direction octant so
-    tile-level AABB culling sees coherent beams."""
-    ops = [key]
-    layout = []
+    """Co-permute all lane state by `key` ascending — dead lanes sink to the
+    tail (their tfar=0 rays make whole Pallas tiles cull every triangle
+    chunk), alive lanes group by direction octant so tile-level AABB culling
+    sees coherent beams. One argsort + two packed gathers (XLA gather cost is
+    per-row, nearly independent of row width)."""
+    perm = jnp.argsort(key)
+    out = dict(state_dict)
+    f32_cols, f32_layout = [], []
+    i32_cols, i32_layout = [], []
     for name in names_3:
         a = state_dict[name]
-        ops.extend([a[:, 0], a[:, 1], a[:, 2]])
-        layout.append((name, 3, a.dtype))
+        f32_cols.append(a.astype(jnp.float32))
+        f32_layout.append((name, 3, a.dtype))
     for name in names_1:
         a = state_dict[name]
-        ops.append(a)
-        layout.append((name, 1, a.dtype))
-    sorted_ops = jax.lax.sort(tuple(ops), dimension=0, is_stable=False, num_keys=1)
-    out = dict(state_dict)
-    i = 1
-    for name, width, dtype in layout:
-        if width == 3:
-            out[name] = jnp.stack(sorted_ops[i : i + 3], axis=-1)
-            i += 3
+        if a.dtype == jnp.float32:
+            f32_cols.append(a[:, None])
+            f32_layout.append((name, 1, a.dtype))
         else:
-            out[name] = sorted_ops[i]
-            i += 1
+            i32_cols.append(a.astype(jnp.int32)[:, None])
+            i32_layout.append((name, 1, a.dtype))
+    fpack = jnp.concatenate(f32_cols, axis=1)[perm]
+    ipack = jnp.concatenate(i32_cols, axis=1)[perm] if i32_cols else None
+    fi = 0
+    for name, width, dtype in f32_layout:
+        col = fpack[:, fi : fi + width]
+        out[name] = col if width == 3 else col[:, 0]
+        fi += width
+    ii = 0
+    for name, width, dtype in i32_layout:
+        out[name] = ipack[:, ii].astype(dtype)
+        ii += 1
     return out
+
+
+
+
+def _unified_nee_prepare(scene, sampler, vp, ng, frame, wi, mat_id, uv, lobes,
+                         scattered, d_in, ptype, g):
+    """Shared NEE setup for surface and volume vertices: one chosen light,
+    light-sampling + bsdf/phase-sampling strategies. Returns the sampler and a
+    dict of deferred-ray data; the actual visibility rays are merged into the
+    bounce's single 3N intersect call."""
+    from ..models.phase import phase_eval, phase_sample
+
+    meta = scene.meta
+    ctx = (scene.materials, scene.textures)
+    n = vp.shape[0]
+    t, b, nrm = frame
+
+    u_choose, sampler = sampler.next_1d()
+    li = jnp.minimum((u_choose * meta.n_lights).astype(jnp.int32), meta.n_lights - 1)
+    is_env_choice = scene.lights.is_env[li]
+
+    u_point, sampler = sampler.next_2d()
+    u_tri, sampler = sampler.next_1d()
+    ls_area = L.sample_area_direct(scene, li, vp, u_tri, u_point)
+    if meta.has_env and meta.env_light_index >= 0:
+        ls_env = L.sample_env_direct(scene, u_point)
+        ls = L.LightSample(
+            d=vo.where3(is_env_choice, ls_env.d, ls_area.d),
+            dist=jnp.where(is_env_choice, ls_env.dist, ls_area.dist),
+            pdf=jnp.where(is_env_choice, ls_env.pdf, ls_area.pdf),
+            radiance=vo.where3(is_env_choice, ls_env.radiance, ls_area.radiance),
+            valid=jnp.where(is_env_choice, ls_env.valid, ls_area.valid),
+        )
+    else:
+        ls = ls_area
+
+    # strategy 1 f/pdf at the sampled light direction
+    wo_l = vo.to_local(t, b, nrm, ls.d)
+    f_surf = bsdf_eval(ctx, mat_id, uv, wi, wo_l, nonspecular_only=True)
+    pdf_surf = bsdf_pdf(ctx, mat_id, uv, wi, wo_l, nonspecular_only=True)
+    if meta.has_media:
+        f_vol = phase_eval(ptype, g, d_in, ls.d)
+        f_l = jnp.where(scattered[..., None], f_vol[..., None], f_surf)
+        pdf_fwd = jnp.where(scattered, f_vol, pdf_surf)
+    else:
+        f_l = f_surf
+        pdf_fwd = pdf_surf
+    mis_l = warps.power_heuristic(ls.pdf, pdf_fwd)
+    cand = ls.valid & (ls.pdf > 0.0) & jnp.any(f_l > 0.0, axis=-1)
+
+    # strategy 2: bsdf/phase sampling (non-specular lobes)
+    u_bs2, sampler = sampler.next_2d()
+    u_bs1, sampler = sampler.next_1d()
+    bs = bsdf_sample(ctx, mat_id, uv, wi, u_bs2, u_bs1, nonspecular_only=True)
+    wo_mis = vo.to_global(t, b, nrm, bs.wo)
+    w_mis = bs.weight
+    pdf_mis = bs.pdf
+    mis_cand = bs.valid & jnp.any(bs.weight > 0.0, axis=-1)
+    if meta.has_media:
+        w_ph, pdf_ph = phase_sample(ptype, g, d_in, u_bs2)
+        wo_mis = vo.where3(scattered, w_ph, wo_mis)
+        w_mis = jnp.where(scattered[..., None], 1.0, w_mis)
+        pdf_mis = jnp.where(scattered, pdf_ph, pdf_mis)
+        mis_cand = jnp.where(scattered, True, mis_cand)
+
+    skip = Lobes.is_pure_specular(lobes) | (lobes == Lobes.FORWARD) | (lobes == 0)
+    skip = skip & ~scattered
+
+    shadow_far = jnp.where(
+        cand & ~skip, jnp.where(ls.dist >= INF, INF, ls.dist * SHADOW_FUDGE), 0.0
+    )
+    mis_far = jnp.where(mis_cand & ~skip, INF, 0.0)
+    return sampler, dict(
+        li=li, is_env=is_env_choice, ls=ls, f_l=f_l, mis_l=mis_l, cand=cand,
+        wo_mis=wo_mis, w_mis=w_mis, pdf_mis=pdf_mis, mis_cand=mis_cand,
+        skip=skip, shadow_far=shadow_far, mis_far=mis_far, vp=vp,
+    )
+
+
+def _unified_nee_finish(scene, data, h_shadow, h_mis, medium, scattered):
+    """Consume the merged visibility results -> NEE contribution (N, 3)."""
+    meta = scene.meta
+    n = h_shadow.t.shape[0]
+    ls = data["ls"]
+    li = data["li"]
+    is_env_choice = data["is_env"]
+    choice_weight = jnp.float32(meta.n_lights)
+
+    blocked = h_shadow.prim >= 0
+    contrib_l = data["f_l"] * ls.radiance * (
+        data["mis_l"] / jnp.maximum(ls.pdf, 1e-30)
+    )[..., None]
+    if meta.has_media:
+        from ..models.media import medium_transmittance
+
+        tr_l = medium_transmittance(
+            scene.media, medium, ls.dist, ~scattered, jnp.ones((n,), bool)
+        )
+        contrib_l = contrib_l * tr_l
+    contrib_l = jnp.where((data["cand"] & ~blocked)[..., None], contrib_l, 0.0)
+
+    h = h_mis
+    tri_hit = jnp.maximum(h.prim, 0)
+    hit_light = jnp.where(h.prim >= 0, scene.tri_light[tri_hit], -1)
+    vp = data["vp"]
+    wo_mis = data["wo_mis"]
+    hp = vp + wo_mis * h.t[..., None]
+    front = vo.dot(wo_mis, scene.tri_ng[tri_hit]) < 0.0
+    uvh = (
+        scene.tri_uv0[tri_hit] * (1.0 - h.u - h.v)[..., None]
+        + scene.tri_uv1[tri_hit] * h.u[..., None]
+        + scene.tri_uv2[tri_hit] * h.v[..., None]
+    )
+    e_area = eval_texture(scene.textures, scene.lights.tex[li], uvh)
+    match_area = (~is_env_choice) & (hit_light == li) & front & (h.prim >= 0)
+    pdf_area = L.area_direct_pdf(scene, tri_hit, vp, hp, wo_mis)
+    if meta.has_env and meta.env_light_index >= 0:
+        e_env = L.env_radiance(scene, wo_mis)
+        match_env = is_env_choice & (h.prim < 0)
+        pdf_env = L.env_direct_pdf(scene, wo_mis)
+        e = jnp.where(match_env[..., None], e_env, jnp.where(match_area[..., None], e_area, 0.0))
+        light_pdf = jnp.where(match_env, pdf_env, pdf_area)
+        match = match_env | match_area
+    else:
+        e = jnp.where(match_area[..., None], e_area, 0.0)
+        light_pdf = pdf_area
+        match = match_area
+
+    mis_b = warps.power_heuristic(data["pdf_mis"], light_pdf)
+    contrib_b = e * data["w_mis"] * mis_b[..., None]
+    if meta.has_media:
+        from ..models.media import medium_transmittance
+
+        tr_b = medium_transmittance(
+            scene.media, medium, jnp.where(h.prim >= 0, h.t, INF),
+            ~scattered, jnp.ones((n,), bool),
+        )
+        contrib_b = contrib_b * tr_b
+    contrib_b = jnp.where((data["mis_cand"] & match)[..., None], contrib_b, 0.0)
+
+    total = (contrib_l + contrib_b) * choice_weight
+    return jnp.where(data["skip"][..., None], 0.0, total)
+
+
+def _trace_pass_fast(scene: FlatScene, seed, lane_ids, px, py):
+    """Fast-path wavefront PT (no forward-lobed materials): one merged
+    3N-lane intersect per bounce carries the shadow, MIS, and continuation
+    rays together — a single lockstep traversal instead of three."""
+    meta = scene.meta
+    n = px.shape[0]
+    sampler = Sampler.create(seed, lane_ids)
+
+    u_cam, sampler = sampler.next_2d()
+    u_lens, sampler = sampler.next_2d()
+    o, d = camera_rays(scene.camera, meta, px, py, u_cam, u_lens)
+    hit0 = _intersect(scene, o, d, jnp.full((n,), 1e-4), jnp.full((n,), INF))
+
+    state = dict(
+        o=o,
+        d=d,
+        pix=jnp.arange(n, dtype=jnp.int32),
+        hit_t=hit0.t,
+        hit_prim=hit0.prim,
+        hit_u=hit0.u,
+        hit_v=hit0.v,
+        throughput=jnp.ones((n, 3)),
+        emission=jnp.zeros((n, 3)),
+        alive=jnp.ones((n,), bool),
+        was_specular=jnp.ones((n,), bool),
+        medium=jnp.full((n,), meta.camera_medium, jnp.int32),
+        first_scatter=jnp.ones((n,), bool),
+        med_bounce=jnp.zeros((n,), jnp.int32),
+        bounce=jnp.int32(0),
+        base_dim=sampler.dim,
+        seed=sampler.seed,
+        lane_id=sampler.lane_id,
+    )
+    if meta.aovs:
+        state.update(
+            aov_recorded=jnp.zeros((n,), bool),
+            aov_depth=jnp.zeros((n,)),
+            aov_dist=jnp.zeros((n,)),
+            aov_normal=jnp.zeros((n, 3)),
+            aov_albedo=jnp.zeros((n, 3)),
+        )
+
+    def cond(s):
+        return jnp.any(s["alive"]) & (s["bounce"] < meta.max_bounces)
+
+    def body(s):
+        bounce = s["bounce"]
+        smp = Sampler(s["seed"], s["lane_id"], s["base_dim"] + bounce * DIMS_PER_BOUNCE)
+        o, d, alive = s["o"], s["d"], s["alive"]
+        throughput, emission = s["throughput"], s["emission"]
+        was_specular = s["was_specular"]
+        medium = s["medium"]
+        first_scatter = s["first_scatter"]
+        med_bounce = s["med_bounce"]
+        hit = isect.Hit(t=s["hit_t"], prim=s["hit_prim"], u=s["hit_u"], v=s["hit_v"])
+        did_hit = (hit.prim >= 0) & alive
+        far = jnp.where(did_hit, hit.t, INF)
+
+        # ---- medium interaction ----
+        if meta.has_media:
+            from ..models.media import medium_sample_distance
+            from ..models.phase import phase_sample
+
+            u_mc, smp = smp.next_1d()
+            u_md, smp = smp.next_1d()
+            u_mb, smp = smp.next_1d()
+            ms = medium_sample_distance(
+                scene.media, medium, o, d, far, first_scatter, med_bounce,
+                u_mc, u_md, u_mb,
+            )
+            throughput = throughput * jnp.where(alive[..., None], ms.weight, 1.0)
+            scattered = ms.scattered & alive
+            hit_surface_lane = ms.exited & did_hit
+            alive = alive & (scattered | (ms.exited & did_hit))
+            med_bounce = jnp.where(scattered, med_bounce + 1, med_bounce)
+            first_scatter = jnp.where(scattered, False, first_scatter)
+            mi = jnp.maximum(medium, 0)
+            ptype = scene.media.phase_type[mi]
+            g = scene.media.phase_g[mi]
+            vert_p = jnp.where(scattered[..., None], ms.p, jnp.zeros((n, 3)))
+        else:
+            smp = smp.skip(3)
+            scattered = jnp.zeros((n,), bool)
+            hit_surface_lane = did_hit
+            alive = alive & did_hit
+            ptype = jnp.zeros((n,), jnp.int32)
+            g = jnp.zeros((n,))
+            vert_p = jnp.zeros((n, 3))
+
+        # ---- misses: environment ----
+        miss = s["alive"] & (hit.prim < 0) & ~scattered
+        if meta.has_env:
+            gate = (
+                (not meta.enable_light_sampling)
+                | was_specular
+                | (meta.env_light_index < 0)
+            )
+            add_env = miss & gate & (bounce >= meta.min_bounces)
+            emission = emission + jnp.where(
+                add_env[..., None], throughput * L.env_radiance(scene, d), 0.0
+            )
+
+        # ---- surface shading data ----
+        p, ng, ns, uv, mat_id, light_id = _shading_data(scene, hit, o, d)
+        lobes = scene.materials.lobes[mat_id]
+        ctx = (scene.materials, scene.textures)
+        hit_backside = vo.dot(ns, d) > 0.0
+        flip = hit_backside & ~Lobes.is_transmissive(lobes) if meta.enable_two_sided else jnp.zeros_like(hit_backside)
+        frame_n = vo.where3(flip, -ns, ns)
+        t_ax, b_ax = vo.tangent_frame(ns)
+        t_ax = vo.where3(flip, -t_ax, t_ax)
+        frame = (t_ax, b_ax, frame_n)
+        wi = vo.to_local(*frame, -d)
+
+        geo_front = vo.dot(d, ng) < 0.0
+        gate_emit = (not meta.enable_light_sampling) | was_specular
+        add_emit = (
+            hit_surface_lane
+            & (light_id >= 0)
+            & geo_front
+            & gate_emit
+            & (bounce >= meta.min_bounces)
+        )
+        e_hit = eval_texture(scene.textures, scene.lights.tex[jnp.maximum(light_id, 0)], uv)
+        emission = emission + jnp.where(add_emit[..., None], throughput * e_hit, 0.0)
+
+        if meta.aovs:
+            dist_new = s["aov_dist"] + jnp.where(did_hit, hit.t, 0.0)
+            not_spec = ~Lobes.is_pure_specular(lobes)
+            rec_now = hit_surface_lane & ~s["aov_recorded"]
+            albedo_aov = eval_texture(
+                scene.textures, scene.materials.albedo_tex[mat_id], uv
+            ) + jnp.where((light_id >= 0)[..., None], e_hit, 0.0)
+            s["aov_depth"] = jnp.where(rec_now & not_spec, dist_new, s["aov_depth"])
+            s["aov_normal"] = vo.where3(rec_now & not_spec, ns, s["aov_normal"])
+            s["aov_albedo"] = jnp.where((rec_now & not_spec)[..., None], albedo_aov, s["aov_albedo"])
+            s["aov_recorded"] = s["aov_recorded"] | (rec_now & not_spec)
+            s["aov_dist"] = dist_new
+
+        vp = jnp.where(scattered[..., None], vert_p, p)
+        throughput_vertex = throughput
+
+        # ---- NEE prepare ----
+        do_nee = meta.enable_light_sampling and meta.n_lights > 0
+        if do_nee:
+            smp2, nee = _unified_nee_prepare(
+                scene, smp, vp, ng, frame, wi, mat_id, uv, lobes,
+                scattered, d, ptype, g,
+            )
+            smp = smp2
+            nee_gate = (hit_surface_lane | (scattered & meta.enable_volume_light_sampling)) & (
+                bounce < meta.max_bounces - 1
+            )
+            if meta.has_media and not meta.low_order_scattering:
+                nee_gate = nee_gate & jnp.where(scattered, med_bounce > 1, True)
+            shadow_far = jnp.where(nee_gate, nee["shadow_far"], 0.0)
+            mis_far = jnp.where(nee_gate, nee["mis_far"], 0.0)
+        else:
+            smp = smp.skip(5)
+            shadow_far = jnp.zeros((n,))
+            mis_far = jnp.zeros((n,))
+            nee = None
+            nee_gate = jnp.zeros((n,), bool)
+
+        # ---- continuation sample ----
+        u_c2, smp = smp.next_2d()
+        u_c1, smp = smp.next_1d()
+        bs = bsdf_sample(ctx, mat_id, uv, wi, u_c2, u_c1)
+        wo_w = vo.to_global(*frame, bs.wo)
+        if meta.has_media:
+            from ..models.phase import phase_sample as _ps
+
+            w_phase, _ = _ps(ptype, g, d, u_c2)
+            wo_w = vo.where3(scattered, w_phase, wo_w)
+        weight_step = jnp.where(scattered[..., None], 1.0, bs.weight)
+        throughput = throughput * jnp.where(alive[..., None], weight_step, 1.0)
+        was_specular = jnp.where(
+            hit_surface_lane, Lobes.has_specular(bs.lobe),
+            jnp.where(
+                scattered,
+                jnp.asarray(not meta.enable_volume_light_sampling),
+                was_specular,
+            ),
+        )
+        alive = alive & jnp.where(hit_surface_lane, bs.valid, True)
+
+        if meta.has_media:
+            tri = jnp.maximum(hit.prim, 0)
+            backside_new = vo.dot(wo_w, ng) < 0.0
+            override = scene.tri_med_override[tri] & hit_surface_lane
+            new_med = jnp.where(
+                backside_new, scene.tri_med_int[tri], scene.tri_med_ext[tri]
+            )
+            medium = jnp.where(override, new_med, medium)
+            first_scatter = jnp.where(hit_surface_lane, True, first_scatter)
+            med_bounce = jnp.where(hit_surface_lane, 0, med_bounce)
+
+        alive = alive & (vo.max3(jnp.abs(throughput)) > 0.0)
+
+        # ---- russian roulette ----
+        rp = vo.max3(jnp.abs(throughput))
+        u_rr, smp = smp.next_1d()
+        do_rr = (bounce > 2) & (rp < 0.1)
+        survive = u_rr < rp
+        throughput = jnp.where(
+            (do_rr & survive & alive)[..., None],
+            throughput / jnp.maximum(rp, 1e-30)[..., None],
+            throughput,
+        )
+        alive = alive & (~do_rr | survive)
+        cont_alive = alive & (bounce + 1 < meta.max_bounces)
+
+        # ---- ONE merged intersect: [shadow | mis | continuation] ----
+        o_new = vp
+        near_cont = jnp.where(scattered, 0.0, DEFAULT_EPSILON)
+        if do_nee:
+            near_nee = jnp.where(scattered, 0.0, DEFAULT_EPSILON)
+            o3 = jnp.concatenate([vp, vp, o_new])
+            d3 = jnp.concatenate([nee["ls"].d, nee["wo_mis"], wo_w])
+            near3 = jnp.concatenate([near_nee, near_nee, near_cont])
+            far3 = jnp.concatenate(
+                [shadow_far, mis_far, jnp.where(cont_alive, INF, 0.0)]
+            )
+            h3 = _intersect(scene, o3, d3, near3, far3)
+            h_shadow = isect.Hit(t=h3.t[:n], prim=h3.prim[:n], u=h3.u[:n], v=h3.v[:n])
+            h_mis = isect.Hit(
+                t=h3.t[n : 2 * n], prim=h3.prim[n : 2 * n],
+                u=h3.u[n : 2 * n], v=h3.v[n : 2 * n],
+            )
+            h_cont = isect.Hit(
+                t=h3.t[2 * n :], prim=h3.prim[2 * n :],
+                u=h3.u[2 * n :], v=h3.v[2 * n :],
+            )
+            contrib = _unified_nee_finish(scene, nee, h_shadow, h_mis, medium, scattered)
+            emission = emission + jnp.where(
+                nee_gate[..., None], throughput_vertex * contrib, 0.0
+            )
+        else:
+            h_cont = _intersect(
+                scene, o_new, wo_w, near_cont, jnp.where(cont_alive, INF, 0.0)
+            )
+
+        new_state = dict(
+            o=o_new,
+            d=wo_w,
+            pix=s["pix"],
+            hit_t=h_cont.t,
+            hit_prim=h_cont.prim,
+            hit_u=h_cont.u,
+            hit_v=h_cont.v,
+            throughput=throughput,
+            emission=emission,
+            alive=alive,
+            was_specular=was_specular,
+            medium=medium,
+            first_scatter=first_scatter,
+            med_bounce=med_bounce,
+            bounce=bounce + 1,
+            base_dim=s["base_dim"],
+            seed=s["seed"],
+            lane_id=s["lane_id"],
+        )
+        if meta.aovs:
+            new_state.update(
+                aov_recorded=s["aov_recorded"],
+                aov_depth=s["aov_depth"],
+                aov_dist=s["aov_dist"],
+                aov_normal=s["aov_normal"],
+                aov_albedo=s["aov_albedo"],
+            )
+        return new_state
+
+    final = jax.lax.while_loop(cond, body, state)
+    rad = jnp.zeros((n, 3), jnp.float32).at[final["pix"]].set(final["emission"])
+    rad = jnp.where(jnp.isfinite(rad), rad, 0.0)
+    if meta.aovs:
+        pixf = final["pix"]
+        aux = dict(
+            depth=jnp.zeros((n,)).at[pixf].set(final["aov_depth"]),
+            normal=jnp.zeros((n, 3)).at[pixf].set(final["aov_normal"]),
+            albedo=jnp.zeros((n, 3)).at[pixf].set(final["aov_albedo"]),
+        )
+        return rad, aux
+    return rad
 
 
 @partial(jax.jit, static_argnames=("n_passes",))
@@ -438,8 +874,13 @@ def trace_batch(scene: FlatScene, seed, lane_base, px, py, pass_start, n_passes=
 
 @jax.jit
 def trace_pass(scene: FlatScene, seed, lane_ids, px, py):
-    """Trace one sample for each lane. Returns radiance (N, 3)."""
+    """Trace one sample for each lane. Returns radiance (N, 3).
+
+    Dispatches to the merged-intersect fast path unless the scene has
+    forward-lobed materials (which need the crossing-walk NEE)."""
     meta = scene.meta
+    if not meta.has_forward:
+        return _trace_pass_fast(scene, seed, lane_ids, px, py)
     n = px.shape[0]
     sampler = Sampler.create(seed, lane_ids)
 
