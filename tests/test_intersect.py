@@ -98,3 +98,40 @@ def test_any_hit_mode(rng):
     nearest = intersect_bvh(soa, tris, o, d, jnp.full((n,), 1e-4), jnp.full((n,), INF))
     anyh = intersect_bvh(soa, tris, o, d, jnp.full((n,), 1e-4), jnp.full((n,), INF), any_hit=True)
     np.testing.assert_array_equal(np.asarray(nearest.prim >= 0), np.asarray(anyh.prim >= 0))
+
+
+def test_native_bvh_matches_bruteforce(rng):
+    from tungsten_tpu.accel.bvh import build_bvh_native
+
+    v0, e1, e2 = random_scene(rng, 500)
+    p1, p2 = v0 + e1, v0 + e2
+    bmin = np.minimum(np.minimum(v0, p1), p2)
+    bmax = np.maximum(np.maximum(v0, p1), p2)
+    bvh = build_bvh_native(bmin, bmax)
+    assert bvh is not None, "native builder not available (run make -C native)"
+    perm = bvh.prim_order
+    tris = TriangleSoA(
+        v0=jnp.asarray(v0[perm]), e1=jnp.asarray(e1[perm]), e2=jnp.asarray(e2[perm])
+    )
+    soa = pack_bvh(
+        BvhSoA(
+            node_min=jnp.asarray(bvh.node_min),
+            node_max=jnp.asarray(bvh.node_max),
+            first=jnp.asarray(bvh.first),
+            count=jnp.asarray(bvh.count),
+            skip=jnp.asarray(bvh.skip),
+        ),
+        tris,
+    )
+    n = 2048
+    o = rng.uniform(-4, 4, (n, 3)).astype(np.float32)
+    d = rng.normal(0, 1, (n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    tnear = jnp.full((n,), 1e-4)
+    tfar = jnp.full((n,), INF)
+    hb = intersect_brute(tris, o, d, tnear, tfar)
+    hv = intersect_bvh(soa, tris, o, d, tnear, tfar)
+    np.testing.assert_array_equal(np.asarray(hb.prim >= 0), np.asarray(hv.prim >= 0))
+    m = np.asarray(hb.prim >= 0)
+    np.testing.assert_allclose(np.asarray(hb.t)[m], np.asarray(hv.t)[m], rtol=1e-4)

@@ -204,10 +204,92 @@ def build_bvh_cached(bb_min: np.ndarray, bb_max: np.ndarray, leaf_size: int = LE
     if os.path.exists(path):
         z = np.load(path)
         return BvhArrays(**{k: z[k] for k in z.files})
-    bvh = build_bvh(bb_min, bb_max, leaf_size)
+    bvh = build_bvh_native(bb_min, bb_max, leaf_size)
+    if bvh is None:
+        bvh = build_bvh(bb_min, bb_max, leaf_size)
     os.makedirs(_CACHE_DIR, exist_ok=True)
     tmp = path + f".tmp{os.getpid()}"
     with open(tmp, "wb") as f:
         np.savez(f, **bvh.__dict__)
     os.replace(tmp, path)
     return bvh
+
+
+# ---------------------------------------------------------------------------
+# Native (C++) builder: same flat skip-pointer contract, ~100x faster host
+# build for large meshes. Falls back to the numpy builder when the shared
+# library hasn't been built (make -C native).
+# ---------------------------------------------------------------------------
+
+_NATIVE = None
+
+
+def _load_native():
+    global _NATIVE
+    if _NATIVE is not None:
+        return _NATIVE
+    import ctypes
+
+    lib_path = os.path.join(
+        os.path.dirname(__file__), "..", "..", "native", "libtungsten_native.so"
+    )
+    try:
+        lib = ctypes.CDLL(os.path.abspath(lib_path))
+        fn = lib.tungsten_build_bvh
+        fn.restype = ctypes.c_int32
+        fn.argtypes = [
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        _NATIVE = fn
+    except OSError:
+        _NATIVE = False
+    return _NATIVE
+
+
+def build_bvh_native(bb_min: np.ndarray, bb_max: np.ndarray, leaf_size: int = LEAF_SIZE):
+    """C++ binned-SAH build (native/bvh_builder.cpp); None if unavailable."""
+    import ctypes
+
+    fn = _load_native()
+    if not fn:
+        return None
+    n = len(bb_min)
+    if n == 0:
+        return build_bvh(bb_min, bb_max, leaf_size)
+    bb_min = np.ascontiguousarray(bb_min, np.float32)
+    bb_max = np.ascontiguousarray(bb_max, np.float32)
+    cap = 2 * n
+    node_min = np.empty((cap, 3), np.float32)
+    node_max = np.empty((cap, 3), np.float32)
+    first = np.empty(cap, np.int32)
+    count = np.empty(cap, np.int32)
+    skip = np.empty(cap, np.int32)
+    order = np.empty(n, np.int32)
+
+    def ptr(a, t):
+        return a.ctypes.data_as(ctypes.POINTER(t))
+
+    m = fn(
+        ptr(bb_min, ctypes.c_float), ptr(bb_max, ctypes.c_float),
+        np.int32(n), np.int32(leaf_size),
+        ptr(node_min, ctypes.c_float), ptr(node_max, ctypes.c_float),
+        ptr(first, ctypes.c_int32), ptr(count, ctypes.c_int32),
+        ptr(skip, ctypes.c_int32), ptr(order, ctypes.c_int32),
+    )
+    return BvhArrays(
+        node_min=node_min[:m].copy(),
+        node_max=node_max[:m].copy(),
+        first=first[:m].copy(),
+        count=count[:m].copy(),
+        skip=skip[:m].copy(),
+        prim_order=order,
+    )
