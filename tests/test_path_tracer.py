@@ -146,3 +146,26 @@ def test_light_tracer_matches_path_tracer():
     m_pt = img_pt[mask].mean(0)
     m_lt = img_lt[mask].mean(0)
     np.testing.assert_allclose(m_lt, m_pt, rtol=0.06)
+
+
+def test_bdpt_matches_path_tracer():
+    """BDPT (all (s,t) techniques, MIS-combined) and PT must agree."""
+    import json
+
+    from tungsten_tpu.renderer.render import render_bdpt
+
+    with open("/root/reference/data/example-scenes/cornell-box/scene.json") as f:
+        raw = json.load(f)
+    raw["camera"]["resolution"] = [32, 24]
+    raw["integrator"]["max_bounces"] = 5
+
+    doc = parse_scene(raw, path="/root/reference/data/example-scenes/cornell-box/scene.json")
+    scene = flatten_scene(doc)
+    img_pt = render_flat(scene, spp=256, seed=31)
+    img_bd = render_bdpt(scene, spp=128, seed=32)
+    mask = (img_pt.max(-1) < 0.5) & (img_pt.max(-1) > 0.01)
+    # robust per-pixel ratio (the mean is dominated by a few high-variance
+    # pixels adjacent to the emitter)
+    r = img_bd[mask] / np.maximum(img_pt[mask], 1e-9)
+    np.testing.assert_allclose(np.median(r, axis=0), 1.0, atol=0.03)
+    np.testing.assert_allclose(img_bd[mask].mean(0), img_pt[mask].mean(0), rtol=0.05)

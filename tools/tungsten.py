@@ -120,7 +120,15 @@ def main():
                         save_image(outpath(hdr_file), img)
                 return out
 
-            if itype == "light_tracer":
+            if itype == "bidirectional_path_tracer":
+                from tungsten_tpu.renderer.render import render_bdpt
+
+                hdr = render_bdpt(scene, spp=args.spp, seed=args.seed, verbose=not args.quiet)
+                out = args.output or doc.renderer.get("output_file", "TungstenRender.png")
+                out = outpath(out)
+                ldr = np.clip(np.asarray(tonemap(meta.tonemap, jnp.asarray(hdr))), 0, 1)
+                save_image(out, ldr)
+            elif itype == "light_tracer":
                 hdr = render_light_traced(scene, spp=args.spp, seed=args.seed)
                 out = args.output or doc.renderer.get("output_file", "TungstenRender.png")
                 out = outpath(out)

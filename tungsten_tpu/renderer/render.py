@@ -217,3 +217,29 @@ def render_light_traced(scene: FlatScene, spp=None, seed=DEFAULT_SEED, verbose=F
     # E[splat_j per light path] = I_j  =>  normalize by total path count
     img = np.asarray(acc).reshape(h, w, 3) / (spp * float(n))
     return img
+
+
+def render_bdpt(scene: FlatScene, spp=None, seed=DEFAULT_SEED, verbose=False):
+    """BDPT render: eye-path techniques accumulate per pixel; t=1 techniques
+    splat (normalized per light path, BidirectionalPathTracer.cpp:21-68)."""
+    from ..integrators.bdpt import trace_bdpt_pass
+
+    meta = scene.meta
+    spp = spp if spp is not None else meta.spp
+    w, h = meta.res_x, meta.res_y
+    n = w * h
+    px = jnp.tile(jnp.arange(w, dtype=jnp.int32), h)
+    py = jnp.repeat(jnp.arange(h, dtype=jnp.int32), w)
+    lane_ids = jnp.arange(n, dtype=jnp.uint32)
+    eye_acc = None
+    splat_acc = None
+    for s in range(spp):
+        pass_seed = jnp.array([seed & 0xFFFFFFFF, 0x20000 + s], jnp.uint32)
+        eye, splat = trace_bdpt_pass(scene, pass_seed, lane_ids, px, py)
+        eye_acc = eye if eye_acc is None else eye_acc + eye
+        splat_acc = splat if splat_acc is None else splat_acc + splat
+        if verbose and (s + 1) % 8 == 0:
+            print(f"  bdpt spp {s + 1}/{spp}")
+    img = np.asarray(eye_acc).reshape(h, w, 3) / spp
+    img = img + np.asarray(splat_acc).reshape(h, w, 3) / (spp * float(n))
+    return img
