@@ -169,3 +169,26 @@ def test_bdpt_matches_path_tracer():
     r = img_bd[mask] / np.maximum(img_pt[mask], 1e-9)
     np.testing.assert_allclose(np.median(r, axis=0), 1.0, atol=0.03)
     np.testing.assert_allclose(img_bd[mask].mean(0), img_pt[mask].mean(0), rtol=0.05)
+
+
+def test_sppm_matches_path_tracer():
+    """SPPM converges to the PT image (small radius, enough photons).
+    The density estimate has O(r) bias so tolerance is looser."""
+    import json
+
+    from tungsten_tpu.renderer.render import render_sppm
+
+    with open("/root/reference/data/example-scenes/cornell-box/scene.json") as f:
+        raw = json.load(f)
+    raw["camera"]["resolution"] = [32, 24]
+    raw["integrator"]["max_bounces"] = 4
+
+    doc = parse_scene(raw, path="/root/reference/data/example-scenes/cornell-box/scene.json")
+    scene = flatten_scene(doc)
+    img_pt = render_flat(scene, spp=128, seed=41)
+    img_pm = render_sppm(scene, spp=6, seed=42, photons_per_iter=1 << 16,
+                         initial_radius=0.06)
+    mask = (img_pt.max(-1) < 0.5) & (img_pt.max(-1) > 0.02)
+    r = img_pm[mask] / np.maximum(img_pt[mask], 1e-9)
+    med = np.median(r, axis=0)
+    np.testing.assert_allclose(med, 1.0, atol=0.12)

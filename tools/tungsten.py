@@ -120,7 +120,20 @@ def main():
                         save_image(outpath(hdr_file), img)
                 return out
 
-            if itype == "bidirectional_path_tracer":
+            if itype in ("photon_map", "progressive_photon_map"):
+                from tungsten_tpu.renderer.render import render_sppm
+
+                pm = doc.integrator
+                hdr = render_sppm(
+                    scene, spp=args.spp, seed=args.seed,
+                    photons_per_iter=min(int(pm.get("photon_count", 1 << 18)), 1 << 20),
+                    alpha=float(pm.get("alpha", 0.3)),
+                    verbose=not args.quiet,
+                )
+                out = outpath(args.output or doc.renderer.get("output_file", "TungstenRender.png"))
+                ldr = np.clip(np.asarray(tonemap(meta.tonemap, jnp.asarray(hdr))), 0, 1)
+                save_image(out, ldr)
+            elif itype == "bidirectional_path_tracer":
                 from tungsten_tpu.renderer.render import render_bdpt
 
                 hdr = render_bdpt(scene, spp=args.spp, seed=args.seed, verbose=not args.quiet)

@@ -243,3 +243,49 @@ def render_bdpt(scene: FlatScene, spp=None, seed=DEFAULT_SEED, verbose=False):
     img = np.asarray(eye_acc).reshape(h, w, 3) / spp
     img = img + np.asarray(splat_acc).reshape(h, w, 3) / (spp * float(n))
     return img
+
+
+def render_sppm(
+    scene: FlatScene,
+    spp=None,
+    seed=DEFAULT_SEED,
+    photons_per_iter=1 << 18,
+    initial_radius=None,
+    alpha=0.3,
+    verbose=False,
+):
+    """Stochastic progressive photon mapping: per iteration one photon pass
+    (hash-grid build) + one camera gather pass; radius shrinks per
+    ProgressivePhotonMapIntegrator.cpp:58-76 (r_{i+1}^2 = r_i^2 (i+a)/(i+1))."""
+    from ..integrators.photon_map import build_photon_grid, gather_pass, trace_photons
+
+    meta = scene.meta
+    iters = spp if spp is not None else meta.spp
+    w, h = meta.res_x, meta.res_y
+    n = w * h
+    px = jnp.tile(jnp.arange(w, dtype=jnp.int32), h)
+    py = jnp.repeat(jnp.arange(h, dtype=jnp.int32), w)
+    if initial_radius is None:
+        # scene-bbox heuristic (the reference derives it from gatherRadius)
+        ext = np.asarray(scene.bvh.node_max[0] - scene.bvh.node_min[0])
+        initial_radius = float(np.linalg.norm(ext)) * 5e-3
+    r2 = initial_radius * initial_radius
+    acc = None
+    k_ph = min(meta.max_bounces, 6)
+    for it in range(iters):
+        seed_ph = jnp.array([seed & 0xFFFFFFFF, 0x30000 + it], jnp.uint32)
+        lane_ph = jnp.arange(photons_per_iter, dtype=jnp.uint32)
+        pos, power, wi, valid = trace_photons(scene, seed_ph, lane_ph, k_max=k_ph)
+        radius = float(np.sqrt(r2))
+        pack, starts, counts = build_photon_grid(pos, power, wi, valid, radius)
+        seed_cam = jnp.array([seed & 0xFFFFFFFF, 0x40000 + it], jnp.uint32)
+        lane_cam = jnp.arange(n, dtype=jnp.uint32)
+        img = gather_pass(
+            scene, seed_cam, lane_cam, px, py, pack, starts, counts,
+            jnp.float32(radius), jnp.float32(photons_per_iter),
+        )
+        acc = img if acc is None else acc + img
+        r2 = r2 * (it + 1 + alpha) / (it + 2)
+        if verbose:
+            print(f"  sppm iter {it + 1}/{iters} r={radius:.4f}")
+    return np.asarray(acc).reshape(h, w, 3) / iters
