@@ -192,3 +192,25 @@ def test_sppm_matches_path_tracer():
     r = img_pm[mask] / np.maximum(img_pt[mask], 1e-9)
     med = np.median(r, axis=0)
     np.testing.assert_allclose(med, 1.0, atol=0.12)
+
+
+def test_kelemen_mlt_matches_path_tracer():
+    """PSSMLT (parallel Kelemen chains, expected-value splatting) converges
+    to the PT image. The luminance-scale estimate makes the global scale
+    noisy at test sample counts, so the tolerance is loose."""
+    import json
+
+    from tungsten_tpu.integrators.kelemen import render_kelemen
+
+    with open("/root/reference/data/example-scenes/cornell-box/scene.json") as f:
+        raw = json.load(f)
+    raw["camera"]["resolution"] = [32, 24]
+    raw["integrator"]["max_bounces"] = 4
+
+    doc = parse_scene(raw, path="/root/reference/data/example-scenes/cornell-box/scene.json")
+    scene = flatten_scene(doc)
+    img_pt = render_flat(scene, spp=96, seed=51)
+    img_mlt = render_kelemen(scene, spp=96, seed=52, n_chains=4096, bootstrap_factor=8)
+    mask = img_pt.max(-1) > 0.01
+    ratio = img_mlt[mask].mean(0) / img_pt[mask].mean(0)
+    np.testing.assert_allclose(ratio, 1.0, atol=0.15)

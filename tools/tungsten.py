@@ -120,7 +120,18 @@ def main():
                         save_image(outpath(hdr_file), img)
                 return out
 
-            if itype in ("photon_map", "progressive_photon_map"):
+            if itype == "kelemen_mlt":
+                from tungsten_tpu.integrators.kelemen import render_kelemen
+
+                hdr = render_kelemen(
+                    scene, spp=args.spp, seed=args.seed,
+                    p_large=float(doc.integrator.get("large_step_probability", 0.1)),
+                    verbose=not args.quiet,
+                )
+                out = outpath(args.output or doc.renderer.get("output_file", "TungstenRender.png"))
+                ldr = np.clip(np.asarray(tonemap(meta.tonemap, jnp.asarray(hdr))), 0, 1)
+                save_image(out, ldr)
+            elif itype in ("photon_map", "progressive_photon_map"):
                 from tungsten_tpu.renderer.render import render_sppm
 
                 pm = doc.integrator

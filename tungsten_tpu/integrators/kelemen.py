@@ -1,0 +1,186 @@
+"""Kelemen-style primary-sample-space MLT (PSSMLT).
+
+Mirror of src/core/integrators/kelemen_mlt/ (MetropolisSampler.hpp:14-160,
+KelemenMltIntegrator.cpp bootstrap :69-124, KelemenMltTracer chain loop
+:103-146 with expected-value splatting :116-138), in the path-traced variant
+(settings "bidirectional": false — the reference supports both).
+
+TPU design (SURVEY.md §7): thousands of *parallel* Markov chains, one
+mutation step per wavefront dispatch. Chain state is the primary-sample
+table (N, D, 2) consumed by the table-driven Sampler; mutations are the
+Kelemen large-step/small-step kernels applied to the whole table at once.
+Bootstrap luminances seed the chains proportionally and set the luminance
+scale b; contributions splat with expected-value weights (1-a) / a.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..sampling import Sampler
+from ..sampling.sampler import pcg4d, _to_unit_float
+from ..scene.flatten import FlatScene
+from .light_tracer import splat_filtered
+from .path_tracer import DIMS_PER_BOUNCE, trace_pass
+
+S1 = 1.0 / 1024.0  # Kelemen mutation sizes (MetropolisSampler.hpp)
+S2 = 1.0 / 64.0
+
+
+def _table_dims(meta):
+    return 5 + DIMS_PER_BOUNCE * min(meta.max_bounces, 12)
+
+
+def _luminance(rgb):
+    return rgb[..., 0] * 0.2126 + rgb[..., 1] * 0.7152 + rgb[..., 2] * 0.0722
+
+
+def _rand(shape, seed0, seed1, salt):
+    """Stateless uniform grid for the driver's own decisions."""
+    n = int(np.prod(shape))
+    i = jax.lax.broadcasted_iota(jnp.uint32, (n, 1), 0)[:, 0]
+    r0, r1, _, _ = pcg4d(
+        i, jnp.full((n,), salt, jnp.uint32),
+        jnp.broadcast_to(seed0, (n,)), jnp.broadcast_to(seed1, (n,)),
+    )
+    return _to_unit_float(r0).reshape(shape), _to_unit_float(r1).reshape(shape)
+
+
+def _mutate_small(table, u_dir, u_mag):
+    """Kelemen small-step kernel: du = s2 * exp(-log(s2/s1) * xi), sign from
+    a second uniform, wrap to [0, 1) (MetropolisSampler::mutate :43)."""
+    mag0 = S2 * jnp.exp(-jnp.log(S2 / S1) * u_mag[..., 0])
+    mag1 = S2 * jnp.exp(-jnp.log(S2 / S1) * u_mag[..., 1])
+    d0 = jnp.where(u_dir[..., 0] < 0.5, mag0, -mag0)
+    d1 = jnp.where(u_dir[..., 1] < 0.5, mag1, -mag1)
+    out = table + jnp.stack([d0, d1], axis=-1)
+    return out - jnp.floor(out)
+
+
+def _eval(scene, table, lane_ids, seed):
+    """Trace the paths encoded by the table; returns (rad, px, py, pixel_f)."""
+    meta = scene.meta
+    w, h = meta.res_x, meta.res_y
+    u_pix = table[:, 0, :]
+    px = jnp.minimum((u_pix[:, 0] * w).astype(jnp.int32), w - 1)
+    py = jnp.minimum((u_pix[:, 1] * h).astype(jnp.int32), h - 1)
+    rad = trace_pass(scene, seed, lane_ids, px, py, table)
+    if isinstance(rad, tuple):
+        rad = rad[0]
+    pixel_f = jnp.stack([px + 0.5, py + 0.5], axis=-1)
+    return rad, pixel_f
+
+
+@partial(jax.jit, static_argnames=())
+def mlt_step(scene: FlatScene, state, lane_ids, seed, step_idx, p_large, b):
+    """One Metropolis mutation for all chains + expected-value splats."""
+    meta = scene.meta
+    table = state["table"]
+    n, dims, _ = table.shape
+
+    s0 = seed[0] ^ jnp.uint32(0xDEADBEEF)  # decorrelate from trace draws
+    u_large, _ = _rand((n,), s0, seed[1], jnp.uint32(step_idx) * 4 + 0)
+    ud0, ud1 = _rand((n, dims), s0, seed[1], jnp.uint32(step_idx) * 4 + 1)
+    um0, um1 = _rand((n, dims), s0, seed[1], jnp.uint32(step_idx) * 4 + 2)
+    fresh = jnp.stack([ud0, um0], axis=-1)  # reuse as fresh uniforms
+
+    large = u_large < p_large
+    small = _mutate_small(table, jnp.stack([ud0, um0], -1), jnp.stack([ud1, um1], -1))
+    proposal = jnp.where(large[:, None, None], fresh, small)
+
+    rad_p, pix_p = _eval(scene, proposal, lane_ids, seed)
+    lum_p = _luminance(rad_p)
+
+    a = jnp.clip(lum_p / jnp.maximum(state["lum"], 1e-20), 0.0, 1.0)
+
+    # expected-value splats (KelemenMltTracer.cpp:116-138)
+    w_cur = (1.0 - a) * b / jnp.maximum(state["lum"], 1e-20)
+    w_prop = a * b / jnp.maximum(lum_p, 1e-20)
+    buf = state["splat"]
+    buf = splat_filtered(
+        buf, state["pix"], state["rad"] * w_cur[:, None],
+        state["lum"] > 0, meta.res_x, meta.res_y,
+    )
+    buf = splat_filtered(
+        buf, pix_p, rad_p * w_prop[:, None], lum_p > 0, meta.res_x, meta.res_y
+    )
+
+    u_acc, _ = _rand((n,), s0, seed[1], jnp.uint32(step_idx) * 4 + 3)
+    accept = u_acc < a
+    return dict(
+        table=jnp.where(accept[:, None, None], proposal, table),
+        rad=jnp.where(accept[:, None], rad_p, state["rad"]),
+        lum=jnp.where(accept, lum_p, state["lum"]),
+        pix=jnp.where(accept[:, None], pix_p, state["pix"]),
+        splat=buf,
+    )
+
+
+def render_kelemen(
+    scene: FlatScene,
+    spp=None,
+    seed=0xBA5EBA11,
+    n_chains=1 << 14,
+    p_large=0.1,
+    bootstrap_factor=16,
+    verbose=False,
+):
+    """Full PSSMLT render. Total mutations = spp * W * H."""
+    meta = scene.meta
+    spp = spp if spp is not None else meta.spp
+    w, h = meta.res_x, meta.res_y
+    dims = _table_dims(meta)
+    lane_ids = jnp.arange(n_chains, dtype=jnp.uint32)
+    seed_arr = jnp.array([seed & 0xFFFFFFFF, 0x50000], jnp.uint32)
+
+    # ---- bootstrap: fresh tables, luminance scale, seed selection ----
+    n_boot = n_chains * bootstrap_factor
+    boot_lums = []
+    boot_tables = []
+    for i in range(bootstrap_factor):
+        u0, u1 = _rand((n_chains, dims), seed_arr[0] ^ jnp.uint32(0xDEADBEEF), seed_arr[1], jnp.uint32(0x7F000 + i))
+        tbl = jnp.stack([u0, u1], axis=-1)
+        rad, pix = _eval(scene, tbl, lane_ids, seed_arr)
+        boot_lums.append(_luminance(rad))
+        boot_tables.append((tbl, rad, pix))
+    lums = jnp.concatenate(boot_lums)
+    b = float(jnp.mean(lums))
+    if b <= 0:
+        return np.zeros((h, w, 3), np.float32)
+    # luminance-proportional seed selection (KelemenMltIntegrator :102-124)
+    p = np.asarray(lums, np.float64)
+    p = p / p.sum()
+    rng = np.random.default_rng(seed)
+    sel = rng.choice(len(p), size=n_chains, p=p)
+    which = sel // n_chains
+    idx = sel % n_chains
+    # vectorized gather of the selected seeds
+    tables = jnp.stack([bt[0] for bt in boot_tables])  # (F, N, D, 2)
+    rads = jnp.stack([bt[1] for bt in boot_tables])
+    pixs = jnp.stack([bt[2] for bt in boot_tables])
+    table = tables[which, idx]
+    rad = rads[which, idx]
+    pix = pixs[which, idx]
+
+    state = dict(
+        table=table,
+        rad=rad,
+        lum=_luminance(rad),
+        pix=pix,
+        splat=jnp.zeros((w * h, 3), jnp.float32),
+    )
+
+    total_mutations = spp * w * h
+    steps = max(1, total_mutations // n_chains)
+    for it in range(steps):
+        state = mlt_step(
+            scene, state, lane_ids, seed_arr, jnp.uint32(it),
+            jnp.float32(p_large), jnp.float32(b),
+        )
+        if verbose and (it + 1) % 32 == 0:
+            print(f"  mlt step {it + 1}/{steps}")
+    img = np.asarray(state["splat"]).reshape(h, w, 3) / (steps * n_chains)
+    return img * (w * h)

@@ -565,13 +565,15 @@ def _unified_nee_finish(scene, data, h_shadow, h_mis, medium, scattered):
     return jnp.where(data["skip"][..., None], 0.0, total)
 
 
-def _trace_pass_fast(scene: FlatScene, seed, lane_ids, px, py):
+def _trace_pass_fast(scene: FlatScene, seed, lane_ids, px, py, table=None):
     """Fast-path wavefront PT (no forward-lobed materials): one merged
     3N-lane intersect per bounce carries the shadow, MIS, and continuation
     rays together — a single lockstep traversal instead of three."""
     meta = scene.meta
     n = px.shape[0]
-    sampler = Sampler.create(seed, lane_ids)
+    sampler = Sampler.create(seed, lane_ids, table)
+    if table is not None:
+        sampler = sampler.skip(1)  # table slot 0 is the MLT pixel position
 
     u_cam, sampler = sampler.next_2d()
     u_lens, sampler = sampler.next_2d()
@@ -612,7 +614,7 @@ def _trace_pass_fast(scene: FlatScene, seed, lane_ids, px, py):
 
     def body(s):
         bounce = s["bounce"]
-        smp = Sampler(s["seed"], s["lane_id"], s["base_dim"] + bounce * DIMS_PER_BOUNCE)
+        smp = Sampler(s["seed"], s["lane_id"], s["base_dim"] + bounce * DIMS_PER_BOUNCE, table)
         o, d, alive = s["o"], s["d"], s["alive"]
         throughput, emission = s["throughput"], s["emission"]
         was_specular = s["was_specular"]
@@ -873,14 +875,15 @@ def trace_batch(scene: FlatScene, seed, lane_base, px, py, pass_start, n_passes=
 
 
 @jax.jit
-def trace_pass(scene: FlatScene, seed, lane_ids, px, py):
+def trace_pass(scene: FlatScene, seed, lane_ids, px, py, table=None):
     """Trace one sample for each lane. Returns radiance (N, 3).
 
     Dispatches to the merged-intersect fast path unless the scene has
-    forward-lobed materials (which need the crossing-walk NEE)."""
+    forward-lobed materials (which need the crossing-walk NEE).
+    table: optional MLT primary-sample table (see Sampler)."""
     meta = scene.meta
     if not meta.has_forward:
-        return _trace_pass_fast(scene, seed, lane_ids, px, py)
+        return _trace_pass_fast(scene, seed, lane_ids, px, py, table)
     n = px.shape[0]
     sampler = Sampler.create(seed, lane_ids)
 
@@ -919,7 +922,7 @@ def trace_pass(scene: FlatScene, seed, lane_ids, px, py):
 
     def body(s):
         bounce = s["bounce"]
-        smp = Sampler(s["seed"], s["lane_id"], s["base_dim"] + bounce * DIMS_PER_BOUNCE)
+        smp = Sampler(s["seed"], s["lane_id"], s["base_dim"] + bounce * DIMS_PER_BOUNCE, table)
         o, d, alive = s["o"], s["d"], s["alive"]
         throughput, emission = s["throughput"], s["emission"]
         was_specular = s["was_specular"]

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 from flax.struct import dataclass as pytree
 
@@ -64,18 +65,23 @@ class Sampler:
     seed:     (2,) uint32 — render seed (e.g. folded from 0xBA5EBA11 + pass).
     lane_id:  (N,) uint32 — globally unique lane ids (stable under sharding).
     dim:      ()   int32  — next dimension to consume (traced).
+    table:    optional (N, D, 2) float32 primary-sample table — when present,
+              draws read table[:, dim] instead of hashing (the MLT
+              WritablePathSampleGenerator analog: mutations edit the table,
+              replay is exact). Dims beyond D fall back to the hash.
     """
 
     seed: jnp.ndarray
     lane_id: jnp.ndarray
     dim: jnp.ndarray
+    table: jnp.ndarray = None
 
     @staticmethod
-    def create(seed, lane_ids: jnp.ndarray) -> "Sampler":
+    def create(seed, lane_ids: jnp.ndarray, table=None) -> "Sampler":
         if isinstance(seed, int):
             seed = jnp.array([seed & 0xFFFFFFFF, (seed >> 32) & 0xFFFFFFFF], jnp.uint32)
         seed = jnp.asarray(seed).astype(jnp.uint32).reshape(2)
-        return Sampler(seed=seed, lane_id=lane_ids.astype(jnp.uint32), dim=jnp.int32(0))
+        return Sampler(seed=seed, lane_id=lane_ids.astype(jnp.uint32), dim=jnp.int32(0), table=table)
 
     def _draw(self):
         d = self.dim.astype(jnp.uint32)
@@ -85,16 +91,24 @@ class Sampler:
             jnp.broadcast_to(self.seed[0], self.lane_id.shape),
             jnp.broadcast_to(self.seed[1], self.lane_id.shape),
         )
-        return r0, r1
+        u0, u1 = _to_unit_float(r0), _to_unit_float(r1)
+        if self.table is not None:
+            dmax = self.table.shape[1]
+            idx = jnp.clip(self.dim, 0, dmax - 1)
+            row = jax.lax.dynamic_slice_in_dim(self.table, idx, 1, axis=1)[:, 0]
+            in_table = self.dim < dmax
+            u0 = jnp.where(in_table, row[:, 0], u0)
+            u1 = jnp.where(in_table, row[:, 1], u1)
+        return u0, u1
 
     def next_1d(self) -> Tuple[jnp.ndarray, "Sampler"]:
-        r0, _ = self._draw()
-        return _to_unit_float(r0), Sampler(self.seed, self.lane_id, self.dim + 1)
+        u0, _ = self._draw()
+        return u0, Sampler(self.seed, self.lane_id, self.dim + 1, self.table)
 
     def next_2d(self) -> Tuple[jnp.ndarray, "Sampler"]:
-        r0, r1 = self._draw()
-        u = jnp.stack([_to_unit_float(r0), _to_unit_float(r1)], axis=-1)
-        return u, Sampler(self.seed, self.lane_id, self.dim + 1)
+        u0, u1 = self._draw()
+        u = jnp.stack([u0, u1], axis=-1)
+        return u, Sampler(self.seed, self.lane_id, self.dim + 1, self.table)
 
     def next_bool(self, p) -> Tuple[jnp.ndarray, "Sampler"]:
         """Bernoulli(p) per lane (PathSampleGenerator::nextBoolean)."""
@@ -108,4 +122,4 @@ class Sampler:
     def skip(self, n) -> "Sampler":
         """Advance the dimension counter; keeps lax.while bounce iterations
         consuming a fixed dimension budget so streams stay aligned."""
-        return Sampler(self.seed, self.lane_id, self.dim + n)
+        return Sampler(self.seed, self.lane_id, self.dim + n, self.table)
