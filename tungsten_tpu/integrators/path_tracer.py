@@ -837,6 +837,24 @@ def _trace_pass_fast(scene: FlatScene, seed, lane_ids, px, py, table=None):
                 aov_normal=s["aov_normal"],
                 aov_albedo=s["aov_albedo"],
             )
+        if n >= 4096:
+            # compaction: dead lanes sink (their tfar=0 rays make whole
+            # Pallas tiles cull every chunk), alive lanes group by octant
+            oct_key = (
+                (wo_w[:, 0] > 0).astype(jnp.int32)
+                + 2 * (wo_w[:, 1] > 0).astype(jnp.int32)
+                + 4 * (wo_w[:, 2] > 0).astype(jnp.int32)
+            )
+            key = jnp.where(alive, oct_key, 8)
+            names_3 = ["o", "d", "throughput", "emission"]
+            names_1 = [
+                "pix", "hit_t", "hit_u", "hit_v", "alive", "was_specular",
+                "medium", "first_scatter", "med_bounce", "lane_id", "hit_prim",
+            ]
+            if meta.aovs:
+                names_3 += ["aov_normal", "aov_albedo"]
+                names_1 += ["aov_recorded", "aov_depth", "aov_dist"]
+            new_state = _compact_sort(key, new_state, tuple(names_3), tuple(names_1))
         return new_state
 
     final = jax.lax.while_loop(cond, body, state)
