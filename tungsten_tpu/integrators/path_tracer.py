@@ -43,6 +43,9 @@ from ..scene.flatten import DEFAULT_EPSILON, FlatScene
 
 INF = isect.INF
 DIMS_PER_BOUNCE = 24
+import os as _os
+_NO_COMPACT = _os.environ.get("TUNGSTEN_NO_COMPACT", "") == "1"
+_NO_STRAT = _os.environ.get("TUNGSTEN_NO_STRAT", "") == "1"
 SHADOW_FUDGE = 1.0 - 1e-3  # cf. attenuatedEmission's 1+1e-3 (TraceBase.cpp:155)
 
 
@@ -577,6 +580,11 @@ def _trace_pass_fast(scene: FlatScene, seed, lane_ids, px, py, table=None):
 
     u_cam, sampler = sampler.next_2d()
     u_lens, sampler = sampler.next_2d()
+    if table is None and not _NO_STRAT:
+        # stratified (0,2)-sequence AA over passes (stratified_sampler mode)
+        from ..sampling.sampler import stratified_cam_2d
+
+        u_cam = stratified_cam_2d(sampler.lane_id, seed[1])
     o, d = camera_rays(scene.camera, meta, px, py, u_cam, u_lens)
     hit0 = _intersect(scene, o, d, jnp.full((n,), 1e-4), jnp.full((n,), INF))
 
@@ -837,7 +845,7 @@ def _trace_pass_fast(scene: FlatScene, seed, lane_ids, px, py, table=None):
                 aov_normal=s["aov_normal"],
                 aov_albedo=s["aov_albedo"],
             )
-        if n >= 4096:
+        if n >= 4096 and not _NO_COMPACT:
             # compaction: dead lanes sink (their tfar=0 rays make whole
             # Pallas tiles cull every chunk), alive lanes group by octant
             oct_key = (

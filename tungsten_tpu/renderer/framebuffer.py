@@ -40,10 +40,15 @@ class OutputBuffers:
         self.aov_count = np.zeros(n, np.int64) if aovs else None
         self.passes = 0
 
-    def add_batch(self, rad_sum, n_passes, m, n_pix, aux=None):
+    def add_batch(self, rad_sum, n_passes, m, n_pix, aux=None, pix_map=None):
         """Accumulate one uniform batch: rad_sum is the per-lane SUM over
-        n_passes passes laid out (m * n_pix, 3) with m samples per pixel."""
-        rad = np.asarray(rad_sum, np.float64)[: m * n_pix].reshape(m, n_pix, 3).sum(0)
+        n_passes passes with m samples per pixel. pix_map: lane -> pixel."""
+        rad_lanes = np.asarray(rad_sum, np.float64)[: m * n_pix]
+        if pix_map is None:
+            rad = rad_lanes.reshape(m, n_pix, 3).sum(0)
+        else:
+            rad = np.zeros((n_pix, 3), np.float64)
+            np.add.at(rad, pix_map[: m * n_pix], rad_lanes)
         n_samples = n_passes * m
         self.sum += rad
         self.count += n_samples
@@ -63,8 +68,13 @@ class OutputBuffers:
         if aux:
             for k, v in aux.items():
                 if k in self.aovs:
-                    a = np.asarray(v, np.float64)
-                    a = a[: m * n_pix].reshape(m, n_pix, -1).sum(0)
+                    a = np.asarray(v, np.float64)[: m * n_pix]
+                    if pix_map is None:
+                        a = a.reshape(m, n_pix, -1).sum(0)
+                    else:
+                        acc = np.zeros((n_pix, a.shape[-1] if a.ndim > 1 else 1), np.float64)
+                        np.add.at(acc, pix_map[: m * n_pix], a.reshape(m * n_pix, -1))
+                        a = acc
                     self.aovs[k] += a.reshape(self.aovs[k].shape)
             if self.aov_count is not None:
                 self.aov_count += n_samples

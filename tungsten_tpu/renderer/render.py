@@ -28,10 +28,25 @@ DEFAULT_SEED = 0xBA5EBA11
 ADAPTIVE_THRESHOLD_SPP = 16  # PathTraceIntegrator.hpp:27-29
 
 
+TILE = 16  # lanes ordered in 16x16 image tiles so Pallas ray-tiles are
+# coherent beams and per-chunk AABB culling fires (camera rays especially)
+import os as _os
+_ROWMAJOR = _os.environ.get("TUNGSTEN_ROWMAJOR", "") == "1"
+
+
 def _lane_arrays(meta, m, mesh=None):
     w, h = meta.res_x, meta.res_y
-    px = np.tile(np.tile(np.arange(w, dtype=np.int32), h), m)
-    py = np.tile(np.repeat(np.arange(h, dtype=np.int32), w), m)
+    xs, ys = np.meshgrid(np.arange(w, dtype=np.int32), np.arange(h, dtype=np.int32))
+    if _ROWMAJOR:
+        px1 = xs.ravel()
+        py1 = ys.ravel()
+    else:
+        tile_id = (ys // TILE) * ((w + TILE - 1) // TILE) + (xs // TILE)
+        order = np.argsort(tile_id.ravel(), kind="stable")
+        px1 = xs.ravel()[order]
+        py1 = ys.ravel()[order]
+    px = np.tile(px1, m)
+    py = np.tile(py1, m)
     if mesh is not None:
         from ..parallel.mesh import pad_to_devices
 
@@ -41,7 +56,9 @@ def _lane_arrays(meta, m, mesh=None):
             px = np.concatenate([px, np.zeros(n_pad - len(px), np.int32)])
             py = np.concatenate([py, np.zeros(n_pad - len(py), np.int32)])
     lane = np.arange(len(px), dtype=np.uint32)
-    return px, py, lane
+    # lane -> pixel map for accumulation
+    pix_map = (py.astype(np.int64) * w + px.astype(np.int64))
+    return px, py, lane, pix_map
 
 
 def _place(mesh, lane, px, py):
@@ -88,7 +105,7 @@ def render_buffers(
 
         scene = replicate(mesh, scene)
 
-    px, py, lane = _lane_arrays(meta, m, mesh)
+    px, py, lane, pix_map = _lane_arrays(meta, m, mesh)
     lane_arr, px_arr, py_arr = _place(mesh, lane, px, py)
     seed_arr = jnp.array([seed & 0xFFFFFFFF, 0], jnp.uint32)
 
@@ -123,7 +140,7 @@ def render_buffers(
                 aux_np = {k: np.asarray(v) for k, v in aux.items()}
             else:
                 rad, aux_np = out, None
-            bufs.add_batch(np.asarray(rad), nb, m, n_pix, aux_np)
+            bufs.add_batch(np.asarray(rad), nb, m, n_pix, aux_np, pix_map=pix_map)
             done += nb
         if verbose:
             dt = time.time() - t0

@@ -123,3 +123,50 @@ class Sampler:
         """Advance the dimension counter; keeps lax.while bounce iterations
         consuming a fixed dimension budget so streams stay aligned."""
         return Sampler(self.seed, self.lane_id, self.dim + n, self.table)
+
+
+def sobol02(index):
+    """Kollig-Keller (0,2)-sequence point for a scalar sample index:
+    (van-der-Corput radical inverse, Sobol' second dimension). The TPU
+    stand-in for the reference's SobolPathSampler on the image/lens dims —
+    per-lane Cranley-Patterson rotations decorrelate pixels
+    (SobolPathSampler.hpp:20-23 uses per-pixel scrambles the same way)."""
+    i = jnp.asarray(index, jnp.uint32)
+    # dim 1: bit reversal
+    v = i
+    v = ((v >> 1) & jnp.uint32(0x55555555)) | ((v & jnp.uint32(0x55555555)) << 1)
+    v = ((v >> 2) & jnp.uint32(0x33333333)) | ((v & jnp.uint32(0x33333333)) << 2)
+    v = ((v >> 4) & jnp.uint32(0x0F0F0F0F)) | ((v & jnp.uint32(0x0F0F0F0F)) << 4)
+    v = ((v >> 8) & jnp.uint32(0x00FF00FF)) | ((v & jnp.uint32(0x00FF00FF)) << 8)
+    d1 = (v >> 16) | (v << 16)
+    # dim 2: Sobol' direction-number recurrence (Kollig & Keller Sample02)
+    res = jnp.uint32(0)
+    vdir = jnp.uint32(1 << 31)
+    n = i
+    for _ in range(32):
+        res = jnp.where((n & 1) == 1, res ^ vdir, res)
+        n = n >> 1
+        vdir = vdir ^ (vdir >> 1)
+    return d1, res
+
+
+def stratified_cam_2d(lane_id, pass_index):
+    """Stratified AA sample: (0,2)-sequence over passes + per-lane rotation.
+    The rotation is pass-independent so a pixel's spp samples stratify."""
+    d1, d2 = sobol02(pass_index)
+    r0, r1, _, _ = pcg4d(
+        lane_id,
+        jnp.full(lane_id.shape, 0xC0FFEE, jnp.uint32),
+        jnp.full(lane_id.shape, 0x5EED5EED, jnp.uint32),
+        jnp.full(lane_id.shape, 0x12345678, jnp.uint32),
+    )
+    # Cranley-Patterson rotation in float (wrap)
+    b0 = _to_unit_float(jnp.broadcast_to(d1, lane_id.shape))
+    b1 = _to_unit_float(jnp.broadcast_to(d2, lane_id.shape))
+    o0 = _to_unit_float(r0)
+    o1 = _to_unit_float(r1)
+    u0 = b0 + o0
+    u1 = b1 + o1
+    u0 = u0 - jnp.floor(u0)
+    u1 = u1 - jnp.floor(u1)
+    return jnp.stack([u0, u1], axis=-1)
