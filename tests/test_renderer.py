@@ -69,3 +69,24 @@ def test_checkpoint_resume_roundtrip(tmp_path):
     # mismatched hash: starts fresh
     b3 = render_buffers(scene, spp=8, seed=3, resume_file=f, scene_hash_value="other")
     assert b3.count.max() <= 8
+
+
+def test_denoiser_reduces_noise():
+    from tungsten_tpu.utils.denoise import denoise
+
+    doc = simple_scene(aovs=True)
+    # brute-force transport = high Monte Carlo noise for the denoiser to eat
+    doc.integrator["enable_light_sampling"] = False
+    scene = flatten_scene(doc)
+    noisy_b = render_buffers(scene, spp=8, seed=3)
+    clean = render_flat(scene, spp=768, seed=99)
+    noisy = noisy_b.color()
+    den = denoise(
+        noisy,
+        albedo=noisy_b.aov("albedo"),
+        normal=noisy_b.aov("normal"),
+        depth=noisy_b.aov("depth"),
+    )
+    mse_noisy = float(((noisy - clean) ** 2).mean())
+    mse_den = float(((den - clean) ** 2).mean())
+    assert mse_den < mse_noisy * 0.6, f"denoiser MSE {mse_den} vs noisy {mse_noisy}"
