@@ -2,8 +2,8 @@
 """Benchmark entry point — prints ONE JSON line with the headline metric.
 
 Metric: path-tracing throughput (Mpaths/sec/chip) on the BASELINE.json
-primary config (materialtest at 250x141; falls back to cornell-box while
-materialtest BSDFs are incomplete), measured steady-state (compile excluded).
+primary config (materialtest at 250x141; cornell-box fallback), measured
+steady-state (compile excluded).
 
 Baseline: the C++ reference (embree, SSE4.2) was built in this image and
 measured on the same host (single hardware core):
@@ -62,10 +62,11 @@ def main():
         return
 
     n_pix = scene.meta.res_x * scene.meta.res_y
-    spp_warm, spp_meas = 16, 64
-    render_flat(scene, spp=spp_warm, passes_per_batch=16)  # compile + warm
+    # measured-best wavefront config: 4 samples/lane-pass, 4 fused passes
+    spp_warm, spp_meas, m, ppb = 16, 64, 4, 4
+    render_flat(scene, spp=spp_warm, samples_per_pass=m, passes_per_batch=ppb)
     t0 = time.time()
-    render_flat(scene, spp=spp_meas, passes_per_batch=16)
+    render_flat(scene, spp=spp_meas, samples_per_pass=m, passes_per_batch=ppb)
     dt = time.time() - t0
     mpaths = n_pix * spp_meas / dt / 1e6
 

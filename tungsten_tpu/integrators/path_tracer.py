@@ -44,7 +44,9 @@ from ..scene.flatten import DEFAULT_EPSILON, FlatScene
 INF = isect.INF
 DIMS_PER_BOUNCE = 24
 import os as _os
-_NO_COMPACT = _os.environ.get("TUNGSTEN_NO_COMPACT", "") == "1"
+# compaction re-sorts lanes each bounce; measured on-chip it trades away
+# the tile coherence that feeds Pallas chunk culling, so it is opt-in
+_NO_COMPACT = _os.environ.get("TUNGSTEN_COMPACT", "") != "1"
 _NO_STRAT = _os.environ.get("TUNGSTEN_NO_STRAT", "") == "1"
 SHADOW_FUDGE = 1.0 - 1e-3  # cf. attenuatedEmission's 1+1e-3 (TraceBase.cpp:155)
 
@@ -847,13 +849,23 @@ def _trace_pass_fast(scene: FlatScene, seed, lane_ids, px, py, table=None):
             )
         if n >= 4096 and not _NO_COMPACT:
             # compaction: dead lanes sink (their tfar=0 rays make whole
-            # Pallas tiles cull every chunk), alive lanes group by octant
+            # Pallas tiles cull every chunk); alive lanes group by a coarse
+            # morton cell of the next ray origin + direction octant, so
+            # secondary-bounce tiles stay spatially coherent beams and the
+            # kernel's per-chunk AABB culling keeps firing
+            root_lo = scene.bvh.node_min[0]
+            root_ext = jnp.maximum(scene.bvh.node_max[0] - root_lo, 1e-6)
+            q = jnp.clip(((o_new - root_lo) / root_ext * 4.0).astype(jnp.int32), 0, 3)
+            morton = (
+                (q[:, 0] & 1) | ((q[:, 1] & 1) << 1) | ((q[:, 2] & 1) << 2)
+                | ((q[:, 0] >> 1) << 3) | ((q[:, 1] >> 1) << 4) | ((q[:, 2] >> 1) << 5)
+            )
             oct_key = (
                 (wo_w[:, 0] > 0).astype(jnp.int32)
                 + 2 * (wo_w[:, 1] > 0).astype(jnp.int32)
                 + 4 * (wo_w[:, 2] > 0).astype(jnp.int32)
             )
-            key = jnp.where(alive, oct_key, 8)
+            key = jnp.where(alive, (morton << 3) | oct_key, 1 << 12)
             names_3 = ["o", "d", "throughput", "emission"]
             names_1 = [
                 "pix", "hit_t", "hit_u", "hit_v", "alive", "was_specular",

@@ -35,7 +35,7 @@ from .intersect import Hit, INF
 _INF = 3.0e38  # plain float: jnp constants can't be captured inside kernels
 
 RAY_TILE = 256
-CHUNK = 512
+CHUNK = 2048
 
 
 def _mt_kernel(rays_ref, tris_ref, cluster_ref, out_ref):
