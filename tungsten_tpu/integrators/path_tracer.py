@@ -55,7 +55,11 @@ def _intersect(scene: FlatScene, o, d, tnear, tfar, any_hit=False):
     n_tris = scene.tris.v0.shape[0]
     backend = jax.default_backend()
     if backend == "tpu" and n_tris > 64:
-        from .. ops.pallas_intersect import intersect_pallas
+        if scene.pbvh is not None:
+            from ..ops.pallas_bvh import intersect_bvh_pallas
+
+            return intersect_bvh_pallas(scene.pbvh, o, d, tnear, tfar)
+        from ..ops.pallas_intersect import intersect_pallas
 
         return intersect_pallas(scene.ptris, o, d, tnear, tfar)
     if scene.meta.use_bvh and n_tris > 64:

@@ -25,6 +25,7 @@ from ..models.primitives import tessellate
 from ..models.textures import TextureBuilder, TextureTable
 from ..ops.intersect import BvhSoA, TriangleSoA, pack_bvh
 from ..ops.pallas_intersect import PallasTriPack, build_tri_pack
+from ..ops.pallas_bvh import PallasBvhPack, build_bvh_pack
 from ..sampling.distributions import Distribution2D
 from .load import SceneDocument
 
@@ -111,6 +112,7 @@ class FlatScene:
     tri_med_override: jnp.ndarray  # (T,) bool (Primitive::overridesMedia)
     bvh: BvhSoA
     ptris: PallasTriPack
+    pbvh: "PallasBvhPack | None" 
     materials: MaterialTable
     media: MediumTable
     textures: TextureTable
@@ -118,6 +120,17 @@ class FlatScene:
     env: EnvLight
     camera: CameraParams
     meta: SceneMeta = field(pytree_node=False, default=None)
+
+
+
+def _maybe_bvh_pack(v0, e1, e2):
+    """Packet-traversal pack when the whole BVH fits in VMEM (~10 MB)."""
+    if len(v0) <= 64:
+        return None
+    pack = build_bvh_pack(v0, e1, e2)
+    if pack is not None and pack.vmem_bytes > 10 * 1024 * 1024:
+        return None
+    return pack
 
 
 def flatten_scene(doc: SceneDocument) -> FlatScene:
@@ -432,6 +445,7 @@ def flatten_scene(doc: SceneDocument) -> FlatScene:
         tri_med_override=jnp.asarray(tri_med_ov),
         bvh=bvh_soa,
         ptris=build_tri_pack(p0, p1 - p0, p2 - p0),
+        pbvh=_maybe_bvh_pack(p0, p1 - p0, p2 - p0),
         materials=materials,
         media=media,
         textures=tex_builder.build(),
