@@ -224,6 +224,16 @@ def _nee(scene, sampler, p, ng, frame, wi, mat_id, uv, lobes, medium=None):
         )
     else:
         ls = ls_area
+    if meta.has_cap and meta.cap_light_index >= 0:
+        is_cap_choice = li == meta.cap_light_index
+        ls_cap = L.sample_cap_direct(scene, u_point)
+        ls = L.LightSample(
+            d=vo.where3(is_cap_choice, ls_cap.d, ls.d),
+            dist=jnp.where(is_cap_choice, ls_cap.dist, ls.dist),
+            pdf=jnp.where(is_cap_choice, ls_cap.pdf, ls.pdf),
+            radiance=vo.where3(is_cap_choice, ls_cap.radiance, ls.radiance),
+            valid=jnp.where(is_cap_choice, ls_cap.valid, ls.valid),
+        )
 
     wo_l = vo.to_local(t, b, nrm, ls.d)
     f_l = bsdf_eval(ctx, mat_id, uv, wi, wo_l, nonspecular_only=True)
@@ -278,9 +288,16 @@ def _nee(scene, sampler, p, ng, frame, wi, mat_id, uv, lobes, medium=None):
     match_area = (~is_env_choice) & (hit_light == li) & front & (h.prim >= 0)
     pdf_area = L.area_direct_pdf(scene, tri_hit, p, hp, wo_w)
 
+    cap_on = meta.has_cap and meta.cap_light_index >= 0
+    cap_wins = meta.cap_after_env or not meta.has_env
     if meta.has_env and meta.env_light_index >= 0:
         e_env = L.env_radiance(scene, wo_w)
         match_env = is_env_choice & (h.prim < 0)
+        if cap_on and cap_wins:
+            # the cap is the last-listed infinite primitive: it wins inside
+            # its cone, so the env cannot be "hit" there (TraceableScene
+            # intersectInfinites order semantics)
+            match_env = match_env & ~L.cap_in_cone(scene, wo_w)
         pdf_env = L.env_direct_pdf(scene, wo_w)
         e = jnp.where(match_env[..., None], e_env, jnp.where(match_area[..., None], e_area, 0.0))
         light_pdf = jnp.where(match_env, pdf_env, pdf_area)
@@ -289,6 +306,16 @@ def _nee(scene, sampler, p, ng, frame, wi, mat_id, uv, lobes, medium=None):
         e = jnp.where(match_area[..., None], e_area, 0.0)
         light_pdf = pdf_area
         match = match_area
+    if cap_on:
+        in_cone = L.cap_in_cone(scene, wo_w)
+        match_cap = is_cap_choice & (h.prim < 0) & in_cone
+        if not cap_wins:
+            # cap listed before the env: bsdf rays always see the env there,
+            # so the bsdf strategy never matches the cap
+            match_cap = match_cap & False
+        e = jnp.where(match_cap[..., None], jnp.broadcast_to(scene.cap.radiance, e.shape), e)
+        light_pdf = jnp.where(match_cap, L.cap_direct_pdf(scene, wo_w), light_pdf)
+        match = match | match_cap
 
     mis_b = warps.power_heuristic(bs.pdf, light_pdf)
     contrib_b = e * bs.weight * mis_b[..., None] * tr_b
@@ -333,6 +360,16 @@ def _volume_nee(scene, sampler, p, d_in, medium, ptype, g):
         )
     else:
         ls = ls_area
+    if meta.has_cap and meta.cap_light_index >= 0:
+        is_cap_choice = li == meta.cap_light_index
+        ls_cap = L.sample_cap_direct(scene, u_point)
+        ls = L.LightSample(
+            d=vo.where3(is_cap_choice, ls_cap.d, ls.d),
+            dist=jnp.where(is_cap_choice, ls_cap.dist, ls.dist),
+            pdf=jnp.where(is_cap_choice, ls_cap.pdf, ls.pdf),
+            radiance=vo.where3(is_cap_choice, ls_cap.radiance, ls.radiance),
+            valid=jnp.where(is_cap_choice, ls_cap.valid, ls.valid),
+        )
 
     f_l = phase_eval(ptype, g, d_in, ls.d)
     cand = ls.valid & (ls.pdf > 0.0) & (f_l > 0.0)
@@ -375,9 +412,16 @@ def _volume_nee(scene, sampler, p, d_in, medium, ptype, g):
     e_area = eval_texture(scene.textures, scene.lights.tex[li], uvh)
     match_area = (~is_env_choice) & (hit_light == li) & front & (h.prim >= 0)
     pdf_area = L.area_direct_pdf(scene, tri_hit, p, hp, w_ph)
+    cap_on = meta.has_cap and meta.cap_light_index >= 0
+    cap_wins = meta.cap_after_env or not meta.has_env
     if meta.has_env and meta.env_light_index >= 0:
         e_env = L.env_radiance(scene, w_ph)
         match_env = is_env_choice & (h.prim < 0)
+        if cap_on and cap_wins:
+            # the cap is the last-listed infinite primitive: it wins inside
+            # its cone, so the env cannot be "hit" there (TraceableScene
+            # intersectInfinites order semantics)
+            match_env = match_env & ~L.cap_in_cone(scene, w_ph)
         pdf_env = L.env_direct_pdf(scene, w_ph)
         e = jnp.where(match_env[..., None], e_env, jnp.where(match_area[..., None], e_area, 0.0))
         light_pdf = jnp.where(match_env, pdf_env, pdf_area)
@@ -386,6 +430,16 @@ def _volume_nee(scene, sampler, p, d_in, medium, ptype, g):
         e = jnp.where(match_area[..., None], e_area, 0.0)
         light_pdf = pdf_area
         match = match_area
+    if cap_on:
+        in_cone = L.cap_in_cone(scene, w_ph)
+        match_cap = is_cap_choice & (h.prim < 0) & in_cone
+        if not cap_wins:
+            # cap listed before the env: bsdf rays always see the env there,
+            # so the bsdf strategy never matches the cap
+            match_cap = match_cap & False
+        e = jnp.where(match_cap[..., None], jnp.broadcast_to(scene.cap.radiance, e.shape), e)
+        light_pdf = jnp.where(match_cap, L.cap_direct_pdf(scene, w_ph), light_pdf)
+        match = match | match_cap
 
     mis_b = warps.power_heuristic(pdf_ph, light_pdf)
     contrib_b = e * w2[n:] * mis_b[..., None]
@@ -450,6 +504,7 @@ def _unified_nee_prepare(scene, sampler, vp, ng, frame, wi, mat_id, uv, lobes,
     u_choose, sampler = sampler.next_1d()
     li = jnp.minimum((u_choose * meta.n_lights).astype(jnp.int32), meta.n_lights - 1)
     is_env_choice = scene.lights.is_env[li]
+    is_cap_choice = jnp.zeros_like(is_env_choice)
 
     u_point, sampler = sampler.next_2d()
     u_tri, sampler = sampler.next_1d()
@@ -465,6 +520,16 @@ def _unified_nee_prepare(scene, sampler, vp, ng, frame, wi, mat_id, uv, lobes,
         )
     else:
         ls = ls_area
+    if meta.has_cap and meta.cap_light_index >= 0:
+        is_cap_choice = li == meta.cap_light_index
+        ls_cap = L.sample_cap_direct(scene, u_point)
+        ls = L.LightSample(
+            d=vo.where3(is_cap_choice, ls_cap.d, ls.d),
+            dist=jnp.where(is_cap_choice, ls_cap.dist, ls.dist),
+            pdf=jnp.where(is_cap_choice, ls_cap.pdf, ls.pdf),
+            radiance=vo.where3(is_cap_choice, ls_cap.radiance, ls.radiance),
+            valid=jnp.where(is_cap_choice, ls_cap.valid, ls.valid),
+        )
 
     # strategy 1 f/pdf at the sampled light direction
     wo_l = vo.to_local(t, b, nrm, ls.d)
@@ -503,7 +568,8 @@ def _unified_nee_prepare(scene, sampler, vp, ng, frame, wi, mat_id, uv, lobes,
     )
     mis_far = jnp.where(mis_cand & ~skip, INF, 0.0)
     return sampler, dict(
-        li=li, is_env=is_env_choice, ls=ls, f_l=f_l, mis_l=mis_l, cand=cand,
+        li=li, is_env=is_env_choice, is_cap=is_cap_choice,
+        ls=ls, f_l=f_l, mis_l=mis_l, cand=cand,
         wo_mis=wo_mis, w_mis=w_mis, pdf_mis=pdf_mis, mis_cand=mis_cand,
         skip=skip, shadow_far=shadow_far, mis_far=mis_far, vp=vp,
     )
@@ -516,6 +582,7 @@ def _unified_nee_finish(scene, data, h_shadow, h_mis, medium, scattered):
     ls = data["ls"]
     li = data["li"]
     is_env_choice = data["is_env"]
+    is_cap_choice = data["is_cap"]
     choice_weight = jnp.float32(meta.n_lights)
 
     blocked = h_shadow.prim >= 0
@@ -546,9 +613,16 @@ def _unified_nee_finish(scene, data, h_shadow, h_mis, medium, scattered):
     e_area = eval_texture(scene.textures, scene.lights.tex[li], uvh)
     match_area = (~is_env_choice) & (hit_light == li) & front & (h.prim >= 0)
     pdf_area = L.area_direct_pdf(scene, tri_hit, vp, hp, wo_mis)
+    cap_on = meta.has_cap and meta.cap_light_index >= 0
+    cap_wins = meta.cap_after_env or not meta.has_env
     if meta.has_env and meta.env_light_index >= 0:
         e_env = L.env_radiance(scene, wo_mis)
         match_env = is_env_choice & (h.prim < 0)
+        if cap_on and cap_wins:
+            # the cap is the last-listed infinite primitive: it wins inside
+            # its cone, so the env cannot be "hit" there (TraceableScene
+            # intersectInfinites order semantics)
+            match_env = match_env & ~L.cap_in_cone(scene, wo_mis)
         pdf_env = L.env_direct_pdf(scene, wo_mis)
         e = jnp.where(match_env[..., None], e_env, jnp.where(match_area[..., None], e_area, 0.0))
         light_pdf = jnp.where(match_env, pdf_env, pdf_area)
@@ -557,6 +631,16 @@ def _unified_nee_finish(scene, data, h_shadow, h_mis, medium, scattered):
         e = jnp.where(match_area[..., None], e_area, 0.0)
         light_pdf = pdf_area
         match = match_area
+    if cap_on:
+        in_cone = L.cap_in_cone(scene, wo_mis)
+        match_cap = is_cap_choice & (h.prim < 0) & in_cone
+        if not cap_wins:
+            # cap listed before the env: bsdf rays always see the env there,
+            # so the bsdf strategy never matches the cap
+            match_cap = match_cap & False
+        e = jnp.where(match_cap[..., None], jnp.broadcast_to(scene.cap.radiance, e.shape), e)
+        light_pdf = jnp.where(match_cap, L.cap_direct_pdf(scene, wo_mis), light_pdf)
+        match = match | match_cap
 
     mis_b = warps.power_heuristic(data["pdf_mis"], light_pdf)
     contrib_b = e * data["w_mis"] * mis_b[..., None]
@@ -672,15 +756,11 @@ def _trace_pass_fast(scene: FlatScene, seed, lane_ids, px, py, table=None):
 
         # ---- misses: environment ----
         miss = s["alive"] & (hit.prim < 0) & ~scattered
-        if meta.has_env:
-            gate = (
-                (not meta.enable_light_sampling)
-                | was_specular
-                | (meta.env_light_index < 0)
-            )
+        if meta.has_env or meta.has_cap:
+            gate = L.infinite_needs_escape_add(scene, d, was_specular)
             add_env = miss & gate & (bounce >= meta.min_bounces)
             emission = emission + jnp.where(
-                add_env[..., None], throughput * L.env_radiance(scene, d), 0.0
+                add_env[..., None], throughput * L.infinite_radiance(scene, d), 0.0
             )
 
         # ---- surface shading data ----
@@ -1002,15 +1082,11 @@ def trace_pass(scene: FlatScene, seed, lane_ids, px, py, table=None):
 
         # ---- misses: environment (handleInfiniteLights) ----
         miss = alive & ~did_hit & ~scattered
-        if meta.has_env:
-            gate = (
-                (not meta.enable_light_sampling)
-                | was_specular
-                | (meta.env_light_index < 0)
-            )
+        if meta.has_env or meta.has_cap:
+            gate = L.infinite_needs_escape_add(scene, d, was_specular)
             add_env = miss & gate & (bounce >= meta.min_bounces)
             emission = emission + jnp.where(
-                add_env[..., None], throughput * L.env_radiance(scene, d), 0.0
+                add_env[..., None], throughput * L.infinite_radiance(scene, d), 0.0
             )
         alive = alive & (did_hit | scattered)
 

@@ -101,6 +101,77 @@ def sample_env_direct(scene, u2) -> LightSample:
     )
 
 
+def cap_in_cone(scene, d):
+    """Rays inside the cap's emission cone (InfiniteSphereCap.cpp:60-64)."""
+    cap = scene.cap
+    return vo.dot(d, jnp.broadcast_to(cap.dir, d.shape)) >= cap.cos_angle
+
+
+def cap_radiance(scene, d):
+    """Constant cap emission where d is inside the cone, else 0."""
+    cap = scene.cap
+    return jnp.where(cap_in_cone(scene, d)[..., None], cap.radiance, 0.0)
+
+
+def cap_direct_pdf(scene, d):
+    """Uniform spherical-cap solid-angle pdf (SampleWarp::uniformSphericalCapPdf)."""
+    cap = scene.cap
+    pdf = warps.INV_TWO_PI / jnp.maximum(1.0 - cap.cos_angle, 1e-9)
+    return jnp.where(cap_in_cone(scene, d), pdf, 0.0)
+
+
+def sample_cap_direct(scene, u2) -> LightSample:
+    """sampleDirect of the sphere cap (InfiniteSphereCap.cpp:131-140):
+    uniform direction in the cone around cap.dir, dist = inf."""
+    cap = scene.cap
+    n = u2.shape[0]
+    cos_t = cap.cos_angle + u2[..., 0] * (1.0 - cap.cos_angle)
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+    phi = u2[..., 1] * (2.0 * jnp.pi)
+    local = jnp.stack([jnp.cos(phi) * sin_t, jnp.sin(phi) * sin_t, cos_t], axis=-1)
+    t, b = vo.tangent_frame(jnp.broadcast_to(cap.dir, (n, 3)))
+    d = vo.to_global(t, b, jnp.broadcast_to(cap.dir, (n, 3)), local)
+    pdf = warps.INV_TWO_PI / jnp.maximum(1.0 - cap.cos_angle, 1e-9)
+    return LightSample(
+        d=d,
+        dist=jnp.full((n,), INF),
+        pdf=jnp.full((n,), pdf),
+        radiance=jnp.broadcast_to(cap.radiance, (n, 3)),
+        valid=jnp.ones((n,), bool),
+    )
+
+
+def infinite_radiance(scene, d):
+    """Emission seen by an escaped ray: every infinite primitive is tested and
+    the LAST one in scene order that intersects wins (TraceableScene.hpp:194-209
+    overwrites `data` in list order); a cap only intersects inside its cone."""
+    meta = scene.meta
+    rad = env_radiance(scene, d) if meta.has_env else jnp.zeros(d.shape[:-1] + (3,))
+    if meta.has_cap:
+        in_cone = cap_in_cone(scene, d)
+        if meta.cap_after_env or not meta.has_env:
+            rad = jnp.where(in_cone[..., None], scene.cap.radiance, rad)
+        # cap listed before the env/skydome: the env overwrites it everywhere
+    return rad
+
+
+def infinite_needs_escape_add(scene, d, was_specular):
+    """Lanes whose escape emission is NOT covered by the NEE/MIS machinery:
+    light sampling off, a specular prior bounce, or the winning infinite
+    primitive is not samplable (cf. handleInfiniteLights gating)."""
+    meta = scene.meta
+    if not meta.enable_light_sampling:
+        return jnp.ones(d.shape[:-1], bool)
+    env_unsampled = meta.has_env and meta.env_light_index < 0
+    winner_unsampled = jnp.full(d.shape[:-1], env_unsampled)
+    if meta.has_cap and (meta.cap_after_env or not meta.has_env):
+        cap_unsampled = meta.cap_light_index < 0
+        winner_unsampled = jnp.where(
+            cap_in_cone(scene, d), cap_unsampled, winner_unsampled
+        )
+    return was_specular | winner_unsampled
+
+
 def sample_area_direct(scene, li, p, u_tri, u2) -> LightSample:
     """Sample a point on area light li (N,) as seen from p (N, 3)."""
     lights = scene.lights

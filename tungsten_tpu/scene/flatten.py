@@ -65,6 +65,24 @@ class EnvLight:
     dist: Distribution2D  # over the emission bitmap (sin-weighted, dilated)
 
 
+@pytree
+class CapLight:
+    """Directional spherical-cap light (InfiniteSphereCap.cpp:233-249):
+    cap axis = transform-rotated +Y, uniform radiance inside the cone."""
+
+    dir: jnp.ndarray  # (3,)
+    cos_angle: jnp.ndarray  # ()
+    radiance: jnp.ndarray  # (3,)
+
+
+def _default_cap():
+    return CapLight(
+        dir=jnp.asarray([0.0, 1.0, 0.0], jnp.float32),
+        cos_angle=jnp.float32(1.0),
+        radiance=jnp.zeros((3,), jnp.float32),
+    )
+
+
 @dataclass(frozen=True)
 class SceneMeta:
     """Static (trace-time) scene facts."""
@@ -93,6 +111,9 @@ class SceneMeta:
     spp_step: int
     use_bvh: bool
     aovs: tuple = ()  # ((type, ldr_file, hdr_file), ...) from renderer output_buffers
+    has_cap: bool = False
+    cap_light_index: int = -1  # index in light list, -1 if unsamplable/absent
+    cap_after_env: bool = False  # cap listed after the env/skydome primitive
 
 
 @pytree
@@ -118,6 +139,7 @@ class FlatScene:
     textures: TextureTable
     lights: LightTable
     env: EnvLight
+    cap: CapLight
     camera: CameraParams
     meta: SceneMeta = field(pytree_node=False, default=None)
 
@@ -141,6 +163,7 @@ def flatten_scene(doc: SceneDocument) -> FlatScene:
     med_int_l, med_ext_l, med_ov_l = [], [], []
     emissive_prims = []  # (prim_index, emission_spec)
     env_spec = None
+    cap_spec = None
     vert_base = 0
 
     for pi, prim in enumerate(doc.primitives):
@@ -149,10 +172,20 @@ def flatten_scene(doc: SceneDocument) -> FlatScene:
 
         if ptype == "infinite_sphere":
             if "emission" in prim or "power" in prim:
-                env_spec = (prim, m)
+                if env_spec is not None:
+                    raise NotImplementedError("multiple environment primitives")
+                env_spec = (prim, m, pi, False)
             continue
-        if ptype in ("infinite_sphere_cap", "skydome"):
-            raise NotImplementedError(f"primitive type '{ptype}' not implemented yet")
+        if ptype == "skydome":
+            if env_spec is not None:
+                raise NotImplementedError("multiple environment primitives")
+            env_spec = (prim, m, pi, True)
+            continue
+        if ptype == "infinite_sphere_cap":
+            if cap_spec is not None:
+                raise NotImplementedError("multiple sphere-cap primitives")
+            cap_spec = (prim, m, pi)
+            continue
 
         if ptype == "quad":
             soup = tessellate.quad()
@@ -311,24 +344,44 @@ def flatten_scene(doc: SceneDocument) -> FlatScene:
         cur_off += len(sel)
         cur_cdf += len(sel) + 1
 
-    # environment light
+    # environment light (infinite_sphere, or a skydome baked to a bitmap the
+    # way the reference does at prepareForRender — Skydome.cpp:292-318)
     env_index = -1
     env_is_constant = True
+    env_prim_index = -1
     env = _default_env(tex_builder)
     if env_spec is not None:
-        prim, m = env_spec
+        prim, m, env_prim_index, is_sky = env_spec
         rot = m[:3, :3].astype(np.float64)
         # extractRotation: normalize columns
         rot = rot / np.maximum(np.linalg.norm(rot, axis=0, keepdims=True), 1e-30)
-        etex = emission_tex(prim, 1.0)
         samplable = prim.get("sample", True)
-        e = prim.get("emission")
-        env_is_constant = not isinstance(e, str)
-        if env_is_constant:
-            dist = Distribution2D.build(np.ones((1, 1), np.float32))
-        else:
-            img = tex_builder.image(etex)
+        if is_sky:
+            from ..models.primitives.sky import bake_skydome
+
+            sun = rot @ np.array([0.0, 1.0, 0.0])
+            img = bake_skydome(
+                sun,
+                turbidity=float(prim.get("turbidity", 3.0)),
+                intensity=float(prim.get("intensity", 2.0)),
+                temperature=float(prim.get("temperature", 5777.0)),
+                gamma_scale=float(prim.get("gamma_scale", 1.0)),
+            )
+            etex = tex_builder.add_bitmap(img, path_key=f"__skydome_{env_prim_index}")
+            # the skydome's uv mapping ignores the prim transform (the sun
+            # direction carries the orientation) — Skydome.cpp:37-41
+            rot = np.eye(3)
+            env_is_constant = False
             dist = Distribution2D.build(_env_weights(img))
+        else:
+            etex = emission_tex(prim, 1.0)
+            e = prim.get("emission")
+            env_is_constant = not isinstance(e, str)
+            if env_is_constant:
+                dist = Distribution2D.build(np.ones((1, 1), np.float32))
+            else:
+                img = tex_builder.image(etex)
+                dist = Distribution2D.build(_env_weights(img))
         env = EnvLight(
             rot=jnp.asarray(rot, jnp.float32),
             inv_rot=jnp.asarray(rot.T, jnp.float32),
@@ -343,6 +396,42 @@ def flatten_scene(doc: SceneDocument) -> FlatScene:
             l_area.append(1.0)
             l_tex.append(etex)
             l_env.append(True)
+
+    # spherical-cap light (sun)
+    cap_index = -1
+    cap_prim_index = -1
+    cap = _default_cap()
+    if cap_spec is not None:
+        prim, m, cap_prim_index = cap_spec
+        rot = m[:3, :3].astype(np.float64)
+        rot = rot / np.maximum(np.linalg.norm(rot, axis=0, keepdims=True), 1e-30)
+        cap_dir = rot @ np.array([0.0, 1.0, 0.0])
+        cap_dir = cap_dir / max(np.linalg.norm(cap_dir), 1e-30)
+        cap_angle = np.deg2rad(float(prim.get("cap_angle", 10.0)))
+        cos_cap = float(np.cos(cap_angle))
+        if "power" in prim:
+            # power * powerToRadianceFactor = power/(2pi (1-cos))
+            pw = np.asarray(prim["power"], np.float64)
+            if pw.ndim == 0:
+                pw = np.repeat(pw, 3)
+            rad = pw / (2.0 * np.pi * max(1.0 - cos_cap, 1e-9))
+        else:
+            rad = np.asarray(prim.get("emission", 1.0), np.float64)
+            if rad.ndim == 0:
+                rad = np.repeat(rad, 3)
+        cap = CapLight(
+            dir=jnp.asarray(cap_dir, jnp.float32),
+            cos_angle=jnp.float32(cos_cap),
+            radiance=jnp.asarray(rad, jnp.float32),
+        )
+        if prim.get("sample", True):
+            cap_index = len(l_offset)
+            l_offset.append(cur_off)
+            l_count.append(0)
+            l_cdf_off.append(cur_cdf)
+            l_area.append(1.0)
+            l_tex.append(0)
+            l_env.append(False)
 
     n_lights = len(l_offset)
     if not tri_idx_list:
@@ -392,6 +481,9 @@ def flatten_scene(doc: SceneDocument) -> FlatScene:
         has_env=env_spec is not None,
         env_light_index=env_index,
         env_is_constant=env_is_constant,
+        has_cap=cap_spec is not None,
+        cap_light_index=cap_index,
+        cap_after_env=cap_prim_index > env_prim_index,
         min_bounces=int(integ.get("min_bounces", 0)),
         max_bounces=int(integ.get("max_bounces", 64)),
         enable_light_sampling=bool(integ.get("enable_light_sampling", True)),
@@ -451,6 +543,7 @@ def flatten_scene(doc: SceneDocument) -> FlatScene:
         textures=tex_builder.build(),
         lights=lights,
         env=env,
+        cap=cap,
         camera=camera,
         meta=meta,
     )
