@@ -234,6 +234,18 @@ def _nee(scene, sampler, p, ng, frame, wi, mat_id, uv, lobes, medium=None):
             radiance=vo.where3(is_cap_choice, ls_cap.radiance, ls.radiance),
             valid=jnp.where(is_cap_choice, ls_cap.valid, ls.valid),
         )
+    if meta.point_light_index >= 0:
+        is_point_choice = li == meta.point_light_index
+        ls_pt = L.sample_point_direct(scene, p)
+        ls = L.LightSample(
+            d=vo.where3(is_point_choice, ls_pt.d, ls.d),
+            dist=jnp.where(is_point_choice, ls_pt.dist, ls.dist),
+            pdf=jnp.where(is_point_choice, ls_pt.pdf, ls.pdf),
+            radiance=vo.where3(is_point_choice, ls_pt.radiance, ls.radiance),
+            valid=jnp.where(is_point_choice, ls_pt.valid, ls.valid),
+        )
+    else:
+        is_point_choice = jnp.zeros_like(is_env_choice)
 
     wo_l = vo.to_local(t, b, nrm, ls.d)
     f_l = bsdf_eval(ctx, mat_id, uv, wi, wo_l, nonspecular_only=True)
@@ -241,6 +253,7 @@ def _nee(scene, sampler, p, ng, frame, wi, mat_id, uv, lobes, medium=None):
     mis_l = warps.power_heuristic(
         ls.pdf, bsdf_pdf(ctx, mat_id, uv, wi, wo_l, nonspecular_only=True)
     )
+    mis_l = jnp.where(is_point_choice, 1.0, mis_l)  # dirac: no bsdf strategy
 
     # --- strategy 2: bsdf sampling (non-specular lobes) -------------------
     u_bs2, sampler = sampler.next_2d()
@@ -277,7 +290,9 @@ def _nee(scene, sampler, p, ng, frame, wi, mat_id, uv, lobes, medium=None):
     # area-light hit: must be the chosen light & front side
     hp = p + wo_w * h.t[..., None]
     ng_hit = scene.tri_ng[jnp.maximum(h.prim, 0)]
-    front = vo.dot(wo_w, ng_hit) < 0.0
+    front = -vo.dot(wo_w, ng_hit) > jnp.maximum(
+        scene.lights.cone_cos[jnp.maximum(hit_light, 0)], 0.0
+    )  # emission cone (disk cone_angle); 0 = plain front test
     tri_hit = jnp.maximum(h.prim, 0)
     uvh = (
         scene.tri_uv0[tri_hit] * (1.0 - h.u - h.v)[..., None]
@@ -370,10 +385,23 @@ def _volume_nee(scene, sampler, p, d_in, medium, ptype, g):
             radiance=vo.where3(is_cap_choice, ls_cap.radiance, ls.radiance),
             valid=jnp.where(is_cap_choice, ls_cap.valid, ls.valid),
         )
+    if meta.point_light_index >= 0:
+        is_point_choice = li == meta.point_light_index
+        ls_pt = L.sample_point_direct(scene, p)
+        ls = L.LightSample(
+            d=vo.where3(is_point_choice, ls_pt.d, ls.d),
+            dist=jnp.where(is_point_choice, ls_pt.dist, ls.dist),
+            pdf=jnp.where(is_point_choice, ls_pt.pdf, ls.pdf),
+            radiance=vo.where3(is_point_choice, ls_pt.radiance, ls.radiance),
+            valid=jnp.where(is_point_choice, ls_pt.valid, ls.valid),
+        )
+    else:
+        is_point_choice = jnp.zeros_like(is_env_choice)
 
     f_l = phase_eval(ptype, g, d_in, ls.d)
     cand = ls.valid & (ls.pdf > 0.0) & (f_l > 0.0)
     mis_l = warps.power_heuristic(ls.pdf, f_l)  # phase pdf == phase eval
+    mis_l = jnp.where(is_point_choice, 1.0, mis_l)  # dirac: no bsdf strategy
 
     # phase-sampling strategy
     u_ph, sampler = sampler.next_2d()
@@ -403,7 +431,9 @@ def _volume_nee(scene, sampler, p, d_in, medium, ptype, g):
     hit_light = jnp.where(h.prim >= 0, scene.tri_light[tri_hit], -1)
     hp = p + w_ph * h.t[..., None]
     ng_hit = scene.tri_ng[tri_hit]
-    front = vo.dot(w_ph, ng_hit) < 0.0
+    front = -vo.dot(w_ph, ng_hit) > jnp.maximum(
+        scene.lights.cone_cos[jnp.maximum(hit_light, 0)], 0.0
+    )  # emission cone (disk cone_angle); 0 = plain front test
     uvh = (
         scene.tri_uv0[tri_hit] * (1.0 - h.u - h.v)[..., None]
         + scene.tri_uv1[tri_hit] * h.u[..., None]
@@ -530,6 +560,18 @@ def _unified_nee_prepare(scene, sampler, vp, ng, frame, wi, mat_id, uv, lobes,
             radiance=vo.where3(is_cap_choice, ls_cap.radiance, ls.radiance),
             valid=jnp.where(is_cap_choice, ls_cap.valid, ls.valid),
         )
+    if meta.point_light_index >= 0:
+        is_point_choice = li == meta.point_light_index
+        ls_pt = L.sample_point_direct(scene, vp)
+        ls = L.LightSample(
+            d=vo.where3(is_point_choice, ls_pt.d, ls.d),
+            dist=jnp.where(is_point_choice, ls_pt.dist, ls.dist),
+            pdf=jnp.where(is_point_choice, ls_pt.pdf, ls.pdf),
+            radiance=vo.where3(is_point_choice, ls_pt.radiance, ls.radiance),
+            valid=jnp.where(is_point_choice, ls_pt.valid, ls.valid),
+        )
+    else:
+        is_point_choice = jnp.zeros_like(is_env_choice)
 
     # strategy 1 f/pdf at the sampled light direction
     wo_l = vo.to_local(t, b, nrm, ls.d)
@@ -543,6 +585,7 @@ def _unified_nee_prepare(scene, sampler, vp, ng, frame, wi, mat_id, uv, lobes,
         f_l = f_surf
         pdf_fwd = pdf_surf
     mis_l = warps.power_heuristic(ls.pdf, pdf_fwd)
+    mis_l = jnp.where(is_point_choice, 1.0, mis_l)  # dirac: no bsdf strategy
     cand = ls.valid & (ls.pdf > 0.0) & jnp.any(f_l > 0.0, axis=-1)
 
     # strategy 2: bsdf/phase sampling (non-specular lobes)
@@ -604,7 +647,9 @@ def _unified_nee_finish(scene, data, h_shadow, h_mis, medium, scattered):
     vp = data["vp"]
     wo_mis = data["wo_mis"]
     hp = vp + wo_mis * h.t[..., None]
-    front = vo.dot(wo_mis, scene.tri_ng[tri_hit]) < 0.0
+    front = -vo.dot(wo_mis, scene.tri_ng[tri_hit]) > jnp.maximum(
+        scene.lights.cone_cos[jnp.maximum(hit_light, 0)], 0.0
+    )  # emission cone (disk cone_angle); 0 = plain front test
     uvh = (
         scene.tri_uv0[tri_hit] * (1.0 - h.u - h.v)[..., None]
         + scene.tri_uv1[tri_hit] * h.u[..., None]
@@ -775,7 +820,9 @@ def _trace_pass_fast(scene: FlatScene, seed, lane_ids, px, py, table=None):
         frame = (t_ax, b_ax, frame_n)
         wi = vo.to_local(*frame, -d)
 
-        geo_front = vo.dot(d, ng) < 0.0
+        geo_front = -vo.dot(d, ng) > jnp.maximum(
+            scene.lights.cone_cos[jnp.maximum(light_id, 0)], 0.0
+        )  # emission cone (disk cone_angle); 0 reduces to the plain test
         gate_emit = (not meta.enable_light_sampling) | was_specular
         add_emit = (
             hit_surface_lane
@@ -1151,7 +1198,9 @@ def trace_pass(scene: FlatScene, seed, lane_ids, px, py, table=None):
             fwd_weight = jnp.ones((n, 3))
 
         # emission at hit (front side geometrically: evalDirect)
-        geo_front = vo.dot(d, ng) < 0.0
+        geo_front = -vo.dot(d, ng) > jnp.maximum(
+            scene.lights.cone_cos[jnp.maximum(light_id, 0)], 0.0
+        )  # emission cone (disk cone_angle); 0 reduces to the plain test
         gate_emit = (not meta.enable_light_sampling) | was_specular
         add_emit = (
             hit_surface_lane

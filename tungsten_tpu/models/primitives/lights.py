@@ -206,7 +206,10 @@ def sample_area_direct(scene, li, p, u_tri, u2) -> LightSample:
     dist = jnp.sqrt(jnp.maximum(r_sq, 1e-30))
     d = dvec / dist[..., None]
     cos_theta = -vo.dot(ng, d)
-    valid = cos_theta > 0.0
+    # emission-cone gating (Disk.cpp:188: reject when -d.n < cos(cone_angle));
+    # cone_cos is 0 for ordinary lights, reducing to the plain front test
+    valid = cos_theta > jnp.maximum(lights.cone_cos[li], 0.0)
+    valid = valid & (cos_theta > 0.0)
     pdf = r_sq / jnp.maximum(cos_theta * area, 1e-30)
     rad = eval_texture(scene.textures, lights.tex[li], uv)
     return LightSample(d=d, dist=dist, pdf=pdf, radiance=rad, valid=valid)
@@ -221,6 +224,26 @@ def area_direct_pdf(scene, tri, p, hit_p, d):
     cos_theta = jnp.abs(vo.dot(d, ng))
     r_sq = vo.length_sq(hit_p - p)
     return jnp.where(li >= 0, r_sq / jnp.maximum(cos_theta * area, 1e-30), 0.0)
+
+
+def sample_point_direct(scene, p) -> LightSample:
+    """Point::sampleDirect (Point.cpp:98-106): d to the point, pdf = r^2 in
+    the reference's convention (weight = emission/pdf with emission =
+    power/(4 pi)); we fold it so radiance/pdf gives power/(4 pi r^2), and
+    the dirac light takes MIS weight 1 (no bsdf strategy can hit it)."""
+    pt = scene.point
+    n = p.shape[0]
+    dvec = jnp.broadcast_to(pt.pos, (n, 3)) - p
+    r_sq = vo.length_sq(dvec)
+    dist = jnp.sqrt(jnp.maximum(r_sq, 1e-30))
+    d = dvec / dist[..., None]
+    return LightSample(
+        d=d,
+        dist=dist,
+        pdf=r_sq,
+        radiance=jnp.broadcast_to(pt.intensity, (n, 3)),
+        valid=jnp.ones((n,), bool),
+    )
 
 
 @pytree

@@ -93,3 +93,66 @@ def sphere_mesh(subdiv: int = 32) -> TriSoup:
     return TriSoup(
         pos=pos, normal=pos.copy(), uv=uv, indices=np.asarray(idx, np.int32)
     )
+
+
+def disk(segments: int = 64) -> TriSoup:
+    """Unit-radius disk in the local XZ plane, normal +Y (Disk.cpp:313-318:
+    r = max(scale.xz), n = transform up; uv = (atan2-based angle, r/R) from
+    Disk::intersectionInfo). Triangle fan, winding matching quad()'s so the
+    geometric normal is +Y."""
+    ang = np.arange(segments) * (2.0 * np.pi / segments)
+    ring = np.stack([np.cos(ang), np.zeros(segments), np.sin(ang)], axis=1)
+    pos = np.concatenate([[[0.0, 0.0, 0.0]], ring]).astype(np.float32)
+    uv = np.zeros((segments + 1, 2), np.float32)
+    uv[1:, 0] = ang / (2.0 * np.pi)
+    uv[1:, 1] = 1.0
+    idx = np.array(
+        [[0, 1 + (i + 1) % segments, 1 + i] for i in range(segments)], np.int32
+    )
+    # verify winding gives +Y: (p1-p0) x (p2-p0) ~ +Y for ccw-in-xz fan
+    p0, p1, p2 = pos[idx[0, 0]], pos[idx[0, 1]], pos[idx[0, 2]]
+    if np.cross(p1 - p0, p2 - p0)[1] < 0:
+        idx = idx[:, [0, 2, 1]]
+    return TriSoup(pos=pos, normal=None, uv=uv, indices=idx)
+
+
+def cylinder(segments: int = 64, capped: bool = True) -> TriSoup:
+    """Capped cylinder: local radius 0.5, y in [-0.5, 0.5] so the generic
+    transform yields radius = 0.5*scale.xz, halfHeight = 0.5*scale.y
+    (Cylinder.cpp:133-141; the reference collapses non-uniform xz scale to
+    max — we keep the ellipse). Smooth side normals, flat caps."""
+    ang = np.arange(segments) * (2.0 * np.pi / segments)
+    cx, sz = 0.5 * np.cos(ang), 0.5 * np.sin(ang)
+    top = np.stack([cx, np.full(segments, 0.5), sz], axis=1)
+    bot = np.stack([cx, np.full(segments, -0.5), sz], axis=1)
+    n_side = np.stack([np.cos(ang), np.zeros(segments), np.sin(ang)], axis=1)
+    pos = [top, bot]
+    nrm = [n_side, n_side]
+    uv = [np.stack([ang / (2 * np.pi), np.ones(segments)], 1),
+          np.stack([ang / (2 * np.pi), np.zeros(segments)], 1)]
+    idx = []
+    for i in range(segments):
+        j = (i + 1) % segments
+        # outward winding: normal ~ radial
+        idx.append([i, segments + j, segments + i])
+        idx.append([i, j, segments + j])
+    base = 2 * segments
+    if capped:
+        pos += [top, bot]
+        nrm += [np.tile([[0.0, 1.0, 0.0]], (segments, 1)),
+                np.tile([[0.0, -1.0, 0.0]], (segments, 1))]
+        uv += [np.stack([cx + 0.5, sz + 0.5], 1), np.stack([cx + 0.5, sz + 0.5], 1)]
+        for i in range(1, segments - 1):
+            idx.append([base, base + i + 1, base + i])  # top cap, +y out
+            idx.append([base + segments, base + segments + i,
+                        base + segments + i + 1])  # bottom cap, -y out
+    pos = np.concatenate(pos).astype(np.float32)
+    nrm = np.concatenate(nrm).astype(np.float32)
+    uv = np.concatenate(uv).astype(np.float32)
+    idx = np.asarray(idx, np.int32)
+    # fix winding so geometric normals match shading normals (outward)
+    p0, p1, p2 = pos[idx[:, 0]], pos[idx[:, 1]], pos[idx[:, 2]]
+    ng = np.cross(p1 - p0, p2 - p0)
+    flip = np.einsum("ij,ij->i", ng, nrm[idx[:, 0]]) < 0
+    idx[flip] = idx[flip][:, [0, 2, 1]]
+    return TriSoup(pos=pos, normal=nrm, uv=uv, indices=idx)

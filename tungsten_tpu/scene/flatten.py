@@ -51,6 +51,8 @@ class LightTable:
     area: jnp.ndarray  # (L,) total area
     tex: jnp.ndarray  # (L,) emission texture id
     is_env: jnp.ndarray  # (L,) bool
+    cone_cos: jnp.ndarray  # (L,) emission-cone cos (disk cone_angle; 0 = none)
+    is_dirac: jnp.ndarray  # (L,) bool (point lights)
     tri_idx: jnp.ndarray  # (LT,) global triangle index (post BVH permutation)
     cdf: jnp.ndarray  # (LT + L,)
 
@@ -73,6 +75,19 @@ class CapLight:
     dir: jnp.ndarray  # (3,)
     cos_angle: jnp.ndarray  # ()
     radiance: jnp.ndarray  # (3,)
+
+
+@pytree
+class PointLight:
+    """Dirac point light (Point.cpp): intensity = power/(4 pi)."""
+
+    pos: jnp.ndarray  # (3,)
+    intensity: jnp.ndarray  # (3,)
+
+
+def _default_point():
+    return PointLight(pos=jnp.zeros((3,), jnp.float32),
+                      intensity=jnp.zeros((3,), jnp.float32))
 
 
 def _default_cap():
@@ -114,6 +129,7 @@ class SceneMeta:
     has_cap: bool = False
     cap_light_index: int = -1  # index in light list, -1 if unsamplable/absent
     cap_after_env: bool = False  # cap listed after the env/skydome primitive
+    point_light_index: int = -1  # dirac point light, -1 if absent
 
 
 @pytree
@@ -140,6 +156,7 @@ class FlatScene:
     lights: LightTable
     env: EnvLight
     cap: CapLight
+    point: PointLight
     camera: CameraParams
     meta: SceneMeta = field(pytree_node=False, default=None)
 
@@ -164,6 +181,8 @@ def flatten_scene(doc: SceneDocument) -> FlatScene:
     emissive_prims = []  # (prim_index, emission_spec)
     env_spec = None
     cap_spec = None
+    point_spec = None
+    prim_cone_cos = {}
     vert_base = 0
 
     for pi, prim in enumerate(doc.primitives):
@@ -181,6 +200,11 @@ def flatten_scene(doc: SceneDocument) -> FlatScene:
                 raise NotImplementedError("multiple environment primitives")
             env_spec = (prim, m, pi, True)
             continue
+        if ptype == "point":
+            if point_spec is not None:
+                raise NotImplementedError("multiple point lights")
+            point_spec = (prim, m)
+            continue
         if ptype == "infinite_sphere_cap":
             if cap_spec is not None:
                 raise NotImplementedError("multiple sphere-cap primitives")
@@ -189,6 +213,13 @@ def flatten_scene(doc: SceneDocument) -> FlatScene:
 
         if ptype == "quad":
             soup = tessellate.quad()
+        elif ptype == "disk":
+            soup = tessellate.disk()
+            ca = float(prim.get("cone_angle", 90.0))
+            if ca < 90.0:
+                prim_cone_cos[pi] = float(np.cos(np.deg2rad(ca)))
+        elif ptype == "cylinder":
+            soup = tessellate.cylinder(capped=bool(prim.get("capped", True)))
         elif ptype == "cube":
             soup = tessellate.cube()
         elif ptype == "sphere":
@@ -299,6 +330,7 @@ def flatten_scene(doc: SceneDocument) -> FlatScene:
     # ---- lights ------------------------------------------------------------
     tri_light = np.full(len(tri_mat), -1, np.int32)
     l_offset, l_count, l_cdf_off, l_area, l_tex, l_env = [], [], [], [], [], []
+    l_cone, l_dirac = [], []
     tri_idx_list, cdf_list = [], []
     cur_off = 0
     cur_cdf = 0
@@ -339,6 +371,8 @@ def flatten_scene(doc: SceneDocument) -> FlatScene:
         l_area.append(total)
         l_tex.append(emission_tex(prim, total))
         l_env.append(False)
+        l_cone.append(prim_cone_cos.get(pi, 0.0))
+        l_dirac.append(False)
         tri_idx_list.append(sel)
         cdf_list.append(cdf)
         cur_off += len(sel)
@@ -396,6 +430,8 @@ def flatten_scene(doc: SceneDocument) -> FlatScene:
             l_area.append(1.0)
             l_tex.append(etex)
             l_env.append(True)
+            l_cone.append(0.0)
+            l_dirac.append(False)
 
     # spherical-cap light (sun)
     cap_index = -1
@@ -432,6 +468,31 @@ def flatten_scene(doc: SceneDocument) -> FlatScene:
             l_area.append(1.0)
             l_tex.append(0)
             l_env.append(False)
+            l_cone.append(0.0)
+            l_dirac.append(False)
+
+    # dirac point light
+    point_index = -1
+    point = _default_point()
+    if point_spec is not None:
+        prim, m = point_spec
+        ppos = (m @ np.array([0.0, 0.0, 0.0, 1.0]))[:3]
+        pw = np.asarray(prim.get("power", prim.get("emission", 1.0)), np.float64)
+        if pw.ndim == 0:
+            pw = np.repeat(pw, 3)
+        point = PointLight(
+            pos=jnp.asarray(ppos, jnp.float32),
+            intensity=jnp.asarray(pw / (4.0 * np.pi), jnp.float32),
+        )
+        point_index = len(l_offset)
+        l_offset.append(cur_off)
+        l_count.append(0)
+        l_cdf_off.append(cur_cdf)
+        l_area.append(1.0)
+        l_tex.append(0)
+        l_env.append(False)
+        l_cone.append(0.0)
+        l_dirac.append(True)
 
     n_lights = len(l_offset)
     if not tri_idx_list:
@@ -444,6 +505,8 @@ def flatten_scene(doc: SceneDocument) -> FlatScene:
         area=jnp.asarray(np.asarray(l_area or [1.0], np.float32)),
         tex=jnp.asarray(np.asarray(l_tex or [0], np.int32)),
         is_env=jnp.asarray(np.asarray(l_env or [False], bool)),
+        cone_cos=jnp.asarray(np.asarray(l_cone or [0.0], np.float32)),
+        is_dirac=jnp.asarray(np.asarray(l_dirac or [False], bool)),
         tri_idx=jnp.asarray(np.concatenate(tri_idx_list)),
         cdf=jnp.asarray(np.concatenate(cdf_list)),
         max_count=max([c for c in (l_count or [1])] + [1]),
@@ -484,6 +547,7 @@ def flatten_scene(doc: SceneDocument) -> FlatScene:
         has_cap=cap_spec is not None,
         cap_light_index=cap_index,
         cap_after_env=cap_prim_index > env_prim_index,
+        point_light_index=point_index,
         min_bounces=int(integ.get("min_bounces", 0)),
         max_bounces=int(integ.get("max_bounces", 64)),
         enable_light_sampling=bool(integ.get("enable_light_sampling", True)),
@@ -544,6 +608,7 @@ def flatten_scene(doc: SceneDocument) -> FlatScene:
         lights=lights,
         env=env,
         cap=cap,
+        point=point,
         camera=camera,
         meta=meta,
     )
