@@ -120,6 +120,16 @@ def main():
                         save_image(outpath(hdr_file), img)
                 return out
 
+
+            def save_simple(hdr):
+                out = outpath(args.output or doc.renderer.get("output_file", "TungstenRender.png"))
+                ldr = np.clip(np.asarray(tonemap(meta.tonemap, jnp.asarray(hdr))), 0, 1)
+                save_image(out, ldr)
+                hdr_out = args.hdr_output or doc.renderer.get("hdr_output_file", "")
+                if hdr_out:
+                    save_image(outpath(hdr_out), np.asarray(hdr, np.float32))
+                return out
+
             if itype == "kelemen_mlt":
                 from tungsten_tpu.integrators.kelemen import render_kelemen
 
@@ -128,9 +138,7 @@ def main():
                     p_large=float(doc.integrator.get("large_step_probability", 0.1)),
                     verbose=not args.quiet,
                 )
-                out = outpath(args.output or doc.renderer.get("output_file", "TungstenRender.png"))
-                ldr = np.clip(np.asarray(tonemap(meta.tonemap, jnp.asarray(hdr))), 0, 1)
-                save_image(out, ldr)
+                out = save_simple(hdr)
             elif itype in ("photon_map", "progressive_photon_map"):
                 from tungsten_tpu.renderer.render import render_sppm
 
@@ -141,23 +149,15 @@ def main():
                     alpha=float(pm.get("alpha", 0.3)),
                     verbose=not args.quiet,
                 )
-                out = outpath(args.output or doc.renderer.get("output_file", "TungstenRender.png"))
-                ldr = np.clip(np.asarray(tonemap(meta.tonemap, jnp.asarray(hdr))), 0, 1)
-                save_image(out, ldr)
+                out = save_simple(hdr)
             elif itype == "bidirectional_path_tracer":
                 from tungsten_tpu.renderer.render import render_bdpt
 
                 hdr = render_bdpt(scene, spp=args.spp, seed=args.seed, verbose=not args.quiet)
-                out = args.output or doc.renderer.get("output_file", "TungstenRender.png")
-                out = outpath(out)
-                ldr = np.clip(np.asarray(tonemap(meta.tonemap, jnp.asarray(hdr))), 0, 1)
-                save_image(out, ldr)
+                out = save_simple(hdr)
             elif itype == "light_tracer":
                 hdr = render_light_traced(scene, spp=args.spp, seed=args.seed)
-                out = args.output or doc.renderer.get("output_file", "TungstenRender.png")
-                out = outpath(out)
-                ldr = np.clip(np.asarray(tonemap(meta.tonemap, jnp.asarray(hdr))), 0, 1)
-                save_image(out, ldr)
+                out = save_simple(hdr)
             else:
                 bufs = render_buffers(
                     scene,

@@ -153,6 +153,7 @@ def _trace_subpath(scene, sampler, o0, d0, beta0, pdf0_dir, root_fields, k_max, 
         n_verts=jnp.ones((n,), jnp.int32),
         prev_dirac=jnp.zeros((n,), bool),
         near=jnp.full((n,), DEFAULT_EPSILON),
+        seg_base=jnp.zeros((n,)),
         smp=sampler,
     )
 
@@ -208,11 +209,22 @@ def _trace_subpath(scene, sampler, o0, d0, beta0, pdf0_dir, root_fields, k_max, 
             kind = jnp.where(hit_surface, V_SURFACE, V_INVALID)
             seg_sq = hit.t**2
 
+        # forward pass-through events (pure `forward` bsdfs, e.g. a window
+        # the camera looks through) are COLLAPSED out of the path the way
+        # LightPath.cpp:36-53 removes forward vertices and folds their edge
+        # pdfs: no vertex is stored, the ray continues straight, and the
+        # accumulated segment length feeds the next vertex's area pdf.
+        fwd_evt = hit_surface & Lobes.is_forward(lobes)
+        seg_len = jnp.sqrt(jnp.maximum(seg_sq, 0.0)) + s["seg_base"]
+        seg_sq = seg_len * seg_len
         pdf_fwd_area = _solid_to_area(s["pdf_dir"], d, seg_sq, ng, kind)
         # dirac previous vertices propagate pdf 0 markers naturally
 
+        store = alive & ~fwd_evt
+        idx = jnp.clip(s["n_verts"], 0, verts.kind.shape[1] - 1)
+
         new_fields = dict(
-            kind=jnp.where(alive, kind, V_INVALID),
+            kind=jnp.where(store, kind, V_INVALID),
             p=vp,
             ng=vo.where3(scattered, -d, ng) if meta.has_media else ng,
             nf=vo.where3(scattered, -d, nf) if meta.has_media else nf,
@@ -227,9 +239,9 @@ def _trace_subpath(scene, sampler, o0, d0, beta0, pdf0_dir, root_fields, k_max, 
         )
         for name, val in new_fields.items():
             arr = getattr(verts, name)
-            upd = jnp.where(_mask_like(alive, val), val, _dyn_get(arr, k))
-            setattr(verts, name, _dyn_set(arr, k, upd))
-        n_verts = jnp.where(alive, k + 1, s["n_verts"])
+            upd = jnp.where(_mask_like(store, val), val, _dyn_get(arr, idx))
+            setattr(verts, name, _dyn_set(arr, idx, upd))
+        n_verts = jnp.where(store, s["n_verts"] + 1, s["n_verts"])
 
         # sample the continuation
         t_ax, b_ax = vo.tangent_frame(nf)
@@ -259,9 +271,18 @@ def _trace_subpath(scene, sampler, o0, d0, beta0, pdf0_dir, root_fields, k_max, 
             w_step = jnp.where(scattered[..., None], 1.0, w_step)
             pdf_next = jnp.where(scattered, pdf_ph, pdf_next)
 
+        if meta.has_forward:
+            from .path_tracer import _forward_transparency
+
+            transp = _forward_transparency(scene, mat_id, uv, wi_l)
+            wo_w = vo.where3(fwd_evt, d, wo_w)
+            w_step = jnp.where(fwd_evt[..., None], transp, w_step)
+            pdf_next = jnp.where(fwd_evt, s["pdf_dir"], pdf_next)
+
         sampled_dirac = Lobes.has_specular(bs.lobe) & hit_surface
         verts.dirac = _dyn_set(
-            verts.dirac, k, jnp.where(alive, sampled_dirac, _dyn_get(verts.dirac, k))
+            verts.dirac, idx,
+            jnp.where(store, sampled_dirac, _dyn_get(verts.dirac, idx)),
         )
 
         # reverse pdf of the PREVIOUS vertex: pdf of sampling (wo -> wi)
@@ -270,19 +291,20 @@ def _trace_subpath(scene, sampler, o0, d0, beta0, pdf0_dir, root_fields, k_max, 
             "mat": mat_id, "uv": uv, "medium": medium,
             "kind": kind,
         }, wo_w, -d)
-        prev = _dyn_get_dict(verts, jnp.maximum(k - 1, 0))
+        pidx = jnp.maximum(idx - 1, 0)
+        prev = _dyn_get_dict(verts, pidx)
         dvec = prev["p"] - vp
         dsq = vo.length_sq(dvec)
         p_rev_area = _solid_to_area(
             p_rev_solid, vo.normalize(dvec, eps=1e-12), dsq, prev["ng"], prev["kind"]
         )
         verts.pdf_rev = _dyn_set(
-            verts.pdf_rev, jnp.maximum(k - 1, 0),
-            jnp.where(alive, p_rev_area, _dyn_get(verts.pdf_rev, jnp.maximum(k - 1, 0))),
+            verts.pdf_rev, pidx,
+            jnp.where(store, p_rev_area, _dyn_get(verts.pdf_rev, pidx)),
         )
 
         beta = beta * jnp.where(alive[..., None], w_step, 1.0)
-        alive = alive & jnp.where(hit_surface, bs.valid, True)
+        alive = alive & jnp.where(hit_surface & ~fwd_evt, bs.valid, True)
         alive = alive & (vo.max3(jnp.abs(beta)) > 0.0)
 
         if meta.has_media:
@@ -305,8 +327,9 @@ def _trace_subpath(scene, sampler, o0, d0, beta0, pdf0_dir, root_fields, k_max, 
             first_scatter=s["first_scatter"],
             med_bounce=s["med_bounce"],
             n_verts=n_verts,
-            prev_dirac=sampled_dirac,
+            prev_dirac=jnp.where(fwd_evt, s["prev_dirac"], sampled_dirac),
             near=jnp.where(scattered, 0.0, jnp.full((n,), DEFAULT_EPSILON)),
+            seg_base=jnp.where(fwd_evt, seg_len, 0.0),
             smp=smp,
         )
 
@@ -319,11 +342,12 @@ def _mask_like(mask, val):
 
 
 def _dyn_set(arr, k, val):
-    """arr (N, K, ...); val (N, ...); k scalar (traced ok): arr[:, k] = val,
-    via a one-hot select over the small K axis (K <= 8)."""
-    kdim = arr.shape[1]
-    sel = jax.lax.broadcasted_iota(jnp.int32, (1, kdim), 1) == jnp.asarray(k, jnp.int32)
-    sel = sel.reshape((1, kdim) + (1,) * (arr.ndim - 2))
+    """arr (N, K, ...); val (N, ...); k scalar or per-lane (N,) (traced ok):
+    arr[:, k] = val, via a one-hot select over the small K axis (K <= 8)."""
+    n, kdim = arr.shape[0], arr.shape[1]
+    kk = jnp.broadcast_to(jnp.asarray(k, jnp.int32), (n,))
+    sel = jax.lax.broadcasted_iota(jnp.int32, (n, kdim), 1) == kk[:, None]
+    sel = sel.reshape((n, kdim) + (1,) * (arr.ndim - 2))
     valx = val[:, None] if val.ndim == arr.ndim - 1 else val
     return jnp.where(sel, valx, arr)
 
@@ -416,7 +440,10 @@ def trace_bdpt_pass(scene: FlatScene, seed, lane_ids, px, py):
 
     meta = scene.meta
     n = px.shape[0]
-    k_max = min(meta.max_bounces + 1, int(getattr(meta, "bdpt_max_vertices", 6)) or 6)
+    # LightPath(settings.maxBounces + 1) vertices per subpath
+    # (BidirectionalPathTracer.cpp:14-15); cap at 8 to bound the static
+    # (s, t) family unroll count on the host compiler
+    k_max = min(meta.max_bounces + 1, int(getattr(meta, "bdpt_max_vertices", 8)) or 8)
     sampler = Sampler.create(seed, lane_ids)
 
     # ---- camera subpath ----
