@@ -75,6 +75,18 @@ def test_absorption_exponential():
         ({"type": "erlang", "rate": 1.0}, 0.5 * np.exp(-1.4) * (2 + 1.4)),
         ({"type": "double_exponential", "sigma_a": 0.5, "sigma_b": 2.0},
          0.5 * (np.exp(-0.5 * 1.4) + np.exp(-2.0 * 1.4))),
+        # davis_weinstein h=0.75, c=1: beta=.5, alpha=sqrt(tau),
+        # ss = (1 + sqrt(tau))^(-sqrt(tau))  (DavisWeinsteinTransmittance.cpp)
+        ({"type": "davis_weinstein", "h": 0.75, "c": 1.0},
+         (1.0 + np.sqrt(1.4)) ** (-np.sqrt(1.4))),
+        # interpolated linear(3) + erlang(1), ratio .5:
+        # sbar*lerp(ssA/sbarA, ssB/sbarB)  (InterpolatedTransmittance.cpp)
+        ({"type": "interpolated", "ratio": 0.5,
+          "tr_a": {"type": "linear", "max_t": 3.0},
+          "tr_b": {"type": "erlang", "rate": 1.0}},
+         (1.0 / (0.5 * 3.0 + 0.5 * 2.0))
+         * (0.5 * (1 - 1.4 / 3) * 3.0
+            + 0.5 * (0.5 * np.exp(-1.4) * (2 + 1.4)) * 2.0)),
     ],
 )
 def test_absorption_non_exponential(trans, expected_tr):

@@ -68,27 +68,11 @@ class MaterialTable:
 
 
 def _albedo_tex_for(spec, tex_builder) -> int:
-    a = spec.get("albedo", 1.0)
-    if isinstance(a, dict):
-        if a.get("type") == "checker":
-            return tex_builder.add_checker(
-                a.get("on_color", 0.8), a.get("off_color", 0.2),
-                a.get("res_u", 20), a.get("res_v", 20),
-            )
-        if a.get("type") == "constant":
-            return tex_builder.add_constant(a.get("value", 1.0))
-        if a.get("type") == "bitmap":
-            from ...io.imageio import load_image
+    from ..textures import texture_from_spec
 
-            img = load_image(spec["_resolve_path"](a["file"]))
-            return tex_builder.add_bitmap(img, path_key=a["file"])
-        raise NotImplementedError(f"albedo texture type {a.get('type')}")
-    if isinstance(a, str):
-        from ...io.imageio import load_image
-
-        img = load_image(spec["_resolve_path"](a))
-        return tex_builder.add_bitmap(img, path_key=a)
-    return tex_builder.add_constant(a)
+    return texture_from_spec(
+        spec.get("albedo", 1.0), tex_builder, spec.get("_resolve_path")
+    )
 
 
 def pack_materials(bsdf_specs: List[dict], tex_builder) -> MaterialTable:

@@ -26,6 +26,7 @@ from ..transmittance import (
     trans_medium_pdf,
     trans_sample,
     trans_sigma_bar,
+    _sigma_bar_full,
     trans_surface_prob,
 )
 
@@ -41,10 +42,11 @@ class MediumTable:
     phase_type: jnp.ndarray  # (K,) int32
     phase_g: jnp.ndarray  # (K,)
     trans_type: jnp.ndarray  # (K,) int32
-    trans_params: jnp.ndarray  # (K, 3)
+    trans_params: jnp.ndarray  # (K, 8) [a, b, pulses] / interpolated layout
     max_bounce: jnp.ndarray  # (K,) int32
 
     n_media: int = field(pytree_node=False, default=0)
+    trans_present: tuple = field(pytree_node=False, default=())
 
 
 def pack_media(specs: List[dict]) -> MediumTable:
@@ -54,7 +56,7 @@ def pack_media(specs: List[dict]) -> MediumTable:
     pt = np.zeros(k, np.int32)
     pg = np.zeros(k, np.float32)
     tt = np.zeros(k, np.int32)
-    tp = np.ones((k, 3), np.float32)
+    tp = np.ones((k, 8), np.float32)
     mb = np.full(k, 1024, np.int32)
     for i, spec in enumerate(specs):
         mtype = spec.get("type", "homogeneous")
@@ -77,16 +79,41 @@ def pack_media(specs: List[dict]) -> MediumTable:
         if isinstance(tr, str):
             tr = {"type": tr}
         tt[i] = trans_id(tr.get("type", "exponential"))
-        if tr.get("type") == "pulse":
-            tp[i, 0] = tr.get("min", 0.0)
-            tp[i, 1] = tr.get("max", 1.0)
-            tp[i, 2] = tr.get("num_pulses", 4)
+
+        def base_params(trd):
+            if trd.get("type") == "pulse":
+                return [trd.get("min", 0.0), trd.get("max", 1.0),
+                        trd.get("num_pulses", 4)]
+            if trd.get("type") == "davis_weinstein":
+                return [float(np.clip(trd.get("h", 0.75), 0.5, 1.0)),
+                        trd.get("c", 1.0), 4.0]
+            return [
+                trd.get("sigma_a", trd.get("max_t", trd.get("rate", trd.get("alpha", 1.0)))),
+                trd.get("sigma_b", 1.0), 4.0,
+            ]
+
+        if tr.get("type") == "interpolated":
+            # [u, typeA, typeB, paA, pbA, paB, pbB, -]; defaults mirror
+            # InterpolatedTransmittance(): linear + erlang, ratio 0.5
+            tra = tr.get("tr_a", {"type": "linear"})
+            trb = tr.get("tr_b", {"type": "erlang"})
+            if isinstance(tra, str):
+                tra = {"type": tra}
+            if isinstance(trb, str):
+                trb = {"type": trb}
+            if tra.get("type") in ("pulse", "interpolated") or trb.get("type") in (
+                "pulse", "interpolated"
+            ):
+                raise NotImplementedError(
+                    "interpolated transmittance children limited to 2-param models"
+                )
+            tp[i, 0] = tr.get("ratio", 0.5)
+            tp[i, 1] = trans_id(tra.get("type", "linear"))
+            tp[i, 2] = trans_id(trb.get("type", "erlang"))
+            tp[i, 3:5] = base_params(tra)[:2]
+            tp[i, 5:7] = base_params(trb)[:2]
         else:
-            tp[i, 0] = tr.get(
-                "sigma_a", tr.get("max_t", tr.get("rate", tr.get("alpha", 1.0)))
-            )
-            tp[i, 1] = tr.get("sigma_b", 1.0)
-            tp[i, 2] = 4.0
+            tp[i, 0:3] = base_params(tr)
         mb[i] = spec.get("max_bounces", 1024)
     return MediumTable(
         sigma_a=jnp.asarray(sa),
@@ -99,6 +126,7 @@ def pack_media(specs: List[dict]) -> MediumTable:
         trans_params=jnp.asarray(tp),
         max_bounce=jnp.asarray(mb),
         n_media=len(specs),
+        trans_present=tuple(sorted(set(int(x) for x in tt))),
     )
 
 
@@ -129,16 +157,16 @@ def medium_sample_distance(
     comp = jnp.minimum((u_comp * 3).astype(jnp.int32), 2)
     sigma_tc = jnp.take_along_axis(sigma_t, comp[..., None], axis=-1)[..., 0]
 
-    tau_sample = trans_sample(ttype, tparams, u_dist, u_b, first_scatter)
+    tau_sample = trans_sample(ttype, tparams, u_dist, u_b, first_scatter, present=media.trans_present)
     t_free = tau_sample / jnp.maximum(sigma_tc, 1e-20)
     exited = t_free >= far_t
     t = jnp.minimum(t_free, far_t)
     tau = t[..., None] * sigma_t
-    sbar = trans_sigma_bar(ttype, tparams)
+    sbar = _sigma_bar_full(ttype, tparams, media.trans_present)
 
-    w = trans_eval(ttype, tparams, tau, first_scatter, exited)
-    pdf_exit = jnp.mean(trans_surface_prob(ttype, tparams, tau, first_scatter), axis=-1)
-    pdf_scatter = jnp.mean(sigma_t * trans_medium_pdf(ttype, tparams, tau, first_scatter), axis=-1)
+    w = trans_eval(ttype, tparams, tau, first_scatter, exited, present=media.trans_present)
+    pdf_exit = jnp.mean(trans_surface_prob(ttype, tparams, tau, first_scatter, present=media.trans_present), axis=-1)
+    pdf_scatter = jnp.mean(sigma_t * trans_medium_pdf(ttype, tparams, tau, first_scatter, present=media.trans_present), axis=-1)
     pdf = jnp.where(exited, pdf_exit, pdf_scatter)
     w = jnp.where(exited[..., None], w, w * sigma_s * sbar[..., None])
     w = w / jnp.maximum(pdf, 1e-30)[..., None]
@@ -146,7 +174,8 @@ def medium_sample_distance(
     # absorption-only media never scatter: deterministic transmittance to far_t
     far_finite = far_t < INF
     w_abs = trans_eval(
-        ttype, tparams, far_t[..., None] * sigma_t, first_scatter, jnp.ones_like(exited)
+        ttype, tparams, far_t[..., None] * sigma_t, first_scatter,
+        jnp.ones_like(exited), present=media.trans_present,
     )
     t = jnp.where(abs_only, far_t, t)
     w = jnp.where(abs_only[..., None], w_abs, w)
@@ -181,6 +210,6 @@ def medium_transmittance(media: MediumTable, mid, far_t, start_on_surface, end_o
     tparams = media.trans_params[i]
     infinite = far_t >= INF
     tau = jnp.minimum(far_t, 1e30)[..., None] * sigma_t
-    tr = trans_eval(ttype, tparams, tau, start_on_surface, end_on_surface)
+    tr = trans_eval(ttype, tparams, tau, start_on_surface, end_on_surface, present=media.trans_present)
     tr = jnp.where(infinite[..., None], 0.0, tr)
     return jnp.where((mid >= 0)[..., None], tr, 1.0)

@@ -95,6 +95,24 @@ class TextureBuilder:
             self._cache[key] = idx
         return idx
 
+    def add_disk(self, value=1.0) -> int:
+        v = np.asarray(value, np.float32).ravel()
+        if v.size == 1:
+            v = np.repeat(v, 3)
+        p = np.zeros(_PARAMS, np.float32)
+        p[:3] = v
+        return self._push(TEX_DISK, p)
+
+    def add_blade(self, blades=6, angle=0.593412, value=1.0) -> int:
+        v = np.asarray(value, np.float32).ravel()
+        if v.size == 1:
+            v = np.repeat(v, 3)
+        p = np.zeros(_PARAMS, np.float32)
+        p[:3] = v
+        p[6] = blades
+        p[7] = angle
+        return self._push(TEX_BLADE, p)
+
     def _push(self, t: int, p: np.ndarray) -> int:
         self.types.append(t)
         self.params.append(p)
@@ -118,6 +136,11 @@ class TextureBuilder:
             return 0.5 * (p[:3] + p[3:6])
         if t == TEX_BITMAP:
             return self.image(tex_id).mean(axis=(0, 1))
+        if t == TEX_DISK:
+            return np.float32(np.pi * 0.25) * p[:3]
+        if t == TEX_BLADE:
+            nb = max(p[6], 3.0)
+            return np.float32(0.125 * nb * np.sin(2.0 * np.pi / nb)) * p[:3]
         return np.ones(3, np.float32)
 
     def build(self) -> TextureTable:
@@ -180,6 +203,32 @@ def _eval_bitmap(data, params, uv):
     return (c00 * (1 - fu) + c10 * fu) * (1 - fv) + (c01 * (1 - fu) + c11 * fu) * fv
 
 
+def _eval_disk(params, uv):
+    # DiskTexture::operator[]: unit disk centered at uv (0.5, 0.5)
+    d = uv - 0.5
+    inside = d[..., 0] ** 2 + d[..., 1] ** 2 < 0.25
+    return jnp.where(inside[..., None], params[..., 0:3], 0.0)
+
+
+def _eval_blade(params, uv):
+    # BladeTexture::operator[] (BladeTexture.cpp:73-88): n-gon aperture
+    nb = jnp.maximum(params[..., 6], 3.0)
+    angle = params[..., 7]
+    blade_angle = (2.0 * jnp.pi) / nb
+    g = uv * 2.0 - 1.0
+    phi = jnp.arctan2(g[..., 1], g[..., 0]) - angle
+    phi = -(jnp.floor(phi / blade_angle) * blade_angle + angle)
+    sp, cp = jnp.sin(phi), jnp.cos(phi)
+    lx = g[..., 0] * cp - g[..., 1] * sp
+    ly = g[..., 1] * cp + g[..., 0] * sp
+    bnx = jnp.cos(blade_angle * 0.5)
+    bny = jnp.sin(blade_angle * 0.5)
+    outside = bnx * (lx - 1.0) + bny * ly > 0.0
+    center = (uv[..., 0] + uv[..., 1]) == 0.0  # reference's uv==0 special case
+    val = jnp.where(outside[..., None], 0.0, params[..., 0:3])
+    return jnp.where(center[..., None], params[..., 0:3], val)
+
+
 def eval_texture(table: TextureTable, tex_id, uv):
     """Batched lookup: tex_id (N,), uv (N, 2) -> rgb (N, 3).
 
@@ -196,7 +245,58 @@ def eval_texture(table: TextureTable, tex_id, uv):
             val = _eval_checker(params, uv)
         elif t == TEX_BITMAP:
             val = _eval_bitmap(table.data, params, uv)
+        elif t == TEX_DISK:
+            val = _eval_disk(params, uv)
+        elif t == TEX_BLADE:
+            val = _eval_blade(params, uv)
         else:
             continue
         out = jnp.where((ttype == t)[..., None], val, out)
     return out
+
+
+def texture_from_spec(spec, tex_builder, resolve_path=None):
+    """JSON texture value -> table id (TextureFactory.cpp dispatch: scalar /
+    rgb constants, strings = bitmap paths, dicts by "type")."""
+    if isinstance(spec, str):
+        from ...io.imageio import load_image
+
+        if spec.lower().endswith(".ies"):
+            from .ies import bake_ies_file
+
+            img = bake_ies_file(resolve_path(spec) if resolve_path else spec)
+            return tex_builder.add_bitmap(img, path_key=spec, clamp=True)
+        img = load_image(resolve_path(spec) if resolve_path else spec)
+        return tex_builder.add_bitmap(img, path_key=spec)
+    if isinstance(spec, dict):
+        t = spec.get("type")
+        if t == "checker":
+            return tex_builder.add_checker(
+                spec.get("on_color", 0.8), spec.get("off_color", 0.2),
+                spec.get("res_u", 20), spec.get("res_v", 20),
+            )
+        if t == "constant":
+            return tex_builder.add_constant(spec.get("value", 1.0))
+        if t == "bitmap":
+            from ...io.imageio import load_image
+
+            f = spec["file"]
+            img = load_image(resolve_path(f) if resolve_path else f)
+            return tex_builder.add_bitmap(img, path_key=f)
+        if t == "disk":
+            return tex_builder.add_disk(spec.get("value", 1.0))
+        if t == "blade":
+            return tex_builder.add_blade(
+                spec.get("blades", 6), spec.get("angle", 0.593412),
+                spec.get("value", 1.0),
+            )
+        if t == "ies":
+            from .ies import bake_ies_file
+
+            img = bake_ies_file(
+                resolve_path(spec["file"]) if resolve_path else spec["file"],
+                resolution=int(spec.get("resolution", 256)),
+            )
+            return tex_builder.add_bitmap(img, path_key=spec["file"], clamp=True)
+        raise NotImplementedError(f"texture type {t}")
+    return tex_builder.add_constant(spec)

@@ -4,5 +4,5 @@ from .transmittance import (
     trans_surface_prob,
     trans_medium_pdf,
     trans_sample,
-    trans_sigma_bar,
+    trans_sigma_bar, _sigma_bar_full,
 )

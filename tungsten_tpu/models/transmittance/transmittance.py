@@ -10,7 +10,8 @@ non-reciprocal). Four-case eval:
     mixed:            mediumSurface(tau)
 
 Models: exponential, double_exponential, quadratic, linear, erlang, davis
-(davis_weinstein / pulse / interpolated pending). All batched over lanes with
+davis_weinstein, pulse, interpolated (one level of 2-param children). All
+batched over lanes with
 per-lane type/params (media carry their transmittance in the medium table).
 
 params layout (2 floats): model-specific
@@ -28,6 +29,8 @@ T_LINEAR = 3
 T_ERLANG = 4
 T_DAVIS = 5
 T_PULSE = 6
+T_DAVIS_WEINSTEIN = 7
+T_INTERPOLATED = 8
 
 _NAMES = {
     "exponential": T_EXPONENTIAL,
@@ -37,6 +40,8 @@ _NAMES = {
     "erlang": T_ERLANG,
     "davis": T_DAVIS,
     "pulse": T_PULSE,
+    "davis_weinstein": T_DAVIS_WEINSTEIN,
+    "interpolated": T_INTERPOLATED,
 }
 
 MAX_PULSES = 8
@@ -80,6 +85,31 @@ def _cases(ttype, pa, pb, tau, pc=4.0):
     d_ms = d_sm
     d_mm = (1.0 + 1.0 / al) * jnp.power(1.0 + tau / al, -(al + 2.0))
 
+    # davis_weinstein (DavisWeinsteinTransmittance.cpp): tau-dependent alpha
+    dw_t = jnp.maximum(tau, 1e-6)
+    dw_beta = 2.0 * pa - 1.0
+    dw_alpha = jnp.power(dw_t, 1.0 - dw_beta) / jnp.power(
+        jnp.maximum(pb, 1e-6), 1.0 + dw_beta
+    )
+    dw_alpha = jnp.maximum(dw_alpha, 1e-8)
+    dw_base = 1.0 + dw_t / dw_alpha
+    dw_log = jnp.log(dw_base)
+    dw_ss = jnp.power(dw_base, -dw_alpha)
+    dw_sm = dw_ss * (
+        dw_beta / dw_base - (dw_beta - 1.0) * dw_alpha / dw_t * dw_log
+    )
+    dw_term1 = dw_beta * (
+        -1.0 + dw_beta * (1.0 + dw_t) + (-1.0 + 2.0 * dw_beta) * dw_t / dw_alpha
+    ) / (dw_t * dw_base * dw_base)
+    dw_term2 = (
+        (-1.0 + dw_beta) * dw_beta * dw_alpha / (dw_t * dw_t)
+        * (2.0 * dw_t + dw_base) * dw_log
+    ) / dw_base
+    dw_term3 = (dw_beta - 1.0) * dw_alpha / dw_t * dw_log
+    dw_mm = dw_ss * (dw_term1 - dw_term2 + dw_term3 * dw_term3)
+    fin = lambda x: jnp.where(jnp.isfinite(x), x, 0.0)
+    dw_ss, dw_sm, dw_mm = fin(dw_ss), fin(dw_sm), fin(dw_mm)
+
     # pulse (PulseTransmittance.cpp): piecewise-linear comb, dirac mm
     npul = pc
     rel = (tau - pa) / jnp.maximum(pb - pa, 1e-20)
@@ -101,7 +131,7 @@ def _cases(ttype, pa, pb, tau, pc=4.0):
         jnp.abs(idx_mm_f - jnp.floor(idx_mm_f) - 0.5) < 1e-3, 1.0, 0.0
     )
 
-    def pick(exp_v, de, q, l, er, d, pu):
+    def pick(exp_v, de, q, l, er, d, pu, dw):
         out = exp_v
         out = jnp.where(ttype == T_DOUBLE_EXPONENTIAL, de, out)
         out = jnp.where(ttype == T_QUADRATIC, q, out)
@@ -109,14 +139,57 @@ def _cases(ttype, pa, pb, tau, pc=4.0):
         out = jnp.where(ttype == T_ERLANG, er, out)
         out = jnp.where(ttype == T_DAVIS, d, out)
         out = jnp.where(ttype == T_PULSE, pu, out)
+        out = jnp.where(ttype == T_DAVIS_WEINSTEIN, dw, out)
         return out
 
     return dict(
-        ss=pick(e, de_ss, q_ss, l_ss, er_ss, d_ss, p_ss),
-        sm=pick(e, de_sm, q_sm, l_sm, er_sm, d_sm, p_sm),
-        ms=pick(e, de_ms, q_ms, l_ms, er_ms, d_ms, p_ms),
-        mm=pick(e, de_mm, q_mm, l_mm, er_mm, d_mm, p_mm),
+        ss=pick(e, de_ss, q_ss, l_ss, er_ss, d_ss, p_ss, dw_ss),
+        sm=pick(e, de_sm, q_sm, l_sm, er_sm, d_sm, p_sm, dw_sm),
+        ms=pick(e, de_ms, q_ms, l_ms, er_ms, d_ms, p_ms, dw_sm),
+        mm=pick(e, de_mm, q_mm, l_mm, er_mm, d_mm, p_mm, dw_mm),
     )
+
+
+def _interp_blend(params, tau, key):
+    """Interpolated transmittance (InterpolatedTransmittance.cpp): lerp of two
+    child models. params: [u, typeA, typeB, paA, pbA, paB, pbB, -]. Children
+    are limited to 2-parameter models (the reference defaults are linear +
+    erlang); the mm case uses the dirac-xor rule for dirac-lobed children."""
+    u = params[..., 0:1]
+    tA = params[..., 1:2].astype(jnp.int32)
+    tB = params[..., 2:3].astype(jnp.int32)
+    cA = _cases(tA, params[..., 3:4], params[..., 4:5], tau)
+    cB = _cases(tB, params[..., 5:6], params[..., 6:7], tau)
+    a, b = cA[key], cB[key]
+    if key == "ss":
+        sbarA = trans_sigma_bar(tA[..., 0], params[..., 3:5])[..., None]
+        sbarB = trans_sigma_bar(tB[..., 0], params[..., 5:7])[..., None]
+        sbar = 1.0 / ((1.0 - u) / sbarA + u / sbarB)
+        return sbar * ((1.0 - u) * a / sbarA + u * b / sbarB)
+    if key == "mm":
+        diracA = ((tA == T_LINEAR) | (tA == T_PULSE)) & (a > 0.0)
+        diracB = ((tB == T_LINEAR) | (tB == T_PULSE)) & (b > 0.0)
+        lin = (1.0 - u) * a + u * b
+        one = jnp.where(diracA, a, b)
+        return jnp.where(diracA ^ diracB, one, lin)
+    if key == "sm":
+        # surfaceMedium = mediumSurface * sigmaBar
+        ms = (1.0 - u) * cA["ms"] + u * cB["ms"]
+        sbarA = trans_sigma_bar(tA[..., 0], params[..., 3:5])[..., None]
+        sbarB = trans_sigma_bar(tB[..., 0], params[..., 5:7])[..., None]
+        sbar = 1.0 / ((1.0 - u) / sbarA + u / sbarB)
+        return ms * sbar
+    return (1.0 - u) * a + u * b  # ms
+
+
+def _apply_interp(ttype, params, tau, cases, present):
+    if present is not None and T_INTERPOLATED not in present:
+        return cases
+    is_i = (ttype[..., None] if ttype.ndim < tau.ndim else ttype) == T_INTERPOLATED
+    out = {}
+    for key, val in cases.items():
+        out[key] = jnp.where(is_i, _interp_blend(params, tau, key), val)
+    return out
 
 
 def trans_sigma_bar(ttype, params):
@@ -131,6 +204,17 @@ def trans_sigma_bar(ttype, params):
     return out
 
 
+def _sigma_bar_full(ttype, params, present=None):
+    out = trans_sigma_bar(ttype, params)
+    if present is None or T_INTERPOLATED in present:
+        u = params[..., 0]
+        sA = trans_sigma_bar(params[..., 1].astype(jnp.int32), params[..., 3:5])
+        sB = trans_sigma_bar(params[..., 2].astype(jnp.int32), params[..., 5:7])
+        si = 1.0 / ((1.0 - u) / sA + u / sB)
+        out = jnp.where(ttype == T_INTERPOLATED, si, out)
+    return out
+
+
 def _case(ttype, params, tau, key):
     pa = params[..., 0:1]
     pb = params[..., 1:2]
@@ -138,26 +222,42 @@ def _case(ttype, params, tau, key):
     return _cases(ttype, pa, pb, tau)[key]
 
 
-def trans_eval(ttype, params, tau, start_on_surface, end_on_surface):
-    """Transmittance.eval — tau: (N, 3), flags: (N,) bool."""
+def _all_cases(ttype, params, tau, present):
     c = _cases(ttype[..., None], params[..., 0:1], params[..., 1:2], tau, params[..., 2:3])
-    sbar = trans_sigma_bar(ttype, params)[..., None]
+    return _apply_interp(ttype[..., None], params, tau, c, present)
+
+
+def trans_eval(ttype, params, tau, start_on_surface, end_on_surface, present=None):
+    """Transmittance.eval — tau: (N, 3), flags: (N,) bool."""
+    c = _all_cases(ttype, params, tau, present)
+    sbar = _sigma_bar_full(ttype, params, present)[..., None]
     both_s = (start_on_surface & end_on_surface)[..., None]
     both_m = (~start_on_surface & ~end_on_surface)[..., None]
     return jnp.where(both_s, c["ss"], jnp.where(both_m, c["mm"] / sbar, c["ms"]))
 
 
-def trans_surface_prob(ttype, params, tau, start_on_surface):
-    c = _cases(ttype[..., None], params[..., 0:1], params[..., 1:2], tau, params[..., 2:3])
+def trans_surface_prob(ttype, params, tau, start_on_surface, present=None):
+    c = _all_cases(ttype, params, tau, present)
     return jnp.where(start_on_surface[..., None], c["ss"], c["ms"])
 
 
-def trans_medium_pdf(ttype, params, tau, start_on_surface):
-    c = _cases(ttype[..., None], params[..., 0:1], params[..., 1:2], tau, params[..., 2:3])
+def trans_medium_pdf(ttype, params, tau, start_on_surface, present=None):
+    c = _all_cases(ttype, params, tau, present)
     return jnp.where(start_on_surface[..., None], c["sm"], c["mm"])
 
 
-def trans_sample(ttype, params, u, u_b, start_on_surface):
+def _bisect_sample(cdf_fn, u, iters=42):
+    """Reference bisection sampler (DavisWeinsteinTransmittance.cpp:86-117):
+    42 halvings from step 1e6 bracket tau to ~1e-6."""
+    step = jnp.full_like(u, 1e6)
+    x = jnp.full_like(u, 2e6)
+    for _ in range(iters):
+        x = jnp.where(cdf_fn(x) > u, x - step, x + step)
+        step = step * 0.5
+    return x
+
+
+def trans_sample(ttype, params, u, u_b, start_on_surface, present=None):
     """Free-flight tau sample (unitless optical depth). u, u_b: uniforms."""
     pa = params[..., 0]
     pb = params[..., 1]
@@ -226,4 +326,33 @@ def trans_sample(ttype, params, u, u_b, start_on_surface):
     out = jnp.where(ttype == T_ERLANG, t_er, out)
     out = jnp.where(ttype == T_DAVIS, t_dv, out)
     out = jnp.where(ttype == T_PULSE, t_pu, out)
+
+    if present is None or T_DAVIS_WEINSTEIN in present:
+        # no analytic inverse: bisection on the exact cdf (reference parity)
+        h = params[..., 0:1]
+        cdw = params[..., 1:2]
+
+        def cdf(x):
+            tt = jnp.full(x.shape + (1,), T_DAVIS_WEINSTEIN, jnp.int32)
+            c = _cases(tt, h, cdw, x[..., None])
+            tr = jnp.where(start_on_surface[..., None], c["ss"], c["ms"])
+            return 1.0 - tr[..., 0]
+
+        t_dw = _bisect_sample(cdf, u)
+        out = jnp.where(ttype == T_DAVIS_WEINSTEIN, t_dw, out)
+
+    if present is None or T_INTERPOLATED in present:
+        # pick a child by ratio then sample it (InterpolatedTransmittance
+        # sampleSurface/sampleMedium nextBoolean(u))
+        ui = params[..., 0]
+        pick_b = u_b < ui
+        ct = jnp.where(pick_b, params[..., 2], params[..., 1]).astype(jnp.int32)
+        cp = jnp.where(
+            pick_b[..., None], params[..., 5:7], params[..., 3:5]
+        )
+        cp = jnp.concatenate([cp, jnp.full(cp.shape[:-1] + (1,), 4.0)], axis=-1)
+        # re-derive a fresh uniform for the child draw (u_b was consumed)
+        u_c = jnp.abs(u_b * 7919.0) % 1.0
+        t_in = trans_sample(ct, cp, u, u_c, start_on_surface, present=())
+        out = jnp.where(ttype == T_INTERPOLATED, t_in, out)
     return out

@@ -343,14 +343,9 @@ def flatten_scene(doc: SceneDocument) -> FlatScene:
             if p.ndim == 0:
                 p = np.repeat(p, 3)
             return tex_builder.add_constant((p / (np.pi * area)).astype(np.float32))
-        e = prim["emission"]
-        if isinstance(e, str):
-            from ..io.imageio import load_image
+        from ..models.textures import texture_from_spec
 
-            return tex_builder.add_bitmap(load_image(doc.resolve_path(e)), path_key=e)
-        if isinstance(e, dict):
-            raise NotImplementedError("textured emission object")
-        return tex_builder.add_constant(e)
+        return texture_from_spec(prim["emission"], tex_builder, doc.resolve_path)
 
     for pi in emissive_prims:
         prim = doc.primitives[pi]
