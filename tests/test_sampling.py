@@ -88,3 +88,29 @@ def test_distribution2d_matches_weights():
     np.testing.assert_allclose(hist, wgt / wgt.sum(), atol=0.002)
     np.testing.assert_allclose(np.asarray(pdf), (wgt / wgt.sum())[y, x], rtol=1e-4)
     np.testing.assert_allclose(np.asarray(d.prob(jnp.asarray(x), jnp.asarray(y))), np.asarray(pdf), rtol=1e-5)
+
+
+
+def test_sobol_strat_sampler():
+    """Padded Owen-scrambled (0,2) sampler ("stratified_sampler" mode, the
+    SobolPathSampler analog): every dimension yields an exact 8x8-stratified
+    64-point net per pixel, streams differ across dims and pixels."""
+    import numpy as np
+    import jax.numpy as jnp
+    from tungsten_tpu.sampling.sampler import Sampler
+
+    n = 64
+    seed = jnp.array([7, 0], jnp.uint32)
+    lane = jnp.arange(n, dtype=jnp.uint32)
+    samp = jnp.arange(n, dtype=jnp.uint32)
+    pix = jnp.zeros((n,), jnp.uint32)
+    s = Sampler.create(seed, lane, None, samp, pix, True)
+    for smp in (s, s.skip(5)):
+        u = np.asarray(smp.next_2d()[0])
+        cells = set((int(x * 8), int(y * 8)) for x, y in u)
+        assert len(cells) == 64
+    u0 = np.asarray(s.next_2d()[0])
+    u5 = np.asarray(s.skip(5).next_2d()[0])
+    assert not np.allclose(u0, u5)
+    s2 = Sampler.create(seed, lane, None, samp, pix + 1, True)
+    assert not np.allclose(u0, np.asarray(s2.next_2d()[0]))

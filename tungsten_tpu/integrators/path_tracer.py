@@ -703,19 +703,38 @@ def _unified_nee_finish(scene, data, h_shadow, h_mis, medium, scattered):
     return jnp.where(data["skip"][..., None], 0.0, total)
 
 
+def _strat_fields(meta, seed, lane_ids, px, py):
+    """Per-lane sobol sample index + pixel key (SobolPathSampler mode:
+    renderer "stratified_sampler"). Lanes are m pixel-grid repetitions, so
+    rep = lane // n_pix; the pass index rides in seed[1] (trace_batch folds
+    pass_start + i there with a zero base)."""
+    if not getattr(meta, "stratified", False):
+        return None, None
+    n_pix = meta.res_x * meta.res_y
+    n = px.shape[0]
+    m = max(n // n_pix, 1)
+    rep = (lane_ids.astype(jnp.uint32) // jnp.uint32(n_pix))
+    samp = seed[1].astype(jnp.uint32) * jnp.uint32(m) + rep
+    pix = py.astype(jnp.uint32) * jnp.uint32(meta.res_x) + px.astype(jnp.uint32)
+    return samp, pix
+
+
 def _trace_pass_fast(scene: FlatScene, seed, lane_ids, px, py, table=None):
     """Fast-path wavefront PT (no forward-lobed materials): one merged
     3N-lane intersect per bounce carries the shadow, MIS, and continuation
     rays together — a single lockstep traversal instead of three."""
     meta = scene.meta
     n = px.shape[0]
-    sampler = Sampler.create(seed, lane_ids, table)
+    samp_idx, pix_key = _strat_fields(meta, seed, lane_ids, px, py)
+    strat = samp_idx is not None and table is None
+    sampler = Sampler.create(seed, lane_ids, table, samp_idx, pix_key, strat)
     if table is not None:
         sampler = sampler.skip(1)  # table slot 0 is the MLT pixel position
 
+    STRAT = sampler.strat
     u_cam, sampler = sampler.next_2d()
     u_lens, sampler = sampler.next_2d()
-    if table is None and not _NO_STRAT:
+    if table is None and not _NO_STRAT and not strat:
         # stratified (0,2)-sequence AA over passes (stratified_sampler mode)
         from ..sampling.sampler import stratified_cam_2d
 
@@ -742,6 +761,8 @@ def _trace_pass_fast(scene: FlatScene, seed, lane_ids, px, py, table=None):
         base_dim=sampler.dim,
         seed=sampler.seed,
         lane_id=sampler.lane_id,
+        samp_idx=sampler.samp_idx,
+        pix_key=sampler.pix_key,
     )
     if meta.aovs:
         state.update(
@@ -757,7 +778,10 @@ def _trace_pass_fast(scene: FlatScene, seed, lane_ids, px, py, table=None):
 
     def body(s):
         bounce = s["bounce"]
-        smp = Sampler(s["seed"], s["lane_id"], s["base_dim"] + bounce * DIMS_PER_BOUNCE, table)
+        smp = Sampler(
+            s["seed"], s["lane_id"], s["base_dim"] + bounce * DIMS_PER_BOUNCE,
+            table, s["samp_idx"], s["pix_key"], STRAT,
+        )
         o, d, alive = s["o"], s["d"], s["alive"]
         throughput, emission = s["throughput"], s["emission"]
         was_specular = s["was_specular"]
@@ -969,6 +993,8 @@ def _trace_pass_fast(scene: FlatScene, seed, lane_ids, px, py, table=None):
             base_dim=s["base_dim"],
             seed=s["seed"],
             lane_id=s["lane_id"],
+            samp_idx=s["samp_idx"],
+            pix_key=s["pix_key"],
         )
         if meta.aovs:
             new_state.update(
@@ -1002,6 +1028,8 @@ def _trace_pass_fast(scene: FlatScene, seed, lane_ids, px, py, table=None):
                 "pix", "hit_t", "hit_u", "hit_v", "alive", "was_specular",
                 "medium", "first_scatter", "med_bounce", "lane_id", "hit_prim",
             ]
+            if new_state.get("samp_idx") is not None:
+                names_1 += ["samp_idx", "pix_key"]
             if meta.aovs:
                 names_3 += ["aov_normal", "aov_albedo"]
                 names_1 += ["aov_recorded", "aov_depth", "aov_dist"]
@@ -1054,7 +1082,11 @@ def trace_pass(scene: FlatScene, seed, lane_ids, px, py, table=None):
     if not meta.has_forward:
         return _trace_pass_fast(scene, seed, lane_ids, px, py, table)
     n = px.shape[0]
-    sampler = Sampler.create(seed, lane_ids)
+    samp_idx, pix_key = _strat_fields(meta, seed, lane_ids, px, py)
+    sampler = Sampler.create(
+        seed, lane_ids, None, samp_idx, pix_key, samp_idx is not None
+    )
+    STRAT = sampler.strat
 
     u_cam, sampler = sampler.next_2d()
     u_lens, sampler = sampler.next_2d()
@@ -1076,6 +1108,8 @@ def trace_pass(scene: FlatScene, seed, lane_ids, px, py, table=None):
         base_dim=sampler.dim,
         seed=sampler.seed,
         lane_id=sampler.lane_id,
+        samp_idx=sampler.samp_idx,
+        pix_key=sampler.pix_key,
     )
     if meta.aovs:
         state.update(
@@ -1091,7 +1125,10 @@ def trace_pass(scene: FlatScene, seed, lane_ids, px, py, table=None):
 
     def body(s):
         bounce = s["bounce"]
-        smp = Sampler(s["seed"], s["lane_id"], s["base_dim"] + bounce * DIMS_PER_BOUNCE, table)
+        smp = Sampler(
+            s["seed"], s["lane_id"], s["base_dim"] + bounce * DIMS_PER_BOUNCE,
+            table, s["samp_idx"], s["pix_key"], STRAT,
+        )
         o, d, alive = s["o"], s["d"], s["alive"]
         throughput, emission = s["throughput"], s["emission"]
         was_specular = s["was_specular"]
@@ -1301,6 +1338,8 @@ def trace_pass(scene: FlatScene, seed, lane_ids, px, py, table=None):
             base_dim=s["base_dim"],
             seed=s["seed"],
             lane_id=s["lane_id"],
+            samp_idx=s["samp_idx"],
+            pix_key=s["pix_key"],
         )
         if meta.aovs:
             new_state.update(

@@ -58,6 +58,35 @@ def _to_unit_float(bits):
     return (bits >> jnp.uint32(8)).astype(jnp.float32) * _INV_2_24
 
 
+def _reverse_bits32(v):
+    v = ((v >> 1) & jnp.uint32(0x55555555)) | ((v & jnp.uint32(0x55555555)) << 1)
+    v = ((v >> 2) & jnp.uint32(0x33333333)) | ((v & jnp.uint32(0x33333333)) << 2)
+    v = ((v >> 4) & jnp.uint32(0x0F0F0F0F)) | ((v & jnp.uint32(0x0F0F0F0F)) << 4)
+    v = ((v >> 8) & jnp.uint32(0x00FF00FF)) | ((v & jnp.uint32(0x00FF00FF)) << 8)
+    return (v >> 16) | (v << 16)
+
+
+def _lk_hash(x, seed):
+    """Laine-Karras permutation [Burley 2020, "Practical Hash-based Owen
+    Scrambling"]: a base-2 Owen scramble of the reversed-bit domain."""
+    x = x + seed
+    x = x ^ (x * jnp.uint32(0x6C50B47C))
+    x = x ^ (x * jnp.uint32(0xB82F1E52))
+    x = x ^ (x * jnp.uint32(0xC7AFE638))
+    x = x ^ (x * jnp.uint32(0x8D22F6E6))
+    return x
+
+
+def owen_scramble_u32(v, key):
+    """Owen-scramble a radical-inverse value (bits MSB-first)."""
+    return _reverse_bits32(_lk_hash(_reverse_bits32(v), key))
+
+
+def owen_shuffle_index(i, key):
+    """Owen-shuffled sample index (nested uniform shuffle of the sequence)."""
+    return _lk_hash(i, key)
+
+
 @pytree
 class Sampler:
     """Per-lane counter-based sample stream.
@@ -75,13 +104,21 @@ class Sampler:
     lane_id: jnp.ndarray
     dim: jnp.ndarray
     table: jnp.ndarray = None
+    samp_idx: jnp.ndarray = None  # (N,) u32 per-pixel sample number (sobol)
+    pix_key: jnp.ndarray = None  # (N,) u32 pixel id (sobol scramble key)
+    strat: bool = __import__("flax").struct.field(pytree_node=False, default=False)
 
     @staticmethod
-    def create(seed, lane_ids: jnp.ndarray, table=None) -> "Sampler":
+    def create(seed, lane_ids: jnp.ndarray, table=None, samp_idx=None,
+               pix_key=None, strat=False) -> "Sampler":
         if isinstance(seed, int):
             seed = jnp.array([seed & 0xFFFFFFFF, (seed >> 32) & 0xFFFFFFFF], jnp.uint32)
         seed = jnp.asarray(seed).astype(jnp.uint32).reshape(2)
-        return Sampler(seed=seed, lane_id=lane_ids.astype(jnp.uint32), dim=jnp.int32(0), table=table)
+        return Sampler(
+            seed=seed, lane_id=lane_ids.astype(jnp.uint32), dim=jnp.int32(0),
+            table=table, samp_idx=samp_idx, pix_key=pix_key,
+            strat=bool(strat) and table is None and samp_idx is not None,
+        )
 
     def _draw(self):
         d = self.dim.astype(jnp.uint32)
@@ -92,6 +129,26 @@ class Sampler:
             jnp.broadcast_to(self.seed[1], self.lane_id.shape),
         )
         u0, u1 = _to_unit_float(r0), _to_unit_float(r1)
+        if self.strat:
+            # padded XOR-scrambled (0,2)-sequence: the SobolPathSampler
+            # analog (SobolPathSampler.hpp:20-23 XORs a per-pixel hash into
+            # the raw Sobol' bits — XOR scrambling preserves the (0,2)-net
+            # exactly; we use the stronger hash-based Owen scramble [Burley 2020],
+            # which also preserves the net). Each dimension-pair re-scrambles with a key from
+            # (pixel, dim, seed[0]) only, so one pixel's spp samples stay a
+            # single low-discrepancy sequence across passes.
+            k0, k1, k2, _ = pcg4d(
+                self.pix_key,
+                jnp.broadcast_to(d, self.pix_key.shape),
+                jnp.broadcast_to(self.seed[0], self.pix_key.shape),
+                jnp.full(self.pix_key.shape, 0x50B07, jnp.uint32),
+            )
+            # jump each (pixel, dim) pair to its own aligned 2^16 block of
+            # the global sequence (high-bit XOR keeps the pixel's first spp
+            # samples an exact net while decorrelating dimension pairs)
+            x, y = sobol02(self.samp_idx ^ (k0 & jnp.uint32(0xFFFF0000)))
+            u0 = _to_unit_float(owen_scramble_u32(x, k1))
+            u1 = _to_unit_float(owen_scramble_u32(y, k2))
         if self.table is not None:
             dmax = self.table.shape[1]
             idx = jnp.clip(self.dim, 0, dmax - 1)
@@ -103,12 +160,12 @@ class Sampler:
 
     def next_1d(self) -> Tuple[jnp.ndarray, "Sampler"]:
         u0, _ = self._draw()
-        return u0, Sampler(self.seed, self.lane_id, self.dim + 1, self.table)
+        return u0, self._advance(1)
 
     def next_2d(self) -> Tuple[jnp.ndarray, "Sampler"]:
         u0, u1 = self._draw()
         u = jnp.stack([u0, u1], axis=-1)
-        return u, Sampler(self.seed, self.lane_id, self.dim + 1, self.table)
+        return u, self._advance(1)
 
     def next_bool(self, p) -> Tuple[jnp.ndarray, "Sampler"]:
         """Bernoulli(p) per lane (PathSampleGenerator::nextBoolean)."""
@@ -122,7 +179,13 @@ class Sampler:
     def skip(self, n) -> "Sampler":
         """Advance the dimension counter; keeps lax.while bounce iterations
         consuming a fixed dimension budget so streams stay aligned."""
-        return Sampler(self.seed, self.lane_id, self.dim + n, self.table)
+        return self._advance(n)
+
+    def _advance(self, n):
+        return Sampler(
+            self.seed, self.lane_id, self.dim + n, self.table,
+            self.samp_idx, self.pix_key, self.strat,
+        )
 
 
 def sobol02(index):

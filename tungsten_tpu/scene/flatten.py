@@ -126,6 +126,7 @@ class SceneMeta:
     spp_step: int
     use_bvh: bool
     aovs: tuple = ()  # ((type, ldr_file, hdr_file), ...) from renderer output_buffers
+    stratified: bool = False  # renderer "stratified_sampler" -> sobol mode
     has_cap: bool = False
     cap_light_index: int = -1  # index in light list, -1 if unsamplable/absent
     cap_after_env: bool = False  # cap listed after the env/skydome primitive
@@ -539,6 +540,7 @@ def flatten_scene(doc: SceneDocument) -> FlatScene:
         has_env=env_spec is not None,
         env_light_index=env_index,
         env_is_constant=env_is_constant,
+        stratified=bool(doc.renderer.get("stratified_sampler", False)),
         has_cap=cap_spec is not None,
         cap_light_index=cap_index,
         cap_after_env=cap_prim_index > env_prim_index,
