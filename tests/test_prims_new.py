@@ -96,3 +96,29 @@ def test_cylinder_renders():
     assert scene.tris.v0.shape[0] > 200  # tessellated tube + caps present
     img = render_buffers(scene, spp=8, samples_per_pass=1).color()
     assert img.max() > 0.01 and np.isfinite(img).all()
+
+
+def test_instances_expand():
+    """"instances" primitives expand to master copies with composed
+    transforms at load (Instance.cpp:60-93)."""
+    from tungsten_tpu.scene.load import parse_scene
+
+    doc = parse_scene({
+        "bsdfs": [{"name": "w", "albedo": 0.5, "type": "lambert"}],
+        "primitives": [
+            {"type": "instances",
+             "masters": [{"type": "cube", "bsdf": "w",
+                          "transform": {"scale": 0.5}}],
+             "instances": [{"id": 0, "transform": {"position": [i * 2.0, 0, 0]}}
+                            for i in range(4)]},
+        ],
+        "camera": {"resolution": [8, 8],
+                   "transform": {"position": [0, 3, 6], "look_at": [0, 0, 0],
+                                  "up": [0, 1, 0]}},
+        "integrator": {"type": "path_tracer", "max_bounces": 2},
+        "renderer": {"spp": 1},
+    })
+    scene = flatten_scene(doc)
+    assert scene.tris.v0.shape[0] == 48  # 4 cubes x 12 tris
+    v0 = np.asarray(scene.tris.v0)
+    assert v0[:, 0].max() > 5.5 and v0[:, 0].min() < 0.0

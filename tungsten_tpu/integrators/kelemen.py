@@ -74,8 +74,7 @@ def _eval(scene, table, lane_ids, seed):
     return rad, pixel_f
 
 
-@partial(jax.jit, static_argnames=())
-def mlt_step(scene: FlatScene, state, lane_ids, seed, step_idx, p_large, b):
+def _mlt_step_impl(scene: FlatScene, state, lane_ids, seed, step_idx, p_large, b):
     """One Metropolis mutation for all chains + expected-value splats."""
     meta = scene.meta
     table = state["table"]
@@ -117,6 +116,23 @@ def mlt_step(scene: FlatScene, state, lane_ids, seed, step_idx, p_large, b):
         pix=jnp.where(accept[:, None], pix_p, state["pix"]),
         splat=buf,
     )
+
+
+mlt_step = jax.jit(_mlt_step_impl)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def mlt_steps(scene: FlatScene, state, lane_ids, seed, step0, k, p_large, b):
+    """k mutation steps fused into ONE dispatch (a host round-trip per step
+    costs ~25 ms on the tunneled runtime; fusing makes the chain loop
+    device-resident like trace_batch)."""
+
+    def body(i, st):
+        return _mlt_step_impl(
+            scene, st, lane_ids, seed, (step0 + i).astype(jnp.uint32), p_large, b
+        )
+
+    return jax.lax.fori_loop(0, k, body, state)
 
 
 def render_kelemen(
@@ -175,12 +191,16 @@ def render_kelemen(
 
     total_mutations = spp * w * h
     steps = max(1, total_mutations // n_chains)
-    for it in range(steps):
-        state = mlt_step(
-            scene, state, lane_ids, seed_arr, jnp.uint32(it),
+    chunk = 32
+    it = 0
+    while it < steps:
+        k = min(chunk, steps - it)
+        state = mlt_steps(
+            scene, state, lane_ids, seed_arr, jnp.uint32(it), k,
             jnp.float32(p_large), jnp.float32(b),
         )
-        if verbose and (it + 1) % 32 == 0:
-            print(f"  mlt step {it + 1}/{steps}")
+        it += k
+        if verbose:
+            print(f"  mlt step {it}/{steps}")
     img = np.asarray(state["splat"]).reshape(h, w, 3) / (steps * n_chains)
     return img * (w * h)

@@ -124,7 +124,35 @@ def parse_scene(raw: dict, path: str = ".") -> SceneDocument:
             return len(doc.media) - 1
         raise ValueError(f"bad medium reference: {ref!r}")
 
-    for p in raw.get("primitives", []) or []:
+    def expand_instances(prims):
+        """Flatten "instances" primitives (Instance.cpp:60-93) into copies of
+        their masters with composed matrix transforms: a TPU scene is one
+        static triangle soup, so instancing happens at load. Binary instance
+        resource files (instancesA/B streams) are not supported."""
+        from ..math.transform import mat4_from_json
+
+        out = []
+        for p in prims:
+            if p.get("type") != "instances":
+                out.append(p)
+                continue
+            masters = p.get("masters", [])
+            insts = p.get("instances", [])
+            if isinstance(insts, str) or "instancesA" in p or "instancesB" in p:
+                raise NotImplementedError("binary instance files not supported")
+            base_m = mat4_from_json(p.get("transform"))
+            for inst in insts:
+                mid = int(inst.get("id", 0))
+                if mid >= len(masters):
+                    continue
+                master = dict(masters[mid])
+                im = mat4_from_json(inst.get("transform"))
+                mm = mat4_from_json(master.get("transform"))
+                master["transform"] = [float(v) for v in (base_m @ im @ mm).ravel()]
+                out.append(master)
+        return out
+
+    for p in expand_instances(raw.get("primitives", []) or []):
         p = dict(p)
         p["_bsdf_index"] = resolve_bsdf(p.get("bsdf"))
         p["_int_medium"] = resolve_medium(p.get("int_medium"))
