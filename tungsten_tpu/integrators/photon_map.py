@@ -254,40 +254,42 @@ def gather_pass(scene: FlatScene, seed, lane_ids, px, py, pack, starts, counts,
     ctx = (scene.materials, scene.textures)
     total = pack.shape[0]
 
-    bundles = []
-    masks = []
-    for dx in (-1, 0, 1):
-        for dy in (-1, 0, 1):
-            for dz in (-1, 0, 1):
-                h = _hash_cell(cell[:, 0] + dx, cell[:, 1] + dy, cell[:, 2] + dz)
-                start = starts[h]
-                cnt = jnp.minimum(counts[h], MAX_PER_CELL)
-                idx = jnp.clip(
-                    start[:, None] + jnp.arange(MAX_PER_CELL)[None, :], 0, total - 1
-                )
-                bundles.append(pack[idx])  # (N, M, 9) one bundled fetch per cell
-                masks.append(jnp.arange(MAX_PER_CELL)[None, :] < cnt[:, None])
-    ph = jnp.concatenate(bundles, axis=1)  # (N, 27M, 9)
-    mask = jnp.concatenate(masks, axis=1)
-    m_all = ph.shape[1]
-    dvec = ph[..., 0:3] - gp[:, None, :]
-    in_r = mask & (vo.length_sq(dvec) < radius * radius)
-    wo_ph = vo.to_local(
-        t_ax[:, None, :], b_ax[:, None, :], final["gn"][:, None, :], ph[..., 6:9]
+    # accumulate the 27 neighbor cells with a lax loop over cell offsets:
+    # materializing the concatenated (N, 27M, 9) bundle padded its 9-wide
+    # minor dim 14x in HBM and OOMed big scenes; per-cell temps are 27x
+    # smaller and the offsets loop compiles once
+    offsets = jnp.asarray(
+        [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)],
+        jnp.int32,
     )
-    f = bsdf_eval(
-        ctx,
-        jnp.repeat(final["gmat"][:, None], m_all, 1).reshape(-1),
-        jnp.repeat(final["guv"][:, None], m_all, 1).reshape(-1, 2),
-        jnp.repeat(wi_l[:, None], m_all, 1).reshape(-1, 3),
-        wo_ph.reshape(-1, 3),
-        nonspecular_only=True,
-    ).reshape(n, m_all, 3)
-    # photon estimate uses plain f (the cos is already in the photon flux);
-    # bsdf_eval folds in |cos wo| -- divide it back out
-    cos_o = jnp.abs(wo_ph[..., 2])
-    f = f / jnp.maximum(cos_o, 1e-6)[..., None]
-    contrib = jnp.sum(jnp.where(in_r[..., None], f * ph[..., 3:6], 0.0), axis=1)
+    marange = jnp.arange(MAX_PER_CELL)
+    gmat_f = jnp.repeat(final["gmat"][:, None], MAX_PER_CELL, 1).reshape(-1)
+    guv_f = jnp.repeat(final["guv"][:, None], MAX_PER_CELL, 1).reshape(-1, 2)
+    wi_f = jnp.repeat(wi_l[:, None], MAX_PER_CELL, 1).reshape(-1, 3)
+
+    def cell_body(k, acc):
+        off = offsets[k]
+        h = _hash_cell(cell[:, 0] + off[0], cell[:, 1] + off[1], cell[:, 2] + off[2])
+        start = starts[h]
+        cnt = jnp.minimum(counts[h], MAX_PER_CELL)
+        idx = jnp.clip(start[:, None] + marange[None, :], 0, total - 1)
+        ph = pack[idx]  # (N, M, 9) one bundled fetch
+        mask = marange[None, :] < cnt[:, None]
+        dvec = ph[..., 0:3] - gp[:, None, :]
+        in_r = mask & (vo.length_sq(dvec) < radius * radius)
+        wo_ph = vo.to_local(
+            t_ax[:, None, :], b_ax[:, None, :], final["gn"][:, None, :], ph[..., 6:9]
+        )
+        f = bsdf_eval(
+            ctx, gmat_f, guv_f, wi_f, wo_ph.reshape(-1, 3), nonspecular_only=True
+        ).reshape(n, MAX_PER_CELL, 3)
+        # photon estimate uses plain f (the cos is already in the photon
+        # flux); bsdf_eval folds in |cos wo| -- divide it back out
+        cos_o = jnp.abs(wo_ph[..., 2])
+        f = f / jnp.maximum(cos_o, 1e-6)[..., None]
+        return acc + jnp.sum(jnp.where(in_r[..., None], f * ph[..., 3:6], 0.0), axis=1)
+
+    contrib = jax.lax.fori_loop(0, 27, cell_body, jnp.zeros((n, 3)))
 
     density = contrib / (jnp.pi * radius * radius * n_emitted)
     emission = final["emission"] + jnp.where(
