@@ -78,6 +78,34 @@ def _albedo_tex_for(spec, tex_builder) -> int:
 def pack_materials(bsdf_specs: List[dict], tex_builder) -> MaterialTable:
     """bsdf_specs: resolved JSON dicts (one per material instance, in scene
     order; nested refs pre-resolved to "_substrate_index" etc. by load.py)."""
+    # fiber BCSDF stand-ins (round-1 approximations, documented): the
+    # reference shades analytic curves with dedicated BCSDFs
+    # (HairBcsdf.cpp, LambertianFiberBcsdf.cpp, RoughWireBcsdf.cpp); our
+    # curves are tessellated tubes, shaded with surface models:
+    #   lambertian_fiber -> lambert      (diffuse cylinder surface)
+    #   rough_wire       -> rough_conductor (glossy metal wire surface)
+    #   hair             -> rough_plastic with a melanin-derived albedo
+    #                       exp(-concentration * eumelanin_rgb)
+    bsdf_specs = [dict(b) for b in bsdf_specs]
+    for b in bsdf_specs:
+        t = b.get("type")
+        if t == "lambertian_fiber":
+            b["type"] = "lambert"
+        elif t == "rough_wire":
+            b["type"] = "rough_conductor"
+            b.setdefault("material", "Cu")
+        elif t == "hair":
+            import numpy as _np
+
+            c = float(b.get("melanin_concentration", 0.25))
+            ratio = float(b.get("melanin_ratio", 1.0))
+            eu = _np.array([0.419, 0.697, 1.37])
+            ph = _np.array([0.187, 0.4, 1.05])
+            sigma = c * (ratio * eu + (1.0 - ratio) * ph)
+            b["type"] = "rough_plastic"
+            b["albedo"] = [float(x) for x in _np.exp(-sigma)]
+            b.setdefault("roughness", max(float(b.get("roughness", 0.3)), 0.05))
+            b.setdefault("ior", 1.55)
     reg = _registry()
     n = len(bsdf_specs)
     types = [0] * n

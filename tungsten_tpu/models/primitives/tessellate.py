@@ -156,3 +156,87 @@ def cylinder(segments: int = 64, capped: bool = True) -> TriSoup:
     flip = np.einsum("ij,ij->i", ng, nrm[idx[:, 0]]) < 0
     idx[flip] = idx[flip][:, [0, 2, 1]]
     return TriSoup(pos=pos, normal=nrm, uv=uv, indices=idx)
+
+
+def curve_tubes(curve_ends, nodes, sides: int = 3, taper: bool = False,
+                subsample: float = 1.0, max_tris: int = 1 << 20,
+                seed: int = 0x5EED) -> TriSoup:
+    """Tessellate curve strands (Curves.cpp modes cylinder / half_cylinder /
+    bcsdf_cylinder / ribbon all become thin tubes here) into `sides`-gonal
+    tubes with per-node radius and optional tip taper. `subsample` keeps that
+    fraction of strands (Curves.cpp "subsample"); an additional stride is
+    applied if the result would exceed max_tris (the wavefront intersector
+    scales with triangle count, not strand count)."""
+    curve_ends = np.asarray(curve_ends, np.int64)
+    nodes = np.asarray(nodes, np.float32)
+    starts = np.concatenate([[0], curve_ends[:-1]])
+    n_curves = len(curve_ends)
+    keep = np.arange(n_curves)
+    if subsample < 1.0:
+        rng = np.random.default_rng(seed)
+        keep = keep[rng.random(n_curves) < subsample]
+    seg_total = int((curve_ends - starts - 1)[keep].clip(min=0).sum())
+    est_tris = seg_total * sides * 2
+    if est_tris > max_tris:
+        stride = int(np.ceil(est_tris / max_tris))
+        keep = keep[::stride]
+
+    pos_l, nrm_l, idx_l, uv_l = [], [], [], []
+    ang = np.arange(sides) * (2.0 * np.pi / sides)
+    ca, sa = np.cos(ang), np.sin(ang)
+    base = 0
+    for ci in keep:
+        s, e = int(starts[ci]), int(curve_ends[ci])
+        pts = nodes[s:e, :3]
+        rad = nodes[s:e, 3].copy()
+        m = len(pts)
+        if m < 2:
+            continue
+        if taper:
+            rad *= np.linspace(1.0, 0.0, m, dtype=np.float32)
+        # propagate a frame down the strand (cheap parallel transport)
+        tang = np.diff(pts, axis=0)
+        tang = np.concatenate([tang, tang[-1:]])
+        tang /= np.maximum(np.linalg.norm(tang, axis=1, keepdims=True), 1e-12)
+        up = np.array([0.0, 1.0, 0.0])
+        n0 = np.cross(tang[0], up)
+        if np.linalg.norm(n0) < 1e-6:
+            n0 = np.cross(tang[0], [1.0, 0.0, 0.0])
+        n0 /= np.linalg.norm(n0)
+        rings_p, rings_n = [], []
+        nrm = n0
+        for k in range(m):
+            nrm = nrm - tang[k] * np.dot(nrm, tang[k])
+            ln = np.linalg.norm(nrm)
+            nrm = n0 if ln < 1e-9 else nrm / ln
+            bt = np.cross(tang[k], nrm)
+            ring_n = nrm[None, :] * ca[:, None] + bt[None, :] * sa[:, None]
+            rings_n.append(ring_n)
+            rings_p.append(pts[k][None, :] + ring_n * max(rad[k], 1e-6))
+        rp = np.concatenate(rings_p)
+        rn = np.concatenate(rings_n)
+        pos_l.append(rp)
+        nrm_l.append(rn)
+        uv_l.append(np.stack([np.tile(ang / (2 * np.pi), m),
+                              np.repeat(np.linspace(0, 1, m), sides)], 1))
+        for k in range(m - 1):
+            r0 = base + k * sides
+            r1 = r0 + sides
+            for j in range(sides):
+                j1 = (j + 1) % sides
+                idx_l.append([r0 + j, r1 + j1, r1 + j])
+                idx_l.append([r0 + j, r0 + j1, r1 + j1])
+        base += m * sides
+    if not pos_l:
+        return TriSoup(pos=np.zeros((0, 3), np.float32), normal=None,
+                       uv=np.zeros((0, 2), np.float32),
+                       indices=np.zeros((0, 3), np.int32))
+    pos = np.concatenate(pos_l).astype(np.float32)
+    nrm = np.concatenate(nrm_l).astype(np.float32)
+    uv = np.concatenate(uv_l).astype(np.float32)
+    idx = np.asarray(idx_l, np.int32)
+    p0, p1, p2 = pos[idx[:, 0]], pos[idx[:, 1]], pos[idx[:, 2]]
+    ng = np.cross(p1 - p0, p2 - p0)
+    flip = np.einsum("ij,ij->i", ng, nrm[idx[:, 0]]) < 0
+    idx[flip] = idx[flip][:, [0, 2, 1]]
+    return TriSoup(pos=pos, normal=nrm, uv=uv, indices=idx)

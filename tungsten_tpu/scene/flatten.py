@@ -221,6 +221,19 @@ def flatten_scene(doc: SceneDocument) -> FlatScene:
                 prim_cone_cos[pi] = float(np.cos(np.deg2rad(ca)))
         elif ptype == "cylinder":
             soup = tessellate.cylinder(capped=bool(prim.get("capped", True)))
+        elif ptype == "curves":
+            from ..io.curveio import load_curves
+
+            ends, cnodes = load_curves(doc.resolve_path(prim["file"]))
+            cw = prim.get("curve_thickness")
+            if cw is not None:
+                cnodes = cnodes.copy()
+                cnodes[:, 3] = float(cw)
+            soup = tessellate.curve_tubes(
+                ends, cnodes,
+                taper=bool(prim.get("curve_taper", False)),
+                subsample=float(prim.get("subsample", 1.0)),
+            )
         elif ptype == "cube":
             soup = tessellate.cube()
         elif ptype == "sphere":
