@@ -108,3 +108,36 @@ def test_scattering_medium_nee_vs_bruteforce():
     img_bf = render_flat(flatten_scene(doc_bf), spp=384, seed=6)
     m1, m2 = img_nee.mean(), img_bf.mean()
     assert abs(m1 - m2) / m2 < 0.05, f"nee {m1} vs bf {m2}"
+
+
+def test_exponential_medium_absorption():
+    """ExponentialMedium (ExponentialMedium.cpp): density = exp(-k (p-u).f).
+    Camera at y=dist looking down: tau = sigma_a * (1 - e^{-k d})/k."""
+    doc = medium_scene(sigma_a=0.7, dist=2.0)
+    doc.media[0]["type"] = "exponential"
+    doc.media[0]["falloff_scale"] = 0.5
+    doc.media[0]["falloff_direction"] = [0, 1, 0]
+    doc.media[0]["unit_point"] = [0, 0, 0]
+    img = render_flat(flatten_scene(doc), spp=8, seed=3)
+    integral = (1 - np.exp(-0.5 * 2.0)) / 0.5
+    expected = 4.0 * np.exp(-0.7 * integral)
+    assert abs(center_mean(img) - expected) / expected < 0.01, (
+        center_mean(img), expected)
+
+
+def test_exponential_medium_scattering_unbiased():
+    """Scattering exponential medium: NEE render mean matches a
+    high-spp no-NEE render (cross-validation of the density-weighted
+    distance sampling + pdfs)."""
+    def scene(nee):
+        doc = medium_scene(sigma_a=0.1, sigma_s=0.6, dist=2.0, nee=nee)
+        doc.media[0]["type"] = "exponential"
+        doc.media[0]["falloff_scale"] = 0.7
+        doc.media[0]["falloff_direction"] = [0, 1, 0]
+        return flatten_scene(doc)
+
+    a = render_flat(scene(True), spp=128, seed=3)
+    b = render_flat(scene(False), spp=512, seed=11)
+    ra = float(a[6:18, 6:18].mean())
+    rb = float(b[6:18, 6:18].mean())
+    assert abs(ra / rb - 1.0) < 0.06, (ra, rb)

@@ -146,7 +146,9 @@ def _trace_transparent(scene, o, d, far, medium, start_on_surface, end_on_surfac
         seg = jnp.where(did_hit, h.t, remaining)
         if meta.has_media:
             end_surf = did_hit | end_on_surface
-            tr = medium_transmittance(scene.media, cur_med, seg, start_surf, end_surf)
+            tr = medium_transmittance(
+                scene.media, cur_med, seg, start_surf, end_surf, cur_o, d
+            )
             weight = jnp.where(done[..., None], weight, weight * tr)
 
         tri = jnp.maximum(h.prim, 0)
@@ -636,7 +638,8 @@ def _unified_nee_finish(scene, data, h_shadow, h_mis, medium, scattered):
         from ..models.media import medium_transmittance
 
         tr_l = medium_transmittance(
-            scene.media, medium, ls.dist, ~scattered, jnp.ones((n,), bool)
+            scene.media, medium, ls.dist, ~scattered, jnp.ones((n,), bool),
+            data["vp"], ls.d,
         )
         contrib_l = contrib_l * tr_l
     contrib_l = jnp.where((data["cand"] & ~blocked)[..., None], contrib_l, 0.0)
@@ -694,7 +697,7 @@ def _unified_nee_finish(scene, data, h_shadow, h_mis, medium, scattered):
 
         tr_b = medium_transmittance(
             scene.media, medium, jnp.where(h.prim >= 0, h.t, INF),
-            ~scattered, jnp.ones((n,), bool),
+            ~scattered, jnp.ones((n,), bool), vp, wo_mis,
         )
         contrib_b = contrib_b * tr_b
     contrib_b = jnp.where((data["mis_cand"] & match)[..., None], contrib_b, 0.0)

@@ -44,9 +44,12 @@ class MediumTable:
     trans_type: jnp.ndarray  # (K,) int32
     trans_params: jnp.ndarray  # (K, 8) [a, b, pulses] / interpolated layout
     max_bounce: jnp.ndarray  # (K,) int32
+    exp_dir: jnp.ndarray = None  # (K, 3) falloff_scale * unit falloff dir
+    exp_x0: jnp.ndarray = None  # (K,) exp_dir . unit_point
 
     n_media: int = field(pytree_node=False, default=0)
     trans_present: tuple = field(pytree_node=False, default=())
+    has_hetero: bool = field(pytree_node=False, default=False)
 
 
 def pack_media(specs: List[dict]) -> MediumTable:
@@ -58,9 +61,21 @@ def pack_media(specs: List[dict]) -> MediumTable:
     tt = np.zeros(k, np.int32)
     tp = np.ones((k, 8), np.float32)
     mb = np.full(k, 1024, np.int32)
+    ed = np.zeros((k, 3), np.float32)
+    ex = np.zeros(k, np.float32)
     for i, spec in enumerate(specs):
         mtype = spec.get("type", "homogeneous")
-        if mtype != "homogeneous":
+        if mtype == "exponential":
+            # ExponentialMedium.cpp: density(p) = exp(-scale*(p-unit).dot(dir))
+            fdir = np.asarray(spec.get("falloff_direction", [0.0, 1.0, 0.0]), np.float64)
+            fdir = fdir / max(np.linalg.norm(fdir), 1e-30)
+            fs = float(spec.get("falloff_scale", 1.0))
+            up = np.asarray(spec.get("unit_point", [0.0, 0.0, 0.0]), np.float64)
+            if np.ndim(up) == 0:
+                up = np.repeat(up, 3)
+            ed[i] = (fs * fdir).astype(np.float32)
+            ex[i] = float(np.dot(fs * fdir, up))
+        elif mtype != "homogeneous":
             raise NotImplementedError(f"medium type '{mtype}' not implemented yet")
         density = spec.get("density", 1.0)
 
@@ -127,7 +142,44 @@ def pack_media(specs: List[dict]) -> MediumTable:
         max_bounce=jnp.asarray(mb),
         n_media=len(specs),
         trans_present=tuple(sorted(set(int(x) for x in tt))),
+        exp_dir=jnp.asarray(ed),
+        exp_x0=jnp.asarray(ex),
+        has_hetero=bool((ed != 0).any()),
     )
+
+
+def _ray_falloff(media, i, o, d):
+    """Per-lane optical-depth line parameters: density(t) = exp(-(x + dx t))
+    (ExponentialMedium.cpp:58-66). Zero for homogeneous media."""
+    fdir = media.exp_dir[i]
+    x = jnp.sum(o * fdir, axis=-1) - media.exp_x0[i]
+    dx = jnp.sum(d * fdir, axis=-1)
+    return x, dx
+
+
+def _dens_integral(x, dx, t):
+    """int_0^t density ds (ExponentialMedium::densityIntegral); reduces to t
+    when x = dx = 0."""
+    small = jnp.abs(dx) < 1e-12
+    safe_dx = jnp.where(small, 1.0, dx)
+    inf = t >= 1e30
+    fin = jnp.where(
+        small,
+        jnp.exp(-x) * t,
+        (jnp.exp(-x) - jnp.exp(-dx * t - x)) / safe_dx,
+    )
+    return jnp.where(inf, jnp.exp(-x) / safe_dx, fin)
+
+
+def _inverse_optical_depth(x, dx, tau):
+    """ExponentialMedium::inverseOpticalDepth; identity (tau) when x = dx = 0."""
+    small = jnp.abs(dx) < 1e-12
+    safe_dx = jnp.where(small, 1.0, dx)
+    denom = 1.0 - dx * jnp.exp(x) * tau
+    t_gen = jnp.where(
+        denom <= 0.0, INF, -jnp.log(jnp.maximum(denom, 1e-38)) / safe_dx
+    )
+    return jnp.where(small, tau * jnp.exp(x), t_gen)
 
 
 @pytree
@@ -158,23 +210,39 @@ def medium_sample_distance(
     sigma_tc = jnp.take_along_axis(sigma_t, comp[..., None], axis=-1)[..., 0]
 
     tau_sample = trans_sample(ttype, tparams, u_dist, u_b, first_scatter, present=media.trans_present)
-    t_free = tau_sample / jnp.maximum(sigma_tc, 1e-20)
-    exited = t_free >= far_t
-    t = jnp.minimum(t_free, far_t)
-    tau = t[..., None] * sigma_t
+    if media.has_hetero:
+        # exponential density along the ray (ExponentialMedium::sampleDistance)
+        fx, fdx = _ray_falloff(media, i, o, d)
+        t_free = _inverse_optical_depth(fx, fdx, tau_sample / jnp.maximum(sigma_tc, 1e-20))
+        exited = t_free >= far_t
+        t = jnp.minimum(t_free, far_t)
+        tau = _dens_integral(fx, fdx, t)[..., None] * sigma_t
+        rho = jnp.exp(-(fx + fdx * t))
+    else:
+        t_free = tau_sample / jnp.maximum(sigma_tc, 1e-20)
+        exited = t_free >= far_t
+        t = jnp.minimum(t_free, far_t)
+        tau = t[..., None] * sigma_t
+        rho = jnp.ones_like(t)
     sbar = _sigma_bar_full(ttype, tparams, media.trans_present)
 
     w = trans_eval(ttype, tparams, tau, first_scatter, exited, present=media.trans_present)
     pdf_exit = jnp.mean(trans_surface_prob(ttype, tparams, tau, first_scatter, present=media.trans_present), axis=-1)
-    pdf_scatter = jnp.mean(sigma_t * trans_medium_pdf(ttype, tparams, tau, first_scatter, present=media.trans_present), axis=-1)
+    pdf_scatter = rho * jnp.mean(sigma_t * trans_medium_pdf(ttype, tparams, tau, first_scatter, present=media.trans_present), axis=-1)
     pdf = jnp.where(exited, pdf_exit, pdf_scatter)
-    w = jnp.where(exited[..., None], w, w * sigma_s * sbar[..., None])
+    w = jnp.where(exited[..., None], w, w * rho[..., None] * sigma_s * sbar[..., None])
     w = w / jnp.maximum(pdf, 1e-30)[..., None]
 
     # absorption-only media never scatter: deterministic transmittance to far_t
-    far_finite = far_t < INF
+    if media.has_hetero:
+        # infinite ray through a decaying profile still has finite depth
+        far_finite = (far_t < INF) | (fdx > 0.0)
+        tau_abs = _dens_integral(fx, fdx, jnp.minimum(far_t, 1e31))[..., None] * sigma_t
+    else:
+        far_finite = far_t < INF
+        tau_abs = far_t[..., None] * sigma_t
     w_abs = trans_eval(
-        ttype, tparams, far_t[..., None] * sigma_t, first_scatter,
+        ttype, tparams, tau_abs, first_scatter,
         jnp.ones_like(exited), present=media.trans_present,
     )
     t = jnp.where(abs_only, far_t, t)
@@ -202,14 +270,22 @@ def medium_sample_distance(
     )
 
 
-def medium_transmittance(media: MediumTable, mid, far_t, start_on_surface, end_on_surface):
-    """Medium::transmittance for shadow segments; mid < 0 -> 1."""
+def medium_transmittance(media: MediumTable, mid, far_t, start_on_surface,
+                         end_on_surface, o=None, d=None):
+    """Medium::transmittance for shadow segments; mid < 0 -> 1. o/d enable
+    the exponential-density line integral (ExponentialMedium::transmittance);
+    homogeneous tables ignore them."""
     i = jnp.maximum(mid, 0)
     sigma_t = media.sigma_t[i]
     ttype = media.trans_type[i]
     tparams = media.trans_params[i]
     infinite = far_t >= INF
-    tau = jnp.minimum(far_t, 1e30)[..., None] * sigma_t
+    if media.has_hetero and o is not None:
+        fx, fdx = _ray_falloff(media, i, o, d)
+        tau = _dens_integral(fx, fdx, jnp.minimum(far_t, 1e31))[..., None] * sigma_t
+        infinite = infinite & (fdx <= 0.0)
+    else:
+        tau = jnp.minimum(far_t, 1e30)[..., None] * sigma_t
     tr = trans_eval(ttype, tparams, tau, start_on_surface, end_on_surface, present=media.trans_present)
     tr = jnp.where(infinite[..., None], 0.0, tr)
     return jnp.where((mid >= 0)[..., None], tr, 1.0)
