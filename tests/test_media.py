@@ -141,3 +141,37 @@ def test_exponential_medium_scattering_unbiased():
     ra = float(a[6:18, 6:18].mean())
     rb = float(b[6:18, 6:18].mean())
     assert abs(ra / rb - 1.0) < 0.06, (ra, rb)
+
+
+def test_atmosphere_medium_absorption():
+    """AtmosphericMedium (AtmosphericMedium.cpp): gaussian shell density
+    exp(-s^2 (|p-c|^2 - R^2)). Vertical camera ray through the center line:
+    tau = sigma_a * e^{s^2 R^2} * sqrt(pi)/(2s) * erf(2s)."""
+    from scipy.special import erf as _erf
+
+    doc = medium_scene(sigma_a=0.7, dist=2.0)
+    doc.media[0]["type"] = "atmosphere"
+    doc.media[0]["radius"] = 1.5
+    doc.media[0]["falloff_scale"] = 1.2
+    doc.media[0]["center"] = [0, 0, 0]
+    img = render_flat(flatten_scene(doc), spp=8, seed=3)
+    s = 1.2 / 1.5
+    integral = np.exp(s * s * 1.5 * 1.5) * np.sqrt(np.pi) / (2 * s) * _erf(2 * s)
+    expected = 4.0 * np.exp(-0.7 * integral)
+    assert abs(center_mean(img) - expected) / expected < 0.01, (
+        center_mean(img), expected)
+
+
+def test_atmosphere_medium_scattering_unbiased():
+    def scene(nee):
+        doc = medium_scene(sigma_a=0.05, sigma_s=0.4, dist=2.0, nee=nee)
+        doc.media[0]["type"] = "atmosphere"
+        doc.media[0]["radius"] = 1.0
+        doc.media[0]["falloff_scale"] = 1.0
+        return flatten_scene(doc)
+
+    a = render_flat(scene(True), spp=128, seed=3)
+    b = render_flat(scene(False), spp=512, seed=11)
+    ra = float(a[6:18, 6:18].mean())
+    rb = float(b[6:18, 6:18].mean())
+    assert abs(ra / rb - 1.0) < 0.06, (ra, rb)

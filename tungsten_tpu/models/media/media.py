@@ -46,6 +46,10 @@ class MediumTable:
     max_bounce: jnp.ndarray  # (K,) int32
     exp_dir: jnp.ndarray = None  # (K, 3) falloff_scale * unit falloff dir
     exp_x0: jnp.ndarray = None  # (K,) exp_dir . unit_point
+    hetero_kind: jnp.ndarray = None  # (K,) 0=uniform 1=exponential 2=atmosphere
+    atm_center: jnp.ndarray = None  # (K, 3)
+    atm_s: jnp.ndarray = None  # (K,) effective falloff scale (falloff/radius)
+    atm_r2: jnp.ndarray = None  # (K,) radius^2
 
     n_media: int = field(pytree_node=False, default=0)
     trans_present: tuple = field(pytree_node=False, default=())
@@ -63,6 +67,10 @@ def pack_media(specs: List[dict]) -> MediumTable:
     mb = np.full(k, 1024, np.int32)
     ed = np.zeros((k, 3), np.float32)
     ex = np.zeros(k, np.float32)
+    hk = np.zeros(k, np.int32)
+    ac = np.zeros((k, 3), np.float32)
+    asc = np.ones(k, np.float32)
+    ar2 = np.ones(k, np.float32)
     for i, spec in enumerate(specs):
         mtype = spec.get("type", "homogeneous")
         if mtype == "exponential":
@@ -75,6 +83,18 @@ def pack_media(specs: List[dict]) -> MediumTable:
                 up = np.repeat(up, 3)
             ed[i] = (fs * fdir).astype(np.float32)
             ex[i] = float(np.dot(fs * fdir, up))
+            hk[i] = 1
+        elif mtype == "atmosphere":
+            # AtmosphericMedium.cpp: density(p) = exp(-s^2 (|p-c|^2 - R^2)),
+            # s = falloff_scale / radius ("pivot" prims unsupported: pass
+            # "center" explicitly)
+            if "pivot" in spec:
+                raise NotImplementedError("atmosphere 'pivot' reference")
+            r = float(spec.get("radius", 1.0))
+            ac[i] = np.asarray(spec.get("center", [0.0, 0.0, 0.0]), np.float32)
+            asc[i] = float(spec.get("falloff_scale", 1.0)) / max(r, 1e-30)
+            ar2[i] = r * r
+            hk[i] = 2
         elif mtype != "homogeneous":
             raise NotImplementedError(f"medium type '{mtype}' not implemented yet")
         density = spec.get("density", 1.0)
@@ -144,7 +164,11 @@ def pack_media(specs: List[dict]) -> MediumTable:
         trans_present=tuple(sorted(set(int(x) for x in tt))),
         exp_dir=jnp.asarray(ed),
         exp_x0=jnp.asarray(ex),
-        has_hetero=bool((ed != 0).any()),
+        hetero_kind=jnp.asarray(hk),
+        atm_center=jnp.asarray(ac),
+        atm_s=jnp.asarray(asc),
+        atm_r2=jnp.asarray(ar2),
+        has_hetero=bool((hk != 0).any()),
     )
 
 
@@ -182,6 +206,74 @@ def _inverse_optical_depth(x, dx, tau):
     return jnp.where(small, tau * jnp.exp(x), t_gen)
 
 
+def _hetero_ray(media, i, o, d):
+    """Per-lane heterogeneous-profile line parameters for both analytic
+    density models. kind 1 (exponential): density(t)=exp(-(x+dx t)); kind 2
+    (atmosphere, AtmosphericMedium.cpp:94-124): work in the shifted
+    coordinate u = t + t0 (t0 = along-ray offset of the closest approach),
+    density(u) = exp(-(eh + s^2 u^2)) with eh = s^2 (h^2 - R^2)."""
+    kind = media.hetero_kind[i]
+    x = jnp.sum(o * media.exp_dir[i], axis=-1) - media.exp_x0[i]
+    dx = jnp.sum(d * media.exp_dir[i], axis=-1)
+    pc = o - media.atm_center[i]
+    t0 = jnp.sum(pc * d, axis=-1)
+    h2 = jnp.maximum(jnp.sum(pc * pc, axis=-1) - t0 * t0, 0.0)
+    sA = media.atm_s[i]
+    eh = sA * sA * (h2 - media.atm_r2[i])
+    return dict(kind=kind, x=x, dx=dx, t0=t0, s=sA, eh=eh)
+
+
+_SQRT_PI = 1.7724538509055159
+_INV_SQRT_PI = 0.5641895835477563
+
+
+def _hetero_integral(hp, t):
+    """int_0^t density ds for the lane's profile; exact for t = inf."""
+    from jax.scipy.special import erf
+
+    i_exp = _dens_integral(hp["x"], hp["dx"], t)
+    inf = t >= 1e30
+    u1 = jnp.where(inf, 0.0, hp["t0"] + t)  # placeholder where inf
+    e1 = jnp.where(inf, 1.0, erf(hp["s"] * u1))
+    i_atm = (
+        (_SQRT_PI * 0.5 / jnp.maximum(hp["s"], 1e-30))
+        * jnp.exp(-hp["eh"]) * (e1 - erf(hp["s"] * hp["t0"]))
+    )
+    return jnp.where(hp["kind"] == 2, i_atm, i_exp)
+
+
+def _hetero_density(hp, t):
+    d_exp = jnp.exp(-(hp["x"] + hp["dx"] * t))
+    u = hp["t0"] + t
+    d_atm = jnp.exp(-(hp["eh"] + (hp["s"] * u) ** 2))
+    return jnp.where(hp["kind"] == 2, d_atm, d_exp)
+
+
+def _hetero_inverse(hp, tau):
+    """Smallest t with int_0^t density = tau (INF when unreachable)."""
+    from jax.scipy.special import erf, erfinv
+
+    t_exp = _inverse_optical_depth(hp["x"], hp["dx"], tau)
+    inner = (
+        erf(hp["s"] * hp["t0"])
+        + 2.0 * _INV_SQRT_PI * jnp.exp(hp["eh"]) * hp["s"] * tau
+    )
+    t_atm = jnp.where(
+        inner >= 1.0,
+        INF,
+        erfinv(jnp.clip(inner, -1.0 + 1e-7, 1.0 - 1e-7))
+        / jnp.maximum(hp["s"], 1e-30) - hp["t0"],
+    )
+    return jnp.where(hp["kind"] == 2, t_atm, t_exp)
+
+
+def _hetero_far_ok(hp, far_t):
+    """Absorption-only validity: exp profiles diverge on infinite rays
+    unless decaying; the gaussian atmosphere always integrates finitely."""
+    ok_exp = (far_t < INF) | (hp["dx"] > 0.0)
+    return jnp.where(hp["kind"] == 2, True, jnp.where(hp["kind"] == 1, ok_exp, far_t < INF))
+
+
 @pytree
 class MediumSample:
     t: jnp.ndarray  # (N,) sampled distance (= far_t when exited)
@@ -211,13 +303,14 @@ def medium_sample_distance(
 
     tau_sample = trans_sample(ttype, tparams, u_dist, u_b, first_scatter, present=media.trans_present)
     if media.has_hetero:
-        # exponential density along the ray (ExponentialMedium::sampleDistance)
-        fx, fdx = _ray_falloff(media, i, o, d)
-        t_free = _inverse_optical_depth(fx, fdx, tau_sample / jnp.maximum(sigma_tc, 1e-20))
+        # analytic heterogeneous density along the ray (ExponentialMedium /
+        # AtmosphericMedium sampleDistance)
+        hp = _hetero_ray(media, i, o, d)
+        t_free = _hetero_inverse(hp, tau_sample / jnp.maximum(sigma_tc, 1e-20))
         exited = t_free >= far_t
         t = jnp.minimum(t_free, far_t)
-        tau = _dens_integral(fx, fdx, t)[..., None] * sigma_t
-        rho = jnp.exp(-(fx + fdx * t))
+        tau = _hetero_integral(hp, t)[..., None] * sigma_t
+        rho = _hetero_density(hp, t)
     else:
         t_free = tau_sample / jnp.maximum(sigma_tc, 1e-20)
         exited = t_free >= far_t
@@ -235,9 +328,9 @@ def medium_sample_distance(
 
     # absorption-only media never scatter: deterministic transmittance to far_t
     if media.has_hetero:
-        # infinite ray through a decaying profile still has finite depth
-        far_finite = (far_t < INF) | (fdx > 0.0)
-        tau_abs = _dens_integral(fx, fdx, jnp.minimum(far_t, 1e31))[..., None] * sigma_t
+        # infinite rays through decaying profiles still have finite depth
+        far_finite = _hetero_far_ok(hp, far_t)
+        tau_abs = _hetero_integral(hp, far_t)[..., None] * sigma_t
     else:
         far_finite = far_t < INF
         tau_abs = far_t[..., None] * sigma_t
@@ -281,9 +374,9 @@ def medium_transmittance(media: MediumTable, mid, far_t, start_on_surface,
     tparams = media.trans_params[i]
     infinite = far_t >= INF
     if media.has_hetero and o is not None:
-        fx, fdx = _ray_falloff(media, i, o, d)
-        tau = _dens_integral(fx, fdx, jnp.minimum(far_t, 1e31))[..., None] * sigma_t
-        infinite = infinite & (fdx <= 0.0)
+        hp = _hetero_ray(media, i, o, d)
+        tau = _hetero_integral(hp, far_t)[..., None] * sigma_t
+        infinite = infinite & ~_hetero_far_ok(hp, far_t)
     else:
         tau = jnp.minimum(far_t, 1e30)[..., None] * sigma_t
     tr = trans_eval(ttype, tparams, tau, start_on_surface, end_on_surface, present=media.trans_present)
