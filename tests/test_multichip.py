@@ -1,0 +1,51 @@
+"""Multi-device sharding correctness: single-chip ≡ multi-chip bitwise.
+
+The promise of parallel/mesh.py: lane ids are global and the RNG is a
+stateless counter, so sharding the wavefront over any device count must not
+change a single bit of the output (the TPU-native replacement for the
+reference's thread pool, SURVEY.md §2.4 / thread/ThreadPool.hpp:20-56).
+"""
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from tungsten_tpu.parallel.mesh import make_mesh
+from tungsten_tpu.renderer.render import render_flat
+from tungsten_tpu.scene.flatten import flatten_scene
+from tungsten_tpu.scene.load import parse_scene
+
+
+def _mini_cornell():
+    from __graft_entry__ import _MINI_CORNELL
+
+    return flatten_scene(parse_scene(dict(_MINI_CORNELL), path="."))
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return _mini_cornell()
+
+
+@pytest.fixture(scope="module")
+def single_img(scene):
+    return render_flat(scene, spp=4)
+
+
+def test_has_virtual_devices():
+    assert len(jax.devices()) >= 8
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_multichip_bitwise_equal(scene, single_img, n_dev):
+    mesh = make_mesh(jax.devices()[:n_dev])
+    multi = render_flat(scene, spp=4, mesh=mesh)
+    assert single_img.shape == multi.shape
+    assert np.array_equal(single_img, multi), (
+        f"multi-device render ({n_dev} devices) differs from single-device: "
+        f"max abs diff {np.abs(single_img - multi).max()}"
+    )
+    assert np.isfinite(multi).all() and multi.max() > 0.0
