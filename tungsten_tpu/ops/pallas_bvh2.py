@@ -1,0 +1,557 @@
+"""Pallas TPU kernel v3: lane-major packet BVH walk, SMEM nodes, MXU leaves.
+
+Redesign of ops.pallas_bvh informed by per-stage profiling (round 2).
+Measured on-chip: the skip-pointer node walk with the node table in SMEM
+costs ~20 ns per node visit (effectively free); the entire closest-hit
+cost was the leaf body (~3.5 us per leaf visit, dominated by in-kernel
+relayouts). This kernel is built around one invariant: **rays live on
+lanes everywhere** — every intermediate is (rows, RAY_TILE), so no
+relayout, transpose, or shape cast appears anywhere in the walk loop.
+
+  * Ray block input is (16, RAY_TILE): rows = [o|1|d|0|tnear|tfar|pad].
+    Box tests are ~20 VPU ops on (1, RAY_TILE) vectors.
+  * Triangles are precomputed (host-side) into Woop-style plane form:
+    affine functionals N/U/V with t = -(N.o+nc)/(N.d), u = (U.o+uc) +
+    t (U.d), v likewise. A 128-triangle leaf evaluates as TWO MXU
+    dot_generals (4, 384) x (4, RAY_TILE) -> (384, RAY_TILE) — the
+    homogeneous ray matrices are just row slices of the input block —
+    followed by ~12 elementwise (128, RAY_TILE) ops. The min/argmin
+    reductions run over sublanes and land natively in (1, RAY_TILE).
+  * An any-hit variant serves shadow rays: lanes latch `found` and leave
+    the union, so occlusion tiles terminate early (embree rtcOccluded
+    analog, SURVEY.md §2.3). Measured ~100x faster than closest-hit on
+    coherent shadow batches.
+  * u/v are not tracked in-kernel; the caller recomputes them from the
+    winning prim id with one vectorized jnp pass.
+
+Environment note that shaped the API: on the tunneled TPU runtime every
+host-side dispatch costs ~25 ms, and closure-captured arrays become XLA
+*constants* whose pallas windows are re-staged every grid step (~200 us
+per step!). All scene arrays MUST therefore be jit arguments — FlatScene
+is a pytree argument throughout — and microbenchmarks must chain calls
+inside one dispatch.
+
+Same flat skip-pointer BVH as before (accel/bvh.py):
+  hit inner node -> ptr + 1 (first child adjacent, DFS preorder)
+  leaf or miss   -> skip[ptr]
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from flax.struct import dataclass as pytree, field
+
+from .intersect import Hit, INF
+
+_INF = 3.0e38
+
+RAY_TILE = 1024  # default rays per grid step, on lanes
+LEAF = 128  # default triangles per BVH leaf (plane-slab width)
+
+_DOT_T = (((0,), (0,)), ((), ()))  # contract dim0 x dim0: lhs.T @ rhs
+
+
+def _box_test(rays_ref, inv, tnear, tfar_eff, nf_ref, ptr):
+    """Slab test of one node's box against the whole (1, RT) ray tile."""
+    ox = rays_ref[0:1, :]
+    oy = rays_ref[1:2, :]
+    oz = rays_ref[2:3, :]
+    inv_dx, inv_dy, inv_dz = inv
+    t0x = (nf_ref[0, ptr] - ox) * inv_dx
+    t1x = (nf_ref[3, ptr] - ox) * inv_dx
+    t0y = (nf_ref[1, ptr] - oy) * inv_dy
+    t1y = (nf_ref[4, ptr] - oy) * inv_dy
+    t0z = (nf_ref[2, ptr] - oz) * inv_dz
+    t1z = (nf_ref[5, ptr] - oz) * inv_dz
+    tmin = jnp.maximum(
+        jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+        jnp.minimum(t0z, t1z),
+    )
+    tmax = jnp.minimum(
+        jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+        jnp.maximum(t0z, t1z),
+    )
+    return (tmin <= tmax) & (tmax > tnear) & (tmin < tfar_eff)
+
+
+def _leaf_tuv(planes_ref, leaf_blk, ro8, rd8, leaf=LEAF):
+    """Plane-form leaf intersection: two MXU matmuls -> t/u/v (128, RT).
+
+    Mosaic requires dynamic sublane offsets to be multiples of 8, so each
+    leaf's plane block is padded to 8 rows (rows 4-7 zero); the matching
+    ray matrices are 8-row slices whose surplus rows are zeroed by those
+    coefficient rows."""
+    pb = planes_ref[pl.ds(leaf_blk * 8, 8), :]  # (8, 3*leaf): [N|U|V ; 0]
+    # HIGH (bf16_3x): default MXU f32 matmul rounds through bf16 (~1e-3 rel
+    # err on t — breaks shadow epsilons); the 3-pass scheme recovers ~2^-21
+    # relative error (Mosaic supports only DEFAULT/HIGHEST in-kernel).
+    ao = jax.lax.dot_general(
+        pb, ro8, _DOT_T,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (3*leaf, RT)
+    ad = jax.lax.dot_general(
+        pb, rd8, _DOT_T,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    t = -ao[0:leaf, :] / ad[0:leaf, :]  # parallel rays -> inf/nan -> no hit
+    u = ao[leaf : 2 * leaf, :] + t * ad[leaf : 2 * leaf, :]
+    v = ao[2 * leaf :, :] + t * ad[2 * leaf :, :]
+    return t, u, v
+
+
+def _hoist(rays_ref):
+    dx = rays_ref[4:5, :]
+    dy = rays_ref[5:6, :]
+    dz = rays_ref[6:7, :]
+    inv = (
+        1.0 / jnp.where(dx == 0.0, 1e-30, dx),
+        1.0 / jnp.where(dy == 0.0, 1e-30, dy),
+        1.0 / jnp.where(dz == 0.0, 1e-30, dz),
+    )
+    tnear = rays_ref[12:13, :]
+    tfar = rays_ref[13:14, :]
+    ro8 = rays_ref[0:8, :]  # [o | 1 | d | 0]  (8, RT); rows 4-7 cancelled
+    rd8 = rays_ref[8:16, :]  # [d | 0 | tnear | tfar | pad]; rows 4-7 cancelled
+    return inv, tnear, tfar, ro8, rd8
+
+
+def _walk_kernel3(rays_ref, nf_ref, ni_ref, planes_ref, out_ref, *, m_nodes, leaf, rt):
+    inv, tnear, tfar, ro8, rd8 = _hoist(rays_ref)
+    ray_ok = tnear < tfar
+    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (leaf, rt), 0).astype(
+        jnp.float32
+    )
+
+    out_ref[0:1, :] = jnp.full((1, rt), _INF)
+    out_ref[1:2, :] = jnp.full((1, rt), -1.0)
+
+    def body(ptr):
+        best = out_ref[0:1, :]
+        hitmask = _box_test(rays_ref, inv, tnear, jnp.minimum(tfar, best), nf_ref, ptr)
+        any_hit = jnp.any(hitmask & ray_ok)
+        leaf_blk = ni_ref[0, ptr]
+        count = ni_ref[1, ptr]
+        skip = ni_ref[2, ptr]
+        is_leaf = count > 0
+
+        @pl.when(any_hit & is_leaf)
+        def _():
+            t, u, v = _leaf_tuv(planes_ref, leaf_blk, ro8, rd8, leaf)
+            cur = out_ref[0:1, :]
+            hit = (
+                (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                & (t > tnear) & (t < jnp.minimum(tfar, cur))
+            )
+            tt = jnp.where(hit, t, _INF)
+            tbest = jnp.min(tt, axis=0, keepdims=True)  # (1, RT)
+            slot = jnp.min(
+                jnp.where(tt <= tbest, slot_iota, 1e9), axis=0, keepdims=True
+            )
+            better = tbest < cur
+            prim = slot + jnp.float32(leaf_blk) * jnp.float32(leaf)
+            out_ref[0:1, :] = jnp.where(better, tbest, cur)
+            out_ref[1:2, :] = jnp.where(better, prim, out_ref[1:2, :])
+
+        return jnp.where(any_hit & jnp.logical_not(is_leaf), ptr + 1, skip)
+
+    jax.lax.while_loop(lambda p: p < m_nodes, body, jnp.int32(0))
+
+
+def _walk_kernel3_any(rays_ref, nf_ref, ni_ref, planes_ref, out_ref, *, m_nodes, leaf, rt):
+    """Any-hit (occlusion) walk: lanes latch on first hit and leave the
+    union, so shadow tiles resolve early; no closest-hit bookkeeping."""
+    inv, tnear, tfar, ro8, rd8 = _hoist(rays_ref)
+    ray_ok = tnear < tfar
+
+    out_ref[0:1, :] = jnp.zeros((1, rt))
+    out_ref[1:2, :] = jnp.zeros((1, rt))
+
+    def body(ptr):
+        live = ray_ok & (out_ref[0:1, :] == 0.0)
+        hitmask = _box_test(rays_ref, inv, tnear, tfar, nf_ref, ptr)
+        any_hit = jnp.any(hitmask & live)
+        leaf_blk = ni_ref[0, ptr]
+        count = ni_ref[1, ptr]
+        skip = ni_ref[2, ptr]
+        is_leaf = count > 0
+
+        @pl.when(any_hit & is_leaf)
+        def _():
+            t, u, v = _leaf_tuv(planes_ref, leaf_blk, ro8, rd8, leaf)
+            hit = (
+                (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                & (t > tnear) & (t < tfar)
+            )
+            found = jnp.any(hit, axis=0, keepdims=True)  # (1, RT)
+            out_ref[0:1, :] = jnp.maximum(out_ref[0:1, :], found.astype(jnp.float32))
+
+        return jnp.where(any_hit & jnp.logical_not(is_leaf), ptr + 1, skip)
+
+    jax.lax.while_loop(lambda p: p < m_nodes, body, jnp.int32(0))
+
+
+_STACK_DEPTH = 96
+
+
+def _walk_kernel4(
+    rays_ref, nf_ref, ni_ref, planes_ref, out_ref, stack_ref,
+    *, m_nodes, leaf, rt, walks,
+):
+    """Ordered (near-child-first) stack traversal with per-lane best-t
+    pruning — the embree/BinaryBvh.hpp:198 traversal order, which the
+    skip-pointer walk cannot express. A per-tile scalar stack lives in
+    SMEM scratch; child order comes from a per-node split-axis code
+    (ni row 3) voted against the tile's mean ray direction, so best-t
+    collapses early and far subtrees prune wholesale.
+
+    `walks` independent ray tiles are interleaved in one program
+    (software multithreading): each loop iteration advances every live
+    walk, issuing ALL box tests and any-reductions (phase 1) before any
+    scalar consumes them (phase 2), so the vector->scalar round-trips of
+    the W walks pipeline instead of serializing. Measured ~0.76 us/iter
+    for a single serialized walk — the reduce latency chain, not the
+    vector work — which interleaving divides by ~W."""
+    per_walk = []
+    for w in range(walks):
+        c0, c1 = w * rt, (w + 1) * rt
+        rw = rays_ref[:, c0:c1]
+        dx, dy, dz = rw[4:5, :], rw[5:6, :], rw[6:7, :]
+        inv = (
+            1.0 / jnp.where(dx == 0.0, 1e-30, dx),
+            1.0 / jnp.where(dy == 0.0, 1e-30, dy),
+            1.0 / jnp.where(dz == 0.0, 1e-30, dz),
+        )
+        tnear = rw[12:13, :]
+        tfar = rw[13:14, :]
+        ray_ok = tnear < tfar
+        sg = (jnp.sum(dx) >= 0.0, jnp.sum(dy) >= 0.0, jnp.sum(dz) >= 0.0)
+        out_ref[0:1, c0:c1] = jnp.full((1, rt), _INF)
+        out_ref[1:2, c0:c1] = jnp.full((1, rt), -1.0)
+        per_walk.append((rw, inv, tnear, tfar, ray_ok, sg))
+
+    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (leaf, rt), 0).astype(jnp.float32)
+
+    def body(state):
+        ptrs, sps = state[:walks], state[walks:]
+
+        # ---- phase 1: vector work + reductions for every walk ----
+        scalars = []
+        for w in range(walks):
+            rw, inv, tnear, tfar, ray_ok, sg = per_walk[w]
+            c0, c1 = w * rt, (w + 1) * rt
+            p = jnp.maximum(ptrs[w], 0)
+            left = jnp.minimum(p + 1, m_nodes - 1)
+            right = ni_ref[2, left]  # preorder: right sibling = skip[left]
+            best = out_ref[0:1, c0:c1]
+            tfar_eff = jnp.minimum(tfar, best)
+            mS = _box_test(rw, inv, tnear, tfar_eff, nf_ref, p) & ray_ok
+            mL = _box_test(rw, inv, tnear, tfar_eff, nf_ref, left) & ray_ok
+            mR = _box_test(rw, inv, tnear, tfar_eff, nf_ref, right) & ray_ok
+            scalars.append((jnp.any(mS), jnp.any(mL), jnp.any(mR), left, right))
+
+        # ---- phase 2: scalar control + predicated leaf work ----
+        new_ptrs, new_sps = [], []
+        for w in range(walks):
+            rw, inv, tnear, tfar, ray_ok, sg = per_walk[w]
+            hitS, hitL, hitR, left, right = scalars[w]
+            c0, c1 = w * rt, (w + 1) * rt
+            ptr, sp = ptrs[w], sps[w]
+            alive = ptr >= 0
+            p = jnp.maximum(ptr, 0)
+            count = ni_ref[1, p]
+            is_leaf = count > 0
+            code = ni_ref[3, p]
+            axis = code // 2
+            left_is_lo = (code & 1) == 1
+            sgax = jnp.where(axis == 0, sg[0], jnp.where(axis == 1, sg[1], sg[2]))
+            left_near = left_is_lo == sgax
+
+            not_leaf = jnp.logical_not(is_leaf)
+            hl = hitL & not_leaf & alive
+            hr = hitR & not_leaf & alive
+            both = hl & hr
+            near = jnp.where(left_near, left, right)
+            far = jnp.where(left_near, right, left)
+
+            @pl.when(alive & is_leaf & hitS)
+            def _():
+                leaf_blk = ni_ref[0, p]
+                ro8 = rw[0:8, :]
+                rd8 = rw[8:16, :]
+                t, u, v = _leaf_tuv(planes_ref, leaf_blk, ro8, rd8, leaf)
+                cur = out_ref[0:1, c0:c1]
+                hit = (
+                    (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                    & (t > tnear) & (t < jnp.minimum(tfar, cur))
+                )
+                tt = jnp.where(hit, t, _INF)
+                tbest = jnp.min(tt, axis=0, keepdims=True)
+                slot = jnp.min(
+                    jnp.where(tt <= tbest, slot_iota, 1e9), axis=0, keepdims=True
+                )
+                better = tbest < cur
+                prim = slot + jnp.float32(leaf_blk) * jnp.float32(leaf)
+                out_ref[0:1, c0:c1] = jnp.where(better, tbest, cur)
+                out_ref[1:2, c0:c1] = jnp.where(better, prim, out_ref[1:2, c0:c1])
+
+            @pl.when(both)
+            def _():
+                stack_ref[w * _STACK_DEPTH + sp] = far
+
+            sp1 = jnp.where(both, sp + 1, sp)
+            nxt = jnp.where(both, near, jnp.where(hl, left, jnp.where(hr, right, -1)))
+            nxt = jnp.where(is_leaf | jnp.logical_not(alive), -1, nxt)
+
+            do_pop = alive & (nxt < 0) & (sp1 > 0)
+            nxt = jnp.where(
+                do_pop, stack_ref[w * _STACK_DEPTH + jnp.maximum(sp1 - 1, 0)], nxt
+            )
+            sp1 = jnp.where(do_pop, sp1 - 1, sp1)
+            new_ptrs.append(nxt)
+            new_sps.append(sp1)
+
+        return tuple(new_ptrs) + tuple(new_sps)
+
+    def cond(state):
+        a = state[0] >= 0
+        for w in range(1, walks):
+            a = a | (state[w] >= 0)
+        return a
+
+    jax.lax.while_loop(
+        cond,
+        body,
+        tuple(jnp.int32(0) for _ in range(walks))
+        + tuple(jnp.int32(0) for _ in range(walks)),
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("m_nodes", "any_hit", "leaf", "rt", "ordered", "walks")
+)
+def _launch3(
+    rays_m, nf, ni, planes, m_nodes, any_hit=False, leaf=LEAF, rt=RAY_TILE,
+    ordered=True, walks=4,
+):
+    if any_hit:
+        blk = rt
+        kern = functools.partial(_walk_kernel3_any, m_nodes=m_nodes, leaf=leaf, rt=rt)
+        scratch = []
+    elif ordered:
+        blk = rt * walks
+        kern = functools.partial(
+            _walk_kernel4, m_nodes=m_nodes, leaf=leaf, rt=rt, walks=walks
+        )
+        scratch = [pltpu.SMEM((walks * _STACK_DEPTH,), jnp.int32)]
+    else:
+        blk = rt
+        kern = functools.partial(_walk_kernel3, m_nodes=m_nodes, leaf=leaf, rt=rt)
+        scratch = []
+    g = rays_m.shape[1] // blk
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((2, g * blk), jnp.float32),
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec((16, blk), lambda i: (0, i)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(planes.shape, lambda i: (0, 0)),  # VMEM-resident
+        ],
+        out_specs=pl.BlockSpec((2, blk), lambda i: (0, i)),
+        scratch_shapes=scratch,
+    )(rays_m, nf, ni, planes)
+
+
+@pytree
+class PallasBvhPack3:
+    """SMEM-node packet BVH with plane-form leaves (rides in FlatScene)."""
+
+    nf: jnp.ndarray  # (6, M) f32 node boxes [minx..maxz]
+    ni: jnp.ndarray  # (3, M) i32 [leaf_blk, count, skip]
+    planes: jnp.ndarray  # (n_leaves*8, 3*leaf) f32 [N | U | V] plane slabs
+    prim_map: jnp.ndarray  # (n_leaves*leaf,) i32 leaf slot -> scene tri index
+    n_nodes: int = field(pytree_node=False, default=0)
+    n_tris: int = field(pytree_node=False, default=0)
+    leaf: int = field(pytree_node=False, default=LEAF)
+
+    @property
+    def vmem_bytes(self):
+        return self.planes.size * 4
+
+    @property
+    def smem_bytes(self):
+        return (self.nf.size + self.ni.size) * 4
+
+
+def _woop_planes(v0, e1, e2):
+    """Per-triangle affine plane functionals (t/u/v barycentric planes).
+    Degenerate triangles get all-zero planes -> t = -0/0 = nan -> no hit."""
+    n = np.cross(e1, e2)
+    n2 = np.einsum("ij,ij->i", n, n)
+    ok = n2 > 1e-30
+    n2s = np.where(ok, n2, 1.0)
+    U = np.cross(e2, n) / n2s[:, None]
+    V = np.cross(n, e1) / n2s[:, None]
+    nc = -np.einsum("ij,ij->i", n, v0)
+    uc = -np.einsum("ij,ij->i", U, v0)
+    vc = -np.einsum("ij,ij->i", V, v0)
+    N4 = np.concatenate([n, nc[:, None]], axis=1)
+    U4 = np.concatenate([U, uc[:, None]], axis=1)
+    V4 = np.concatenate([V, vc[:, None]], axis=1)
+    z = ~ok
+    N4[z] = 0.0
+    U4[z] = 0.0
+    V4[z] = 0.0
+    return N4.astype(np.float32), U4.astype(np.float32), V4.astype(np.float32)
+
+
+def build_bvh_pack3(v0, e1, e2, leaf_size: int = LEAF) -> "PallasBvhPack3 | None":
+    """Host-side skip-BVH build + SMEM/VMEM layout packing."""
+    from ..accel.bvh import build_bvh_cached
+
+    v0 = np.asarray(v0, np.float32)
+    e1 = np.asarray(e1, np.float32)
+    e2 = np.asarray(e2, np.float32)
+    t = len(v0)
+    if t == 0:
+        return None
+    p1 = v0 + e1
+    p2 = v0 + e2
+    lo = np.minimum(np.minimum(v0, p1), p2)
+    hi = np.maximum(np.maximum(v0, p1), p2)
+    bvh = build_bvh_cached(lo, hi, leaf_size=leaf_size)
+
+    m = len(bvh.count)
+    leaf_mask = bvh.count > 0
+    leaf_ids = np.cumsum(leaf_mask) - 1
+    n_leaves = int(leaf_mask.sum())
+
+    N4, U4, V4 = _woop_planes(v0, e1, e2)
+    # 8 rows per leaf (rows 4-7 zero): Mosaic dynamic sublane offsets must
+    # be multiples of 8; the zero rows cancel the d/tnear/tfar rows of the
+    # 8-row ray matrices in _leaf_tuv's contraction.
+    L = leaf_size
+    planes = np.zeros((n_leaves * 8, 3 * L), np.float32)
+    prim_map = np.full((n_leaves * L,), -1, np.int32)
+    for n in np.where(leaf_mask)[0]:
+        s = int(leaf_ids[n])
+        f, c = int(bvh.first[n]), int(bvh.count[n])
+        gid = bvh.prim_order[f : f + c]
+        r = s * 8
+        planes[r : r + 4, 0:c] = N4[gid].T
+        planes[r : r + 4, L : L + c] = U4[gid].T
+        planes[r : r + 4, 2 * L : 2 * L + c] = V4[gid].T
+        prim_map[s * L : s * L + c] = gid
+
+    # (6, M)/(4, M): SMEM pads the last dim to 128 lanes, so fields must
+    # be the leading dim (a (M, 6) layout padded to (M, 128) overflows SMEM)
+    nf = np.concatenate([bvh.node_min, bvh.node_max], axis=1).astype(np.float32).T.copy()
+
+    # Traversal-order code per inner node (for the ordered stack kernel):
+    # left child = i+1, right = skip[i+1]; code = axis*2 + (left is the lo
+    # child along axis), where axis = the children's dominant separation.
+    center = 0.5 * (bvh.node_min + bvh.node_max)
+    inner = ~leaf_mask
+    li = np.minimum(np.arange(m) + 1, m - 1)
+    ri = np.minimum(bvh.skip[li], m - 1)
+    sep = center[ri] - center[li]
+    axis = np.argmax(np.abs(sep), axis=1)
+    left_lo = sep[np.arange(m), axis] >= 0.0
+    ordcode = np.where(inner, axis * 2 + left_lo.astype(np.int64), 0)
+
+    ni = np.stack(
+        [np.where(leaf_mask, leaf_ids, 0), bvh.count, bvh.skip, ordcode], axis=1
+    ).astype(np.int32).T.copy()
+    return PallasBvhPack3(
+        nf=jnp.asarray(nf),
+        ni=jnp.asarray(ni),
+        planes=jnp.asarray(planes),
+        prim_map=jnp.asarray(prim_map),
+        n_nodes=m,
+        n_tris=t,
+        leaf=leaf_size,
+    )
+
+
+def _pack_rays(o, d, tnear, tfar, rt=RAY_TILE):
+    """(16, n_pad) lane-major ray block: no transposes, two pads.
+
+    Rows 0-7 = [o | 1 | d | 0] and rows 8-15 = [d | 0 | tnear | tfar | pad]
+    so both MXU ray matrices in _leaf_tuv are aligned 8-row slices (the
+    surplus rows are cancelled by the zero coefficient rows of each leaf's
+    plane block)."""
+    n = o.shape[0]
+    pad = (-n) % rt
+    one = jnp.ones((n,), jnp.float32)
+    zero = jnp.zeros((n,), jnp.float32)
+    fields = jnp.stack(
+        [
+            o[:, 0], o[:, 1], o[:, 2], one,
+            d[:, 0], d[:, 1], d[:, 2], zero,
+            d[:, 0], d[:, 1], d[:, 2], zero,
+            tnear, jnp.minimum(tfar, _INF),
+        ]
+    )  # (14, n)
+    fields = jnp.pad(fields, ((0, 2), (0, pad)))  # dead-pad: tnear>=tfar=0
+    return fields, fields.shape[1] // rt, pad
+
+
+def _recompute_uv(v0, e1, e2, o, d, prim):
+    """Barycentrics for the winning prim (vectorized; replaces in-kernel
+    u/v bookkeeping)."""
+    tri = jnp.maximum(prim, 0)
+    a = v0[tri]
+    ee1 = e1[tri]
+    ee2 = e2[tri]
+    p = jnp.cross(d, ee2)
+    det = jnp.sum(ee1 * p, axis=-1)
+    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / jnp.where(det == 0, 1.0, det), 0.0)
+    tv = o - a
+    u = jnp.sum(tv * p, axis=-1) * inv_det
+    q = jnp.cross(tv, ee1)
+    v = jnp.sum(d * q, axis=-1) * inv_det
+    ok = prim >= 0
+    return jnp.where(ok, u, 0.0), jnp.where(ok, v, 0.0)
+
+
+def intersect_bvh_pallas3(
+    pack: PallasBvhPack3, tris, o, d, tnear, tfar,
+    rt: int = RAY_TILE, walks: int = 4,
+) -> Hit:
+    """Closest-hit query. `tris` is the scene TriangleSoA (for the post-hoc
+    u/v pass); indices in the returned Hit are scene triangle ids."""
+    n = o.shape[0]
+    rays_m, g, _ = _pack_rays(o, d, tnear, tfar, rt * walks)
+    out = _launch3(
+        rays_m, pack.nf, pack.ni, pack.planes, pack.n_nodes,
+        leaf=pack.leaf, rt=rt, walks=walks,
+    )
+    t = out[0, :n]
+    local = out[1, :n].astype(jnp.int32)
+    prim = jnp.where(
+        local >= 0, pack.prim_map[jnp.clip(local, 0, pack.prim_map.shape[0] - 1)], -1
+    )
+    u, v = _recompute_uv(tris.v0, tris.e1, tris.e2, o, d, prim)
+    return Hit(t=jnp.where(prim >= 0, t, INF), prim=prim, u=u, v=v)
+
+
+def occluded_bvh_pallas3(
+    pack: PallasBvhPack3, o, d, tnear, tfar, rt: int = RAY_TILE
+) -> jnp.ndarray:
+    """Any-hit query -> bool per ray."""
+    n = o.shape[0]
+    rays_m, g, _ = _pack_rays(o, d, tnear, tfar, rt)
+    out = _launch3(
+        rays_m, pack.nf, pack.ni, pack.planes, pack.n_nodes,
+        any_hit=True, leaf=pack.leaf, rt=rt,
+    )
+    return out[0, :n] > 0.0

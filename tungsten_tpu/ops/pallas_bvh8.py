@@ -1,0 +1,393 @@
+"""Pallas TPU kernel: 8-wide BVH traversal with children on sublanes.
+
+Fourth-generation intersector (after ops.pallas_bvh / ops.pallas_bvh2),
+built from on-chip profiling of the binary ordered walk: per traversal
+iteration the vector cost was ~0.76 us because every box test ran on a
+(1, RT) register row — one sublane of an (8, 128) vreg, wasting 7/8 of
+the VPU. This kernel fills the sublane dimension with *BVH children*:
+
+  * The binary SAH tree (accel/bvh.py) is collapsed host-side into
+    8-ary nodes (3 binary levels, greedy largest-area expansion — the
+    embree BVH8 recipe, thirdparty/embree kernels).
+  * One node visit = ONE (8, RT) slab test covering all 8 children:
+    child boxes live in VMEM as an aligned (8, 8) block per node,
+    broadcast against the (1, RT) ray rows. Per-child cost drops 8x.
+  * The 8 hit flags reach the scalar core as a single packed bitmask:
+    per-row any via a lane max -> (8, 1), dot with 2^row weights ->
+    one f32 reduce, one scalar read.
+  * Traversal order is precomputed per node for each of the 8 ray
+    octants (children sorted by center along the octant direction) and
+    packed 3 bits/slot into an SMEM table; hits are pushed far-to-near
+    onto a per-walk SMEM stack so the nearest child pops first.
+    Combined with per-lane best-t pruning (box test against
+    min(tfar, best)), far subtrees die wholesale — the
+    embree/BinaryBvh.hpp:198 ordered-traversal semantics.
+  * Leaves are Woop plane-form triangle blocks evaluated by two MXU
+    dot_generals exactly as in ops.pallas_bvh2 (shared _leaf_tuv).
+  * `walks` independent ray tiles interleave in one program so the
+    vector->scalar latency of one walk hides behind another's work.
+
+Scene arrays must be jit arguments (closure-captured constants re-stage
+their pallas windows every grid step, ~200 us/step on this runtime).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from flax.struct import dataclass as pytree, field
+
+from .intersect import Hit, INF
+from .pallas_bvh2 import (
+    _INF,
+    _leaf_tuv,
+    _pack_rays,
+    _recompute_uv,
+    _woop_planes,
+)
+
+RAY_TILE = 1024
+LEAF = 32
+DEPTH = 160  # per-walk stack bound: ~ (binary depth / 3) * 8 pushes
+
+
+@pytree
+class PallasBvhPack8:
+    """8-wide BVH for the sublane-parallel kernel (rides in FlatScene)."""
+
+    boxes: jnp.ndarray  # (M8*8, 8) f32 VMEM: child boxes [minx..maxz,0,0]
+    kid: jnp.ndarray  # (8, M8) i32 SMEM: child code (>=0 node, <=-2 leaf, -1 none)
+    order: jnp.ndarray  # (8, M8) i32 SMEM: per-octant perm, 3 bits/slot
+    planes: jnp.ndarray  # (n_leaves*8, 3*leaf) f32 Woop plane slabs
+    prim_map: jnp.ndarray  # (n_leaves*leaf,) i32 slot -> scene tri id
+    n_nodes: int = field(pytree_node=False, default=0)
+    n_tris: int = field(pytree_node=False, default=0)
+    leaf: int = field(pytree_node=False, default=LEAF)
+
+    @property
+    def vmem_bytes(self):
+        return (self.boxes.size + self.planes.size) * 4
+
+    @property
+    def smem_bytes(self):
+        return (self.kid.size + self.order.size) * 4
+
+
+def _walk_kernel8(
+    rays_ref, boxes_ref, kid_ref, ord_ref, planes_ref, out_ref, stack_ref,
+    *, m8, leaf, rt, walks,
+):
+    """Software-pipelined traversal loop. On-chip profiling showed the naive
+    loop pays ~5 us of pure LATENCY per iteration (its control flow consumes
+    the same iteration's box-test reduction, so the vector->scalar sync, the
+    MXU leaf eval, and the next node pop all serialize) even though every
+    primitive has <70 ns pipelined throughput. Here each iteration consumes
+    the hit bits ISSUED ONE ITERATION EARLIER: decisions for node v_w use
+    bits_w from the previous round while this round's box test for the newly
+    popped node is merely issued. The reduce latency hides behind a full
+    iteration of queued vector work, leaving only scalar control on the
+    critical path. Pruning uses best-t as of issue time (one iteration
+    stale) — strictly conservative, never wrong."""
+    per_walk = []
+    for w in range(walks):
+        c0, c1 = w * rt, (w + 1) * rt
+        rw = rays_ref[:, c0:c1]
+        dx, dy, dz = rw[4:5, :], rw[5:6, :], rw[6:7, :]
+        inv = (
+            1.0 / jnp.where(dx == 0.0, 1e-30, dx),
+            1.0 / jnp.where(dy == 0.0, 1e-30, dy),
+            1.0 / jnp.where(dz == 0.0, 1e-30, dz),
+        )
+        tnear = rw[12:13, :]
+        tfar = rw[13:14, :]
+        ray_ok = tnear < tfar
+        octant = (
+            jnp.where(jnp.sum(dx) >= 0.0, 4, 0)
+            + jnp.where(jnp.sum(dy) >= 0.0, 2, 0)
+            + jnp.where(jnp.sum(dz) >= 0.0, 1, 0)
+        )
+        out_ref[0:1, c0:c1] = jnp.full((1, rt), _INF)
+        out_ref[1:2, c0:c1] = jnp.full((1, rt), -1.0)
+        per_walk.append((rw, inv, tnear, tfar, ray_ok, octant))
+
+    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (leaf, rt), 0).astype(jnp.float32)
+    w8 = (2.0 ** jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0).astype(jnp.float32))
+
+    def issue_box(w, v):
+        """Box-test the 8 children of node |v| and return the packed hit
+        bitmask as an (unconsumed) scalar."""
+        rw, inv, tnear, tfar, ray_ok, octant = per_walk[w]
+        c0, c1 = w * rt, (w + 1) * rt
+        node = jnp.clip(v, 0, m8 - 1)
+        b = boxes_ref[pl.ds(node * 8, 8), 0:8]  # (8, 8) child boxes
+        ox, oy, oz = rw[0:1, :], rw[1:2, :], rw[2:3, :]
+        idx, idy, idz = inv
+        t0x = (b[:, 0:1] - ox) * idx
+        t1x = (b[:, 3:4] - ox) * idx
+        t0y = (b[:, 1:2] - oy) * idy
+        t1y = (b[:, 4:5] - oy) * idy
+        t0z = (b[:, 2:3] - oz) * idz
+        t1z = (b[:, 5:6] - oz) * idz
+        tmin = jnp.maximum(
+            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+            jnp.minimum(t0z, t1z),
+        )
+        tmax = jnp.minimum(
+            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+            jnp.maximum(t0z, t1z),
+        )
+        best = out_ref[0:1, c0:c1]
+        hit = (
+            (tmin <= tmax)
+            & (tmax > tnear)
+            & (tmin < jnp.minimum(tfar, best))
+            & ray_ok
+        )  # (8, rt)
+        rowany = jnp.max(hit.astype(jnp.float32), axis=1, keepdims=True)  # (8,1)
+        return jnp.sum(rowany * w8)  # scalar: packed per-child any
+
+    def leaf_eval(w, blk, active):
+        """Branchless (predicated) leaf eval: ALWAYS runs — a pl.when around
+        MXU work gates it behind scalar branch resolution and fences the
+        vector pipeline, measured ~50x slower than the same eval issued
+        unconditionally. `active` (scalar bool) masks the best/prim update
+        via select, so inactive rounds are harmless."""
+        rw, inv, tnear, tfar, ray_ok, octant = per_walk[w]
+        c0, c1 = w * rt, (w + 1) * rt
+        t, u, vv = _leaf_tuv(planes_ref, blk, rw[0:8, :], rw[8:16, :], leaf)
+        cur = out_ref[0:1, c0:c1]
+        h = (
+            (u >= 0.0) & (vv >= 0.0) & (u + vv <= 1.0)
+            & (t > tnear) & (t < jnp.minimum(tfar, cur))
+        )
+        tt = jnp.where(h, t, _INF)
+        tbest = jnp.min(tt, axis=0, keepdims=True)
+        slot = jnp.min(jnp.where(tt <= tbest, slot_iota, 1e9), axis=0, keepdims=True)
+        better = active & (tbest < cur)
+        prim = slot + jnp.float32(blk) * jnp.float32(leaf)
+        out_ref[0:1, c0:c1] = jnp.where(better, tbest, cur)
+        out_ref[1:2, c0:c1] = jnp.where(better, prim, out_ref[1:2, c0:c1])
+
+    # state per walk: (v, sp, bits) — v = node whose child bits arrive this
+    # round (-1 = walk done), sp = stack size, bits = packed hits for v
+    # issued last round. Prologue: issue the root's test.
+    init = []
+    for w in range(walks):
+        init += [jnp.int32(0), jnp.int32(0), issue_box(w, jnp.int32(0))]
+
+    def body(state):
+        new_state = []
+        for w in range(walks):
+            rw, inv, tnear, tfar, ray_ok, octant = per_walk[w]
+            v = state[3 * w]
+            sp = state[3 * w + 1]
+            bits_f = state[3 * w + 2]
+            node = jnp.clip(v, 0, m8 - 1)
+            alive = v >= 0
+            bits = bits_f.astype(jnp.int32)
+
+            # consume LAST round's bits: push hit children far-to-near
+            perm = ord_ref[octant, node]
+            cnt = jnp.int32(0)
+            for k in range(7, -1, -1):
+                c = (perm >> (3 * k)) & 7
+                kv = kid_ref[c, node]
+                pr = alive & (((bits >> c) & 1) == 1) & (kv != -1)
+                slot_pos = w * DEPTH + sp + cnt
+
+                @pl.when(pr)
+                def _(kv=kv, slot_pos=slot_pos):
+                    stack_ref[slot_pos] = kv
+
+                cnt = cnt + pr.astype(jnp.int32)
+            sp1 = sp + cnt
+
+            # pop ONE entry: a leaf is evaluated (branchless) now and leaves
+            # v = -1 (nothing to consume next round); an inner node becomes
+            # the pending node whose box test is issued below.
+            can = sp1 > 0
+            tv = stack_ref[w * DEPTH + jnp.maximum(sp1 - 1, 0)]
+            is_leaf = can & (tv <= -2)
+            blk = jnp.where(is_leaf, -(tv + 2), 0)
+            leaf_eval(w, blk, is_leaf)
+
+            v1 = jnp.where(can & (tv >= 0), tv, -1)
+            sp1 = jnp.where(can, sp1 - 1, sp1)
+
+            # issue next round's box test (bits consumed next iteration)
+            bits1 = jnp.where(v1 >= 0, issue_box(w, v1), 0.0)
+            new_state += [v1, sp1, bits1]
+        return tuple(new_state)
+
+    def cond(state):
+        a = (state[0] >= 0) | (state[1] > 0)
+        for w in range(1, walks):
+            a = a | (state[3 * w] >= 0) | (state[3 * w + 1] > 0)
+        return a
+
+    jax.lax.while_loop(cond, body, tuple(init))
+
+
+@functools.partial(jax.jit, static_argnames=("m8", "leaf", "rt", "walks"))
+def _launch8(rays_m, boxes, kid, order, planes, m8, leaf=LEAF, rt=RAY_TILE, walks=4):
+    blk = rt * walks
+    g = rays_m.shape[1] // blk
+    kern = functools.partial(_walk_kernel8, m8=m8, leaf=leaf, rt=rt, walks=walks)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((2, g * blk), jnp.float32),
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec((16, blk), lambda i: (0, i)),
+            pl.BlockSpec(boxes.shape, lambda i: (0, 0)),  # VMEM-resident
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(planes.shape, lambda i: (0, 0)),  # VMEM-resident
+        ],
+        out_specs=pl.BlockSpec((2, blk), lambda i: (0, i)),
+        scratch_shapes=[pltpu.SMEM((walks * DEPTH,), jnp.int32)],
+    )(rays_m, boxes, kid, order, planes)
+
+
+def _collapse8(bvh, leaf_ids):
+    """Collapse the binary skip-BVH into 8-ary nodes (greedy largest-area
+    3-level expansion). Returns (boxes (M8,8,8), kid (8,M8), order (8,M8))."""
+    count = bvh.count
+    skip = bvh.skip
+    nmin, nmax = bvh.node_min, bvh.node_max
+    area = np.prod(np.maximum(nmax - nmin, 0.0), axis=1)  # volume ~ fine for ranking
+
+    def children(b):
+        left = b + 1
+        return left, int(skip[left])
+
+    nodes8 = []  # list of slot lists (binary ids)
+    memo = {}
+
+    def build8(b):
+        if b in memo:
+            return memo[b]
+        id8 = len(nodes8)
+        nodes8.append(None)
+        memo[b] = id8
+        if count[b] > 0:
+            slots = [b]
+        else:
+            slots = list(children(b))
+            while len(slots) < 8:
+                inner = [s for s in slots if count[s] == 0]
+                if not inner:
+                    break
+                s = max(inner, key=lambda x: area[x])
+                slots.remove(s)
+                slots.extend(children(s))
+        nodes8[id8] = slots
+        return id8
+
+    stack = [0]
+    build8(0)
+    # resolve children breadth-first (iterative to bound recursion)
+    i = 0
+    while i < len(nodes8):
+        for s in list(nodes8[i]):
+            if count[s] == 0:
+                build8(s)
+        i += 1
+
+    m8 = len(nodes8)
+    boxes = np.zeros((m8, 8, 8), np.float32)
+    boxes[:, :, 0:3] = np.float32(3e38)  # absent: inverted box, never hits
+    boxes[:, :, 3:6] = np.float32(-3e38)
+    kid = np.full((8, m8), -1, np.int32)
+    order = np.zeros((8, m8), np.int32)
+    centers = 0.5 * (nmin + nmax)
+    sgn = np.array(
+        [[1 if o & 4 else -1, 1 if o & 2 else -1, 1 if o & 1 else -1] for o in range(8)],
+        np.float32,
+    )  # octant bit layout: x<<2 | y<<1 | z
+    for id8, slots in enumerate(nodes8):
+        cs = []
+        for c, s in enumerate(slots):
+            boxes[id8, c, 0:3] = nmin[s]
+            boxes[id8, c, 3:6] = nmax[s]
+            kid[c, id8] = -(int(leaf_ids[s]) + 2) if count[s] > 0 else memo[s]
+            cs.append(centers[s])
+        cs = np.asarray(cs, np.float32)  # (k, 3)
+        for o in range(8):
+            key = cs @ sgn[o]
+            perm = list(np.argsort(key, kind="stable")) + list(range(len(slots), 8))
+            packed = 0
+            for k, c in enumerate(perm):
+                packed |= int(c) << (3 * k)
+            order[o, id8] = packed
+    return boxes.reshape(m8 * 8, 8), kid, order
+
+
+def build_bvh_pack8(v0, e1, e2, leaf_size: int = LEAF) -> "PallasBvhPack8 | None":
+    from ..accel.bvh import build_bvh_cached
+
+    v0 = np.asarray(v0, np.float32)
+    e1 = np.asarray(e1, np.float32)
+    e2 = np.asarray(e2, np.float32)
+    t = len(v0)
+    if t == 0:
+        return None
+    p1, p2 = v0 + e1, v0 + e2
+    lo = np.minimum(np.minimum(v0, p1), p2)
+    hi = np.maximum(np.maximum(v0, p1), p2)
+    bvh = build_bvh_cached(lo, hi, leaf_size=leaf_size)
+
+    leaf_mask = bvh.count > 0
+    leaf_ids = np.cumsum(leaf_mask) - 1
+    n_leaves = int(leaf_mask.sum())
+
+    N4, U4, V4 = _woop_planes(v0, e1, e2)
+    L = leaf_size
+    planes = np.zeros((n_leaves * 8, 3 * L), np.float32)
+    prim_map = np.full((n_leaves * L,), -1, np.int32)
+    for n in np.where(leaf_mask)[0]:
+        s = int(leaf_ids[n])
+        f, c = int(bvh.first[n]), int(bvh.count[n])
+        gid = bvh.prim_order[f : f + c]
+        r = s * 8
+        planes[r : r + 4, 0:c] = N4[gid].T
+        planes[r : r + 4, L : L + c] = U4[gid].T
+        planes[r : r + 4, 2 * L : 2 * L + c] = V4[gid].T
+        prim_map[s * L : s * L + c] = gid
+
+    boxes, kid, order = _collapse8(bvh, leaf_ids)
+    return PallasBvhPack8(
+        boxes=jnp.asarray(boxes),
+        kid=jnp.asarray(kid),
+        order=jnp.asarray(order),
+        planes=jnp.asarray(planes),
+        prim_map=jnp.asarray(prim_map),
+        n_nodes=len(kid[0]),
+        n_tris=t,
+        leaf=leaf_size,
+    )
+
+
+def intersect_bvh_pallas8(
+    pack: PallasBvhPack8, tris, o, d, tnear, tfar,
+    rt: int = RAY_TILE, walks: int = 4,
+) -> Hit:
+    """Closest-hit query; indices in the returned Hit are scene tri ids."""
+    n = o.shape[0]
+    rays_m, g, _ = _pack_rays(o, d, tnear, tfar, rt * walks)
+    out = _launch8(
+        rays_m, pack.boxes, pack.kid, pack.order, pack.planes, pack.n_nodes,
+        leaf=pack.leaf, rt=rt, walks=walks,
+    )
+    t = out[0, :n]
+    local = out[1, :n].astype(jnp.int32)
+    prim = jnp.where(
+        local >= 0, pack.prim_map[jnp.clip(local, 0, pack.prim_map.shape[0] - 1)], -1
+    )
+    u, v = _recompute_uv(tris.v0, tris.e1, tris.e2, o, d, prim)
+    return Hit(t=jnp.where(prim >= 0, t, INF), prim=prim, u=u, v=v)
