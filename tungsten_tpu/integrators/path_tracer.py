@@ -55,6 +55,10 @@ def _intersect(scene: FlatScene, o, d, tnear, tfar, any_hit=False):
     n_tris = scene.tris.v0.shape[0]
     backend = jax.default_backend()
     if backend == "tpu" and n_tris > 64:
+        if scene.pbvh8 is not None:
+            from ..ops.pallas_bvh8 import intersect_bvh_pallas8
+
+            return intersect_bvh_pallas8(scene.pbvh8, scene.tris, o, d, tnear, tfar)
         if scene.pbvh is not None:
             from ..ops.pallas_bvh import intersect_bvh_pallas
 
@@ -85,9 +89,19 @@ def _shading_data(scene: FlatScene, hit: isect.Hit, o, d):
 
 
 def _occluded(scene, p, d, dist):
-    """Shadow query: is the segment [eps, dist*fudge] blocked?"""
+    """Shadow query: is the segment [eps, dist*fudge] blocked?
+
+    On TPU this takes the dedicated any-hit walk (ops.pallas_bvh2), whose
+    lanes latch on first hit and leave the traversal union — measured ~25x
+    faster than the closest-hit kernel on shadow batches (the embree
+    rtcOccluded split, TraceableScene.hpp:211-223)."""
     far = jnp.where(dist >= INF, INF, dist * SHADOW_FUDGE)
-    h = _intersect(scene, p, d, jnp.full(p.shape[:-1], DEFAULT_EPSILON), far, any_hit=True)
+    near = jnp.full(p.shape[:-1], DEFAULT_EPSILON)
+    if jax.default_backend() == "tpu" and scene.pbvh3 is not None:
+        from ..ops.pallas_bvh2 import occluded_bvh_pallas3
+
+        return occluded_bvh_pallas3(scene.pbvh3, p, d, near, far)
+    h = _intersect(scene, p, d, near, far, any_hit=True)
     return h.prim >= 0
 
 
@@ -264,30 +278,43 @@ def _nee(scene, sampler, p, ng, frame, wi, mat_id, uv, lobes, medium=None):
     wo_w = vo.to_global(t, b, nrm, bs.wo)
     bs_cand = bs.valid & jnp.any(bs.weight > 0.0, axis=-1)
 
-    # both strategies' rays walk in ONE 2N-lane generalized-shadow call
-    # (lockstep cost is max-over-lanes, so merging halves it); the walk
-    # crosses forward-lobed surfaces and attenuates by media per segment
     shadow_far = jnp.where(
         cand, jnp.where(ls.dist >= INF, INF, ls.dist * SHADOW_FUDGE), 0.0
     )
-    o2 = jnp.concatenate([p, p])
-    d2 = jnp.concatenate([ls.d, wo_w])
-    far2 = jnp.concatenate([shadow_far, jnp.where(bs_cand, INF, 0.0)])
-    med2 = (
-        jnp.concatenate([medium, medium])
-        if medium is not None
-        else jnp.full((2 * n,), -1, jnp.int32)
-    )
-    w2, h2, _ = _trace_transparent(
-        scene, o2, d2, far2, med2,
-        jnp.ones((2 * n,), bool), jnp.ones((2 * n,), bool),
-    )
-    blocked = h2.prim[:n] >= 0
+    if not meta.has_forward and not meta.has_media:
+        # nothing to cross or attenuate: the shadow strategy needs only a
+        # boolean, which the dedicated any-hit kernel answers ~25x faster
+        # than a closest-hit walk; the bsdf strategy is a single closest hit
+        blocked = _occluded(scene, p, ls.d, jnp.where(cand, ls.dist, 0.0))
+        h = _intersect(
+            scene, p, wo_w, jnp.full((n,), DEFAULT_EPSILON),
+            jnp.where(bs_cand, INF, 0.0),
+        )
+        w_shadow = jnp.ones((n, 3))
+        tr_b = jnp.ones((n, 3))
+    else:
+        # both strategies' rays walk in ONE 2N-lane generalized-shadow call
+        # (lockstep cost is max-over-lanes, so merging halves it); the walk
+        # crosses forward-lobed surfaces and attenuates by media per segment
+        o2 = jnp.concatenate([p, p])
+        d2 = jnp.concatenate([ls.d, wo_w])
+        far2 = jnp.concatenate([shadow_far, jnp.where(bs_cand, INF, 0.0)])
+        med2 = (
+            jnp.concatenate([medium, medium])
+            if medium is not None
+            else jnp.full((2 * n,), -1, jnp.int32)
+        )
+        w2, h2, _ = _trace_transparent(
+            scene, o2, d2, far2, med2,
+            jnp.ones((2 * n,), bool), jnp.ones((2 * n,), bool),
+        )
+        blocked = h2.prim[:n] >= 0
+        w_shadow = w2[:n]
+        tr_b = w2[n:]
+        h = isect.Hit(t=h2.t[n:], prim=h2.prim[n:], u=h2.u[n:], v=h2.v[n:])
     contrib_l = f_l * ls.radiance * (mis_l / jnp.maximum(ls.pdf, 1e-30))[..., None]
-    contrib_l = contrib_l * w2[:n]
+    contrib_l = contrib_l * w_shadow
     contrib_l = jnp.where((cand & ~blocked)[..., None], contrib_l, 0.0)
-    tr_b = w2[n:]
-    h = isect.Hit(t=h2.t[n:], prim=h2.prim[n:], u=h2.u[n:], v=h2.v[n:])
     hit_light = jnp.where(h.prim >= 0, scene.tri_light[jnp.maximum(h.prim, 0)], -1)
     # area-light hit: must be the chosen light & front side
     hp = p + wo_w * h.t[..., None]
@@ -807,6 +834,12 @@ def _trace_pass_fast(scene: FlatScene, seed, lane_ids, px, py, table=None):
                 scene.media, medium, o, d, far, first_scatter, med_bounce,
                 u_mc, u_md, u_mb,
             )
+            if scene.media.has_emissive_grid:
+                # emission += throughput * mediumSample.emission, BEFORE the
+                # weight multiply (PathTracer.cpp:56-57)
+                emission = emission + jnp.where(
+                    alive[..., None], throughput * ms.emission, 0.0
+                )
             throughput = throughput * jnp.where(alive[..., None], ms.weight, 1.0)
             scattered = ms.scattered & alive
             hit_surface_lane = ms.exited & did_hit

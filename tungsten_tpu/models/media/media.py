@@ -19,6 +19,14 @@ import numpy as np
 import jax.numpy as jnp
 from flax.struct import dataclass as pytree, field
 
+from ..grids import (
+    DenseGrid,
+    grid_density,
+    grid_emission,
+    grid_inverse_optical_depth,
+    grid_optical_depth,
+    load_grid_spec,
+)
 from ..phase import phase_id
 from ..transmittance import (
     trans_eval,
@@ -46,17 +54,20 @@ class MediumTable:
     max_bounce: jnp.ndarray  # (K,) int32
     exp_dir: jnp.ndarray = None  # (K, 3) falloff_scale * unit falloff dir
     exp_x0: jnp.ndarray = None  # (K,) exp_dir . unit_point
-    hetero_kind: jnp.ndarray = None  # (K,) 0=uniform 1=exponential 2=atmosphere
+    hetero_kind: jnp.ndarray = None  # (K,) 0=uniform 1=exp 2=atmosphere 3=voxel
     atm_center: jnp.ndarray = None  # (K, 3)
     atm_s: jnp.ndarray = None  # (K,) effective falloff scale (falloff/radius)
     atm_r2: jnp.ndarray = None  # (K,) radius^2
+    vox_grids: tuple = ()  # tuple[DenseGrid] (pytree leaves)
 
     n_media: int = field(pytree_node=False, default=0)
     trans_present: tuple = field(pytree_node=False, default=())
     has_hetero: bool = field(pytree_node=False, default=False)
+    vox_owner: tuple = field(pytree_node=False, default=())  # grid -> medium id
+    has_emissive_grid: bool = field(pytree_node=False, default=False)
 
 
-def pack_media(specs: List[dict]) -> MediumTable:
+def pack_media(specs: List[dict], resolve=None) -> MediumTable:
     k = max(len(specs), 1)
     sa = np.zeros((k, 3), np.float32)
     ss = np.zeros((k, 3), np.float32)
@@ -71,6 +82,8 @@ def pack_media(specs: List[dict]) -> MediumTable:
     ac = np.zeros((k, 3), np.float32)
     asc = np.ones(k, np.float32)
     ar2 = np.ones(k, np.float32)
+    vox_grids = []
+    vox_owner = []
     for i, spec in enumerate(specs):
         mtype = spec.get("type", "homogeneous")
         if mtype == "exponential":
@@ -95,6 +108,13 @@ def pack_media(specs: List[dict]) -> MediumTable:
             asc[i] = float(spec.get("falloff_scale", 1.0)) / max(r, 1e-30)
             ar2[i] = r * r
             hk[i] = 2
+        elif mtype == "voxel":
+            # VoxelMedium.cpp:97-186: sigma_t scaled by the grid density;
+            # distance sampling through Grid::inverseOpticalDepth
+            gspec = spec.get("grid", {})
+            vox_grids.append(load_grid_spec(gspec, resolve=resolve))
+            vox_owner.append(i)
+            hk[i] = 3
         elif mtype != "homogeneous":
             raise NotImplementedError(f"medium type '{mtype}' not implemented yet")
         density = spec.get("density", 1.0)
@@ -168,7 +188,10 @@ def pack_media(specs: List[dict]) -> MediumTable:
         atm_center=jnp.asarray(ac),
         atm_s=jnp.asarray(asc),
         atm_r2=jnp.asarray(ar2),
+        vox_grids=tuple(vox_grids),
+        vox_owner=tuple(vox_owner),
         has_hetero=bool((hk != 0).any()),
+        has_emissive_grid=any(g.has_emission for g in vox_grids),
     )
 
 
@@ -207,11 +230,13 @@ def _inverse_optical_depth(x, dx, tau):
 
 
 def _hetero_ray(media, i, o, d):
-    """Per-lane heterogeneous-profile line parameters for both analytic
+    """Per-lane heterogeneous-profile line parameters for the analytic
     density models. kind 1 (exponential): density(t)=exp(-(x+dx t)); kind 2
     (atmosphere, AtmosphericMedium.cpp:94-124): work in the shifted
     coordinate u = t + t0 (t0 = along-ray offset of the closest approach),
-    density(u) = exp(-(eh + s^2 u^2)) with eh = s^2 (h^2 - R^2)."""
+    density(u) = exp(-(eh + s^2 u^2)) with eh = s^2 (h^2 - R^2); kind 3
+    (voxel, VoxelMedium.cpp:97-186): raymarched dense grid — the ray itself
+    rides in hp for the march."""
     kind = media.hetero_kind[i]
     x = jnp.sum(o * media.exp_dir[i], axis=-1) - media.exp_x0[i]
     dx = jnp.sum(d * media.exp_dir[i], axis=-1)
@@ -220,7 +245,8 @@ def _hetero_ray(media, i, o, d):
     h2 = jnp.maximum(jnp.sum(pc * pc, axis=-1) - t0 * t0, 0.0)
     sA = media.atm_s[i]
     eh = sA * sA * (h2 - media.atm_r2[i])
-    return dict(kind=kind, x=x, dx=dx, t0=t0, s=sA, eh=eh)
+    return dict(kind=kind, x=x, dx=dx, t0=t0, s=sA, eh=eh,
+                i=i, o=o, d=d, media=media)
 
 
 _SQRT_PI = 1.7724538509055159
@@ -239,14 +265,28 @@ def _hetero_integral(hp, t):
         (_SQRT_PI * 0.5 / jnp.maximum(hp["s"], 1e-30))
         * jnp.exp(-hp["eh"]) * (e1 - erf(hp["s"] * hp["t0"]))
     )
-    return jnp.where(hp["kind"] == 2, i_atm, i_exp)
+    out = jnp.where(hp["kind"] == 2, i_atm, i_exp)
+    media = hp["media"]
+    for gi, owner in enumerate(media.vox_owner):
+        zero = jnp.zeros_like(t)
+        i_vox = grid_optical_depth(
+            media.vox_grids[gi], hp["o"], hp["d"], zero, jnp.minimum(t, 1e30)
+        )
+        out = jnp.where((hp["kind"] == 3) & (hp["i"] == owner), i_vox, out)
+    return out
 
 
 def _hetero_density(hp, t):
     d_exp = jnp.exp(-(hp["x"] + hp["dx"] * t))
     u = hp["t0"] + t
     d_atm = jnp.exp(-(hp["eh"] + (hp["s"] * u) ** 2))
-    return jnp.where(hp["kind"] == 2, d_atm, d_exp)
+    out = jnp.where(hp["kind"] == 2, d_atm, d_exp)
+    media = hp["media"]
+    for gi, owner in enumerate(media.vox_owner):
+        p = hp["o"] + hp["d"] * t[..., None]
+        d_vox = grid_density(media.vox_grids[gi], p)
+        out = jnp.where((hp["kind"] == 3) & (hp["i"] == owner), d_vox, out)
+    return out
 
 
 def _hetero_inverse(hp, tau):
@@ -264,14 +304,24 @@ def _hetero_inverse(hp, tau):
         erfinv(jnp.clip(inner, -1.0 + 1e-7, 1.0 - 1e-7))
         / jnp.maximum(hp["s"], 1e-30) - hp["t0"],
     )
-    return jnp.where(hp["kind"] == 2, t_atm, t_exp)
+    out = jnp.where(hp["kind"] == 2, t_atm, t_exp)
+    media = hp["media"]
+    for gi, owner in enumerate(media.vox_owner):
+        zero = jnp.zeros_like(tau)
+        t_vox = grid_inverse_optical_depth(
+            media.vox_grids[gi], hp["o"], hp["d"], zero,
+            jnp.full_like(tau, 1e30), tau,
+        )
+        out = jnp.where((hp["kind"] == 3) & (hp["i"] == owner), t_vox, out)
+    return out
 
 
 def _hetero_far_ok(hp, far_t):
     """Absorption-only validity: exp profiles diverge on infinite rays
     unless decaying; the gaussian atmosphere always integrates finitely."""
     ok_exp = (far_t < INF) | (hp["dx"] > 0.0)
-    return jnp.where(hp["kind"] == 2, True, jnp.where(hp["kind"] == 1, ok_exp, far_t < INF))
+    bounded = (hp["kind"] == 2) | (hp["kind"] == 3)  # gaussian/grid: finite
+    return jnp.where(bounded, True, jnp.where(hp["kind"] == 1, ok_exp, far_t < INF))
 
 
 @pytree
@@ -282,6 +332,7 @@ class MediumSample:
     exited: jnp.ndarray  # (N,) bool — reached the surface
     scattered: jnp.ndarray  # (N,) bool — scatter event inside the medium
     p: jnp.ndarray  # (N, 3)
+    emission: jnp.ndarray = None  # (N, 3) grid emission at the scatter point
 
 
 def medium_sample_distance(
@@ -353,13 +404,28 @@ def medium_sample_distance(
     exited = exited | ~in_medium
     scattered = in_medium & ~exited & valid & ~abs_only
 
+    p_end = o + d * t[..., None]
+    w_final = jnp.where(valid[..., None], w, jnp.where(in_medium[..., None], 0.0, 1.0))
+    # VoxelMedium.cpp:142: emission = grid emission at the scatter point
+    # scaled by the (pdf-normalized) path weight
+    emission = jnp.zeros_like(w_final)
+    if media.has_emissive_grid:
+        for gi, owner in enumerate(media.vox_owner):
+            g = media.vox_grids[gi]
+            if not g.has_emission:
+                continue
+            e = grid_emission(g, p_end) * w_final
+            emission = jnp.where(
+                (scattered & (i == owner))[..., None], e, emission
+            )
     return MediumSample(
         t=t,
-        weight=jnp.where(valid[..., None], w, jnp.where(in_medium[..., None], 0.0, 1.0)),
+        weight=w_final,
         pdf=pdf,
         exited=exited & valid | ~in_medium,
         scattered=scattered,
-        p=o + d * t[..., None],
+        p=p_end,
+        emission=emission,
     )
 
 

@@ -29,6 +29,17 @@ the VPU. This kernel fills the sublane dimension with *BVH children*:
 
 Scene arrays must be jit arguments (closure-captured constants re-stage
 their pallas windows every grid step, ~200 us/step on this runtime).
+
+MEASUREMENT WARNING for this tunneled runtime: before the first
+device-to-host transfer of a process, jax.block_until_ready returns
+without actually waiting (an 8192^3 matmul "completes" in 0.05 ms), so
+microbenchmarks in fresh processes measure async enqueue, not execution.
+After the first D2H every host dispatch pays a ~25 ms round trip. Valid
+timings therefore require (a) one D2H up front and (b) chaining K
+executions inside one jit via fori_loop, reporting (total - 25 ms)/K.
+Measured this way on materialtest (80k tris, 141k rays): closest-hit
+~33 ms coherent / ~340 ms incoherent; the any-hit walk (pallas_bvh2)
+~1.3 ms. Leaf evals (6-pass f32 MXU latency) are ~60% of closest-hit.
 """
 from __future__ import annotations
 
@@ -93,40 +104,51 @@ def _walk_kernel8(
     iteration of queued vector work, leaving only scalar control on the
     critical path. Pruning uses best-t as of issue time (one iteration
     stale) — strictly conservative, never wrong."""
-    per_walk = []
+    # NOTE: nothing ray-sized is hoisted out of the loop. An earlier
+    # version pre-loaded each walk's (16, rt) ray block (and its 1/d rows)
+    # as VALUES before the while loop — ~130 vregs of loop-invariant data
+    # per walk, which guaranteed register spills around every leaf eval
+    # (~2 us/iteration of spill/fill traffic, 30x the real work). All ray
+    # data is re-sliced from the VMEM refs at each use instead; the
+    # per-walk octant is the only hoisted (scalar) state.
+    octants = []
     for w in range(walks):
         c0, c1 = w * rt, (w + 1) * rt
-        rw = rays_ref[:, c0:c1]
-        dx, dy, dz = rw[4:5, :], rw[5:6, :], rw[6:7, :]
-        inv = (
-            1.0 / jnp.where(dx == 0.0, 1e-30, dx),
-            1.0 / jnp.where(dy == 0.0, 1e-30, dy),
-            1.0 / jnp.where(dz == 0.0, 1e-30, dz),
-        )
-        tnear = rw[12:13, :]
-        tfar = rw[13:14, :]
-        ray_ok = tnear < tfar
         octant = (
-            jnp.where(jnp.sum(dx) >= 0.0, 4, 0)
-            + jnp.where(jnp.sum(dy) >= 0.0, 2, 0)
-            + jnp.where(jnp.sum(dz) >= 0.0, 1, 0)
+            jnp.where(jnp.sum(rays_ref[4:5, c0:c1]) >= 0.0, 4, 0)
+            + jnp.where(jnp.sum(rays_ref[5:6, c0:c1]) >= 0.0, 2, 0)
+            + jnp.where(jnp.sum(rays_ref[6:7, c0:c1]) >= 0.0, 1, 0)
         )
         out_ref[0:1, c0:c1] = jnp.full((1, rt), _INF)
         out_ref[1:2, c0:c1] = jnp.full((1, rt), -1.0)
-        per_walk.append((rw, inv, tnear, tfar, ray_ok, octant))
+        octants.append(octant)
 
     slot_iota = jax.lax.broadcasted_iota(jnp.int32, (leaf, rt), 0).astype(jnp.float32)
     w8 = (2.0 ** jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0).astype(jnp.float32))
 
+    def _inv(w):
+        c0, c1 = w * rt, (w + 1) * rt
+        dx = rays_ref[4:5, c0:c1]
+        dy = rays_ref[5:6, c0:c1]
+        dz = rays_ref[6:7, c0:c1]
+        return (
+            1.0 / jnp.where(dx == 0.0, 1e-30, dx),
+            1.0 / jnp.where(dy == 0.0, 1e-30, dy),
+            1.0 / jnp.where(dz == 0.0, 1e-30, dz),
+        )
+
     def issue_box(w, v):
         """Box-test the 8 children of node |v| and return the packed hit
         bitmask as an (unconsumed) scalar."""
-        rw, inv, tnear, tfar, ray_ok, octant = per_walk[w]
         c0, c1 = w * rt, (w + 1) * rt
         node = jnp.clip(v, 0, m8 - 1)
         b = boxes_ref[pl.ds(node * 8, 8), 0:8]  # (8, 8) child boxes
-        ox, oy, oz = rw[0:1, :], rw[1:2, :], rw[2:3, :]
-        idx, idy, idz = inv
+        ox = rays_ref[0:1, c0:c1]
+        oy = rays_ref[1:2, c0:c1]
+        oz = rays_ref[2:3, c0:c1]
+        idx, idy, idz = _inv(w)
+        tnear = rays_ref[12:13, c0:c1]
+        tfar = rays_ref[13:14, c0:c1]
         t0x = (b[:, 0:1] - ox) * idx
         t1x = (b[:, 3:4] - ox) * idx
         t0y = (b[:, 1:2] - oy) * idy
@@ -146,20 +168,19 @@ def _walk_kernel8(
             (tmin <= tmax)
             & (tmax > tnear)
             & (tmin < jnp.minimum(tfar, best))
-            & ray_ok
+            & (tnear < tfar)
         )  # (8, rt)
         rowany = jnp.max(hit.astype(jnp.float32), axis=1, keepdims=True)  # (8,1)
         return jnp.sum(rowany * w8)  # scalar: packed per-child any
 
-    def leaf_eval(w, blk, active):
-        """Branchless (predicated) leaf eval: ALWAYS runs — a pl.when around
-        MXU work gates it behind scalar branch resolution and fences the
-        vector pipeline, measured ~50x slower than the same eval issued
-        unconditionally. `active` (scalar bool) masks the best/prim update
-        via select, so inactive rounds are harmless."""
-        rw, inv, tnear, tfar, ray_ok, octant = per_walk[w]
+    def leaf_eval(w, v):
         c0, c1 = w * rt, (w + 1) * rt
-        t, u, vv = _leaf_tuv(planes_ref, blk, rw[0:8, :], rw[8:16, :], leaf)
+        blk = -(v + 2)
+        tnear = rays_ref[12:13, c0:c1]
+        tfar = rays_ref[13:14, c0:c1]
+        t, u, vv = _leaf_tuv(
+            planes_ref, blk, rays_ref[0:8, c0:c1], rays_ref[8:16, c0:c1], leaf
+        )
         cur = out_ref[0:1, c0:c1]
         h = (
             (u >= 0.0) & (vv >= 0.0) & (u + vv <= 1.0)
@@ -168,36 +189,44 @@ def _walk_kernel8(
         tt = jnp.where(h, t, _INF)
         tbest = jnp.min(tt, axis=0, keepdims=True)
         slot = jnp.min(jnp.where(tt <= tbest, slot_iota, 1e9), axis=0, keepdims=True)
-        better = active & (tbest < cur)
+        better = tbest < cur
         prim = slot + jnp.float32(blk) * jnp.float32(leaf)
         out_ref[0:1, c0:c1] = jnp.where(better, tbest, cur)
         out_ref[1:2, c0:c1] = jnp.where(better, prim, out_ref[1:2, c0:c1])
 
-    # state per walk: (v, sp, bits) — v = node whose child bits arrive this
-    # round (-1 = walk done), sp = stack size, bits = packed hits for v
-    # issued last round. Prologue: issue the root's test.
+    # Two-deep issue queue per walk: (vA, bitsA) = node whose hit bits are
+    # consumed THIS round (issued two rounds ago — its reduce has a full
+    # round of other vector work to complete behind, so the scalar read
+    # never drains the pipe); (vB, bitsB) = issued last round. Pops proceed
+    # while bits are in flight, so traversal order relaxes slightly from
+    # strict near-first (still correct: best-t pruning is conservative).
+    # Leaf evals stay under pl.when — their predicate depends only on
+    # scalar stack state, so the branch resolves without a vector sync.
     init = []
     for w in range(walks):
-        init += [jnp.int32(0), jnp.int32(0), issue_box(w, jnp.int32(0))]
+        init += [jnp.int32(0), issue_box(w, jnp.int32(0)), jnp.int32(-1),
+                 jnp.float32(0.0), jnp.int32(0)]
 
     def body(state):
         new_state = []
         for w in range(walks):
-            rw, inv, tnear, tfar, ray_ok, octant = per_walk[w]
-            v = state[3 * w]
-            sp = state[3 * w + 1]
-            bits_f = state[3 * w + 2]
-            node = jnp.clip(v, 0, m8 - 1)
-            alive = v >= 0
-            bits = bits_f.astype(jnp.int32)
+            octant = octants[w]
+            vA = state[5 * w]
+            bitsA_f = state[5 * w + 1]
+            vB = state[5 * w + 2]
+            bitsB_f = state[5 * w + 3]
+            sp = state[5 * w + 4]
+            node = jnp.clip(vA, 0, m8 - 1)
+            aliveA = vA >= 0
+            bits = bitsA_f.astype(jnp.int32)
 
-            # consume LAST round's bits: push hit children far-to-near
+            # consume the 2-rounds-old bits: push vA's hit children
             perm = ord_ref[octant, node]
             cnt = jnp.int32(0)
             for k in range(7, -1, -1):
                 c = (perm >> (3 * k)) & 7
                 kv = kid_ref[c, node]
-                pr = alive & (((bits >> c) & 1) == 1) & (kv != -1)
+                pr = aliveA & (((bits >> c) & 1) == 1) & (kv != -1)
                 slot_pos = w * DEPTH + sp + cnt
 
                 @pl.when(pr)
@@ -207,27 +236,38 @@ def _walk_kernel8(
                 cnt = cnt + pr.astype(jnp.int32)
             sp1 = sp + cnt
 
-            # pop ONE entry: a leaf is evaluated (branchless) now and leaves
-            # v = -1 (nothing to consume next round); an inner node becomes
-            # the pending node whose box test is issued below.
+            # pop ONE entry: leaf -> evaluate now; inner -> enqueue its test
             can = sp1 > 0
             tv = stack_ref[w * DEPTH + jnp.maximum(sp1 - 1, 0)]
             is_leaf = can & (tv <= -2)
-            blk = jnp.where(is_leaf, -(tv + 2), 0)
-            leaf_eval(w, blk, is_leaf)
+
+            @pl.when(is_leaf)
+            def _(tv=tv):
+                leaf_eval(w, tv)
 
             v1 = jnp.where(can & (tv >= 0), tv, -1)
             sp1 = jnp.where(can, sp1 - 1, sp1)
+            # No select around the reduce: a scalar jnp.where consuming the
+            # reduction result would stall the scalar core on the whole
+            # vector pipeline EVERY iteration (the select is evaluated
+            # eagerly) — the very serialization the 2-deep issue queue
+            # exists to avoid. Dead walks produce garbage bits that are
+            # masked by `aliveA` at consumption time.
+            bits1 = issue_box(w, v1)
 
-            # issue next round's box test (bits consumed next iteration)
-            bits1 = jnp.where(v1 >= 0, issue_box(w, v1), 0.0)
-            new_state += [v1, sp1, bits1]
+            # rotate the queue: B moves to the consume slot
+            new_state += [vB, bitsB_f, v1, bits1, sp1]
         return tuple(new_state)
 
     def cond(state):
-        a = (state[0] >= 0) | (state[1] > 0)
-        for w in range(1, walks):
-            a = a | (state[3 * w] >= 0) | (state[3 * w + 1] > 0)
+        a = None
+        for w in range(walks):
+            aw = (
+                (state[5 * w] >= 0)
+                | (state[5 * w + 2] >= 0)
+                | (state[5 * w + 4] > 0)
+            )
+            a = aw if a is None else (a | aw)
         return a
 
     jax.lax.while_loop(cond, body, tuple(init))

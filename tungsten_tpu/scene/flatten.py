@@ -26,6 +26,8 @@ from ..models.textures import TextureBuilder, TextureTable
 from ..ops.intersect import BvhSoA, TriangleSoA, pack_bvh
 from ..ops.pallas_intersect import PallasTriPack, build_tri_pack
 from ..ops.pallas_bvh import PallasBvhPack, build_bvh_pack
+from ..ops.pallas_bvh2 import PallasBvhPack3, build_bvh_pack3
+from ..ops.pallas_bvh8 import PallasBvhPack8, build_bvh_pack8
 from ..sampling.distributions import Distribution2D
 from .load import SceneDocument
 
@@ -150,7 +152,9 @@ class FlatScene:
     tri_med_override: jnp.ndarray  # (T,) bool (Primitive::overridesMedia)
     bvh: BvhSoA
     ptris: PallasTriPack
-    pbvh: "PallasBvhPack | None" 
+    pbvh: "PallasBvhPack | None"
+    pbvh8: "PallasBvhPack8 | None"  # 8-wide ordered closest-hit kernel
+    pbvh3: "PallasBvhPack3 | None"  # skip-walk any-hit (occlusion) kernel
     materials: MaterialTable
     media: MediumTable
     textures: TextureTable
@@ -171,6 +175,35 @@ def _maybe_bvh_pack(v0, e1, e2):
     if pack is not None and pack.vmem_bytes > 10 * 1024 * 1024:
         return None
     return pack
+
+
+def _padded_vmem(arr):
+    """True VMEM footprint: the minor dim tiles up to 128 lanes."""
+    r, c = arr.shape
+    return r * ((c + 127) // 128) * 128 * 4
+
+
+def _maybe_bvh_packs_v2(v0, e1, e2):
+    """Current-generation kernel packs: the 8-wide ordered closest-hit
+    pack (ops.pallas_bvh8) and the skip-walk any-hit pack (ops.pallas_bvh2),
+    sharing one Woop plane-slab buffer (identical tree via the disk-cached
+    builder). Leaf size 128 keeps the plane slab lane-aligned (3*128 wide,
+    zero padding) — at leaf 32 the 96-wide slab pads to 128 lanes and the
+    16x-padded box table pushes the kernel over the 16 MB VMEM scope.
+    None when the padded footprint spills VMEM (callers fall back to the
+    HBM-streaming intersector)."""
+    if len(v0) <= 64:
+        return None, None
+    p8 = build_bvh_pack8(v0, e1, e2, leaf_size=128)
+    if p8 is None:
+        return None, None
+    footprint = _padded_vmem(p8.planes) + _padded_vmem(p8.boxes)
+    if footprint > 13 * 1024 * 1024:
+        return None, None
+    p3 = build_bvh_pack3(v0, e1, e2, leaf_size=128)
+    # identical (bvh, leaf) -> identical planes/prim_map; share the buffers
+    p3 = p3.replace(planes=p8.planes, prim_map=p8.prim_map)
+    return p8, p3
 
 
 def flatten_scene(doc: SceneDocument) -> FlatScene:
@@ -339,7 +372,7 @@ def flatten_scene(doc: SceneDocument) -> FlatScene:
 
     # ---- materials, media & textures ---------------------------------------
     materials = pack_materials(doc.bsdfs, tex_builder)
-    media = pack_media(doc.media)
+    media = pack_media(doc.media, resolve=doc.resolve_path)
 
     # ---- lights ------------------------------------------------------------
     tri_light = np.full(len(tri_mat), -1, np.int32)
@@ -595,6 +628,7 @@ def flatten_scene(doc: SceneDocument) -> FlatScene:
         ),
         tris_soa,
     )
+    _pb8, _pb3 = _maybe_bvh_packs_v2(p0, p1 - p0, p2 - p0)
     return FlatScene(
         tris=tris_soa,
         tri_ng=jnp.asarray(tri_ng),
@@ -612,6 +646,8 @@ def flatten_scene(doc: SceneDocument) -> FlatScene:
         bvh=bvh_soa,
         ptris=build_tri_pack(p0, p1 - p0, p2 - p0),
         pbvh=_maybe_bvh_pack(p0, p1 - p0, p2 - p0),
+        pbvh8=_pb8,
+        pbvh3=_pb3,
         materials=materials,
         media=media,
         textures=tex_builder.build(),
