@@ -78,6 +78,7 @@ class _Verts:
         self.throughput = z(3)
         self.pdf_fwd = z()  # area pdf of this vertex from the previous
         self.pdf_rev = z()  # area pdf of this vertex from the next
+        self.edge_med_bwd = jnp.ones((n, k))  # medium bwd pdf of edge to next
         self.mat = jnp.zeros((n, k), jnp.int32)
         self.uv = z(2)
         self.light = jnp.full((n, k), -1, jnp.int32)
@@ -154,6 +155,7 @@ def _trace_subpath(scene, sampler, o0, d0, beta0, pdf0_dir, root_fields, k_max, 
         prev_dirac=jnp.zeros((n,), bool),
         near=jnp.full((n,), DEFAULT_EPSILON),
         seg_base=jnp.zeros((n,)),
+        edge_fwd_base=jnp.ones((n,)),
         smp=sampler,
     )
 
@@ -182,6 +184,11 @@ def _trace_subpath(scene, sampler, o0, d0, beta0, pdf0_dir, root_fields, k_max, 
             scattered = ms.scattered & alive
             hit_surface = ms.exited & did_hit
             alive = alive & (scattered | hit_surface)
+            # edge medium pdfs (PathVertex.cpp:156-163): forward = the
+            # distance sampler's pdf for this segment; backward = the pdf of
+            # the reverse segment with swapped endpoint types
+            in_med = medium >= 0
+            edge_fwd_med = jnp.where(in_med, ms.pdf, 1.0)
         else:
             smp = smp.skip(3)
             scattered = jnp.zeros((n,), bool)
@@ -219,6 +226,10 @@ def _trace_subpath(scene, sampler, o0, d0, beta0, pdf0_dir, root_fields, k_max, 
         seg_sq = seg_len * seg_len
         pdf_fwd_area = _solid_to_area(s["pdf_dir"], d, seg_sq, ng, kind)
         # dirac previous vertices propagate pdf 0 markers naturally
+        if meta.has_media:
+            # LightPath.cpp:66-71: vertices[i].pdfForward *= edge.pdfForward
+            # (forward pass-through collapses accumulate in edge_fwd_base)
+            pdf_fwd_area = pdf_fwd_area * s["edge_fwd_base"] * edge_fwd_med
 
         store = alive & ~fwd_evt
         idx = jnp.clip(s["n_verts"], 0, verts.kind.shape[1] - 1)
@@ -298,6 +309,28 @@ def _trace_subpath(scene, sampler, o0, d0, beta0, pdf0_dir, root_fields, k_max, 
         p_rev_area = _solid_to_area(
             p_rev_solid, vo.normalize(dvec, eps=1e-12), dsq, prev["ng"], prev["kind"]
         )
+        if meta.has_media:
+            # LightPath.cpp:70: vertices[i-1].pdfBackward *= edge.pdfBackward
+            # — the reverse segment's distance pdf, start/end types swapped
+            # (PathVertex.cpp:161-163)
+            from ..models.media import medium_distance_pdf
+
+            seg_t = jnp.sqrt(jnp.maximum(seg_sq, 1e-24))
+            edge_bwd_med = medium_distance_pdf(
+                scene.media, medium, vp, -d, seg_t,
+                start_on_surface=kind != V_MEDIUM,
+                end_on_surface=prev["kind"] != V_MEDIUM,
+            )
+            p_rev_area = p_rev_area * jnp.where(medium >= 0, edge_bwd_med, 1.0)
+            # kept separately too: the junction overrides (over_rev_c2/l2)
+            # REPLACE pdf_rev with a different directional pdf over the SAME
+            # edge, so they must refold this factor (PathVertex::evalPdfs
+            # uses prevEdge->pdfBackward)
+            emb = jnp.where(medium >= 0, edge_bwd_med, 1.0)
+            verts.edge_med_bwd = _dyn_set(
+                verts.edge_med_bwd, pidx,
+                jnp.where(store, emb, _dyn_get(verts.edge_med_bwd, pidx)),
+            )
         verts.pdf_rev = _dyn_set(
             verts.pdf_rev, pidx,
             jnp.where(store, p_rev_area, _dyn_get(verts.pdf_rev, pidx)),
@@ -330,6 +363,10 @@ def _trace_subpath(scene, sampler, o0, d0, beta0, pdf0_dir, root_fields, k_max, 
             prev_dirac=jnp.where(fwd_evt, s["prev_dirac"], sampled_dirac),
             near=jnp.where(scattered, 0.0, jnp.full((n,), DEFAULT_EPSILON)),
             seg_base=jnp.where(fwd_evt, seg_len, 0.0),
+            edge_fwd_base=(
+                jnp.where(fwd_evt, s["edge_fwd_base"] * edge_fwd_med, 1.0)
+                if meta.has_media else s["edge_fwd_base"]
+            ),
             smp=smp,
         )
 
@@ -495,6 +532,11 @@ def trace_bdpt_pass(scene: FlatScene, seed, lane_ids, px, py):
         light=li,
     )
     light_root["_alive"] = em.valid
+    # emitted rays leave into the light surface's exterior medium
+    # (Primitive medium attachment; the reference threads it via
+    # PathVertex::_medium from the emitter record)
+    if meta.has_media:
+        light_root["_medium"] = scene.tri_med_ext[jnp.maximum(em.tri, 0)]
     beta_l1 = em.weight / pick  # direction weight 1 (cosine)
     lv, n_lv, sampler = _trace_subpath(
         scene, sampler, em.p, d_l, beta_l1, warps.cosine_hemisphere_pdf(d_loc),
@@ -525,6 +567,8 @@ def trace_bdpt_pass(scene: FlatScene, seed, lane_ids, px, py):
         # emission is one-sided along +ng; hit from the front
         cos_emit = jnp.abs(vo.dot(dn, C["ng"]))
         over_c2 = _solid_to_area(cos_emit * warps.INV_PI, dn, dsq, P["ng"], P["kind"])
+        if meta.has_media:
+            over_c2 = over_c2 * cv.edge_med_bwd[:, t - 2]
         if _DEBUG_FAMILY == "s0":
             w = jnp.ones((n,))
         elif _DEBUG_FAMILY:
@@ -586,6 +630,8 @@ def trace_bdpt_pass(scene: FlatScene, seed, lane_ids, px, py):
             bn = bvec / jnp.sqrt(bsq)[..., None]
             _, pCB_solid = _vertex_fg(scene, {**C, "wi": dn}, dn, bn)
             over_c2 = _solid_to_area(pCB_solid, bn, bsq, P["ng"], P["kind"])
+            if meta.has_media:
+                over_c2 = over_c2 * cv.edge_med_bwd[:, t - 2]
             # rev(L_{s-1}): pdf of generating Lv from C
             _, pCL_solid = _vertex_fg(scene, C, C["wi"], dn)
             over_l1 = _solid_to_area(pCL_solid, dn, dsq, Lv["ng"], Lv["kind"])
@@ -597,6 +643,8 @@ def trace_bdpt_pass(scene: FlatScene, seed, lane_ids, px, py):
                 qn = qvec / jnp.sqrt(qsq)[..., None]
                 _, pLQ_solid = _vertex_fg(scene, {**Lv, "wi": -dn}, -dn, qn)
                 over_l2 = _solid_to_area(pLQ_solid, qn, qsq, Q["ng"], Q["kind"])
+                if meta.has_media:
+                    over_l2 = over_l2 * lv.edge_med_bwd[:, s - 2]
             else:
                 over_l2 = None
 
@@ -636,6 +684,8 @@ def trace_bdpt_pass(scene: FlatScene, seed, lane_ids, px, py):
             qn = qvec / jnp.sqrt(qsq)[..., None]
             _, pLQ_solid = _vertex_fg(scene, {**Lv, "wi": dc}, dc, qn)
             over_l2 = _solid_to_area(pLQ_solid, qn, qsq, Q["ng"], Q["kind"])
+            if meta.has_media:
+                over_l2 = over_l2 * lv.edge_med_bwd[:, s - 2]
         else:
             over_l2 = None
         if _DEBUG_FAMILY == "t1":

@@ -117,7 +117,10 @@ def trace_light_pass(scene: FlatScene, seed, lane_ids):
         near=jnp.full((n,), DEFAULT_EPSILON),
         throughput=throughput0,
         alive=alive0,
-        medium=jnp.full((n,), -1, jnp.int32),
+        medium=(
+            scene.tri_med_ext[jnp.maximum(em.tri, 0)]
+            if meta.has_media else jnp.full((n,), -1, jnp.int32)
+        ),
         first_scatter=jnp.ones((n,), bool),
         med_bounce=jnp.zeros((n,), jnp.int32),
         bounce=jnp.int32(0),

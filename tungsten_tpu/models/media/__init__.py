@@ -1,1 +1,8 @@
-from .media import MediumTable, pack_media, medium_sample_distance, medium_transmittance, MediumSample
+from .media import (
+    MediumSample,
+    MediumTable,
+    medium_distance_pdf,
+    medium_sample_distance,
+    medium_transmittance,
+    pack_media,
+)

@@ -429,6 +429,37 @@ def medium_sample_distance(
     )
 
 
+def medium_distance_pdf(media: MediumTable, mid, o, d, t, start_on_surface,
+                        end_on_surface):
+    """Medium::pdf (HomogeneousMedium.cpp pdf cases): density of the
+    distance sampler producing segment length `t` along (o, d), given the
+    endpoint types. Used by BDPT to fold reverse-edge medium pdfs into the
+    MIS products (PathVertex.cpp:161-163, LightPath.cpp:66-71). Vacuum
+    lanes return 1."""
+    i = jnp.maximum(mid, 0)
+    sigma_t = media.sigma_t[i]
+    ttype = media.trans_type[i]
+    tparams = media.trans_params[i]
+    if media.has_hetero:
+        hp = _hetero_ray(media, i, o, d)
+        tau = _hetero_integral(hp, t)[..., None] * sigma_t
+        rho = _hetero_density(hp, t)
+    else:
+        tau = jnp.minimum(t, 1e30)[..., None] * sigma_t
+        rho = jnp.ones_like(t)
+    pdf_exit = jnp.mean(
+        trans_surface_prob(ttype, tparams, tau, start_on_surface, present=media.trans_present),
+        axis=-1,
+    )
+    pdf_scatter = rho * jnp.mean(
+        sigma_t * trans_medium_pdf(ttype, tparams, tau, start_on_surface, present=media.trans_present),
+        axis=-1,
+    )
+    pdf = jnp.where(end_on_surface, pdf_exit, pdf_scatter)
+    pdf = jnp.where(media.absorption_only[i], 1.0, pdf)
+    return jnp.where(mid >= 0, pdf, 1.0)
+
+
 def medium_transmittance(media: MediumTable, mid, far_t, start_on_surface,
                          end_on_surface, o=None, d=None):
     """Medium::transmittance for shadow segments; mid < 0 -> 1. o/d enable

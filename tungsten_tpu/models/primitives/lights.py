@@ -254,6 +254,7 @@ class EmitterSample:
     weight: jnp.ndarray  # (N, 3) position weight = pi * area * emission
     radiance: jnp.ndarray  # (N, 3) emitted radiance
     valid: jnp.ndarray
+    tri: jnp.ndarray = None  # (N,) sampled triangle (medium lookup)
 
 
 def sample_emitter_position(scene, li, u_tri, u2) -> EmitterSample:
@@ -293,4 +294,5 @@ def sample_emitter_position(scene, li, u_tri, u2) -> EmitterSample:
         weight=(jnp.pi * area)[..., None] * rad,
         radiance=rad,
         valid=is_area & (count > 0),
+        tri=tri,
     )

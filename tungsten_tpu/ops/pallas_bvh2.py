@@ -88,9 +88,9 @@ def _leaf_tuv(planes_ref, leaf_blk, ro8, rd8, leaf=LEAF):
     ray matrices are 8-row slices whose surplus rows are zeroed by those
     coefficient rows."""
     pb = planes_ref[pl.ds(leaf_blk * 8, 8), :]  # (8, 3*leaf): [N|U|V ; 0]
-    # HIGH (bf16_3x): default MXU f32 matmul rounds through bf16 (~1e-3 rel
-    # err on t — breaks shadow epsilons); the 3-pass scheme recovers ~2^-21
-    # relative error (Mosaic supports only DEFAULT/HIGHEST in-kernel).
+    # HIGHEST: the default MXU f32 path rounds through bf16 whose error is
+    # catastrophic here (N.o + nc cancels to the point-plane distance);
+    # pallas_bvh8 has a 3-pass bf16x3 variant for the hot path.
     ao = jax.lax.dot_general(
         pb, ro8, _DOT_T,
         preferred_element_type=jnp.float32,
@@ -506,8 +506,9 @@ def _pack_rays(o, d, tnear, tfar, rt=RAY_TILE):
 
 
 def _recompute_uv(v0, e1, e2, o, d, prim):
-    """Barycentrics for the winning prim (vectorized; replaces in-kernel
-    u/v bookkeeping)."""
+    """Exact f32 Moller-Trumbore for the winning prim (vectorized):
+    barycentrics AND t — replaces in-kernel u/v bookkeeping and repairs the
+    bf16 fast-leaf t."""
     tri = jnp.maximum(prim, 0)
     a = v0[tri]
     ee1 = e1[tri]
@@ -519,8 +520,13 @@ def _recompute_uv(v0, e1, e2, o, d, prim):
     u = jnp.sum(tv * p, axis=-1) * inv_det
     q = jnp.cross(tv, ee1)
     v = jnp.sum(d * q, axis=-1) * inv_det
+    t = jnp.sum(ee2 * q, axis=-1) * inv_det
     ok = prim >= 0
-    return jnp.where(ok, u, 0.0), jnp.where(ok, v, 0.0)
+    return (
+        jnp.where(ok, jnp.clip(u, 0.0, 1.0), 0.0),
+        jnp.where(ok, jnp.clip(v, 0.0, 1.0), 0.0),
+        jnp.where(ok & (t > 0.0), t, INF),
+    )
 
 
 def intersect_bvh_pallas3(
@@ -540,7 +546,7 @@ def intersect_bvh_pallas3(
     prim = jnp.where(
         local >= 0, pack.prim_map[jnp.clip(local, 0, pack.prim_map.shape[0] - 1)], -1
     )
-    u, v = _recompute_uv(tris.v0, tris.e1, tris.e2, o, d, prim)
+    u, v, t_exact = _recompute_uv(tris.v0, tris.e1, tris.e2, o, d, prim)
     return Hit(t=jnp.where(prim >= 0, t, INF), prim=prim, u=u, v=v)
 
 

@@ -55,12 +55,48 @@ from flax.struct import dataclass as pytree, field
 
 from .intersect import Hit, INF
 from .pallas_bvh2 import (
+    _DOT_T,
     _INF,
     _leaf_tuv,
     _pack_rays,
     _recompute_uv,
     _woop_planes,
 )
+
+
+def _leaf_tuv_bf16x3(ph_ref, plo_ref, leaf_blk, ro8, rd8, leaf):
+    """Plane-form leaf eval with a MANUAL 3-pass bf16 product (the bf16x3
+    trick XLA uses for Precision.HIGH, which Mosaic does not expose):
+    both the plane table and the ray matrices are split into bf16 hi+lo
+    halves and a @ b ~ ah@bh + ah@bl + al@bh accumulates in f32 on the MXU.
+    One naive bf16 pass is useless here — N.o + nc cancels catastrophically
+    (the residual is the point-plane distance, tiny next to the coordinate
+    terms) and was measured to misroute ~6% of rays; the 3-pass form
+    recovers ~2e-6 relative error at half the latency of HIGHEST's 6
+    passes. Storage: two bf16 tables = the bytes of one f32 table."""
+    pbh = ph_ref[pl.ds(leaf_blk * 8, 8), :]
+    pbl = plo_ref[pl.ds(leaf_blk * 8, 8), :]
+
+    def dot3(rv):
+        rh = rv.astype(jnp.bfloat16)
+        rl = (rv - rh.astype(jnp.float32)).astype(jnp.bfloat16)
+        acc = jax.lax.dot_general(
+            pbh, rh, _DOT_T, preferred_element_type=jnp.float32
+        )
+        acc += jax.lax.dot_general(
+            pbh, rl, _DOT_T, preferred_element_type=jnp.float32
+        )
+        acc += jax.lax.dot_general(
+            pbl, rh, _DOT_T, preferred_element_type=jnp.float32
+        )
+        return acc
+
+    ao = dot3(ro8)
+    ad = dot3(rd8)
+    t = -ao[0:leaf, :] / ad[0:leaf, :]
+    u = ao[leaf : 2 * leaf, :] + t * ad[leaf : 2 * leaf, :]
+    v = ao[2 * leaf :, :] + t * ad[2 * leaf :, :]
+    return t, u, v
 
 RAY_TILE = 1024
 LEAF = 32
@@ -76,6 +112,8 @@ class PallasBvhPack8:
     order: jnp.ndarray  # (8, M8) i32 SMEM: per-octant perm, 3 bits/slot
     planes: jnp.ndarray  # (n_leaves*8, 3*leaf) f32 Woop plane slabs
     prim_map: jnp.ndarray  # (n_leaves*leaf,) i32 slot -> scene tri id
+    planes_hi: jnp.ndarray = None  # bf16 split of planes (fast mode)
+    planes_lo: jnp.ndarray = None  # bf16 residual: planes - f32(planes_hi)
     n_nodes: int = field(pytree_node=False, default=0)
     n_tris: int = field(pytree_node=False, default=0)
     leaf: int = field(pytree_node=False, default=LEAF)
@@ -91,7 +129,7 @@ class PallasBvhPack8:
 
 def _walk_kernel8(
     rays_ref, boxes_ref, kid_ref, ord_ref, planes_ref, out_ref, stack_ref,
-    *, m8, leaf, rt, walks,
+    *, m8, leaf, rt, walks, fast=False,
 ):
     """Software-pipelined traversal loop. On-chip profiling showed the naive
     loop pays ~5 us of pure LATENCY per iteration (its control flow consumes
@@ -173,18 +211,32 @@ def _walk_kernel8(
         rowany = jnp.max(hit.astype(jnp.float32), axis=1, keepdims=True)  # (8,1)
         return jnp.sum(rowany * w8)  # scalar: packed per-child any
 
+    # fast mode: 3-pass bf16x3 leaf matmuls (~2e-6 relative) with a little
+    # slack on the edge tests and the best-t prune; the caller recomputes
+    # exact f32 t/u/v for the winner
+    e_edge = 1e-4 if fast else 0.0
+    e_t = 1e-4 if fast else 0.0
+
     def leaf_eval(w, v):
         c0, c1 = w * rt, (w + 1) * rt
         blk = -(v + 2)
         tnear = rays_ref[12:13, c0:c1]
         tfar = rays_ref[13:14, c0:c1]
-        t, u, vv = _leaf_tuv(
-            planes_ref, blk, rays_ref[0:8, c0:c1], rays_ref[8:16, c0:c1], leaf
-        )
+        if fast:
+            t, u, vv = _leaf_tuv_bf16x3(
+                planes_ref[0], planes_ref[1], blk,
+                rays_ref[0:8, c0:c1], rays_ref[8:16, c0:c1], leaf,
+            )
+        else:
+            t, u, vv = _leaf_tuv(
+                planes_ref, blk, rays_ref[0:8, c0:c1], rays_ref[8:16, c0:c1],
+                leaf,
+            )
         cur = out_ref[0:1, c0:c1]
         h = (
-            (u >= 0.0) & (vv >= 0.0) & (u + vv <= 1.0)
-            & (t > tnear) & (t < jnp.minimum(tfar, cur))
+            (u >= -e_edge) & (vv >= -e_edge) & (u + vv <= 1.0 + e_edge)
+            & (t > tnear * (1.0 - e_t))
+            & (t < jnp.minimum(tfar, cur) * (1.0 + e_t))
         )
         tt = jnp.where(h, t, _INF)
         tbest = jnp.min(tt, axis=0, keepdims=True)
@@ -273,13 +325,38 @@ def _walk_kernel8(
     jax.lax.while_loop(cond, body, tuple(init))
 
 
-@functools.partial(jax.jit, static_argnames=("m8", "leaf", "rt", "walks"))
-def _launch8(rays_m, boxes, kid, order, planes, m8, leaf=LEAF, rt=RAY_TILE, walks=4):
+@functools.partial(
+    jax.jit, static_argnames=("m8", "leaf", "rt", "walks", "fast")
+)
+def _launch8(
+    rays_m, boxes, kid, order, planes, m8, leaf=LEAF, rt=RAY_TILE, walks=4,
+    fast=False,
+):
+    """`planes`: f32 table when fast=False, (hi, lo) bf16 pair when True."""
     blk = rt * walks
     g = rays_m.shape[1] // blk
-    kern = functools.partial(_walk_kernel8, m8=m8, leaf=leaf, rt=rt, walks=walks)
+    kern = functools.partial(
+        _walk_kernel8, m8=m8, leaf=leaf, rt=rt, walks=walks, fast=fast
+    )
+    if fast:
+        plane_specs = [
+            pl.BlockSpec(planes[0].shape, lambda i: (0, 0)),
+            pl.BlockSpec(planes[1].shape, lambda i: (0, 0)),
+        ]
+        plane_args = (planes[0], planes[1])
+
+        def kern2(rays_ref, boxes_ref, kid_ref, ord_ref, ph_ref, plo_ref,
+                  out_ref, stack_ref):
+            return kern(rays_ref, boxes_ref, kid_ref, ord_ref,
+                        (ph_ref, plo_ref), out_ref, stack_ref)
+
+        use_kern = kern2
+    else:
+        plane_specs = [pl.BlockSpec(planes.shape, lambda i: (0, 0))]
+        plane_args = (planes,)
+        use_kern = kern
     return pl.pallas_call(
-        kern,
+        use_kern,
         out_shape=jax.ShapeDtypeStruct((2, g * blk), jnp.float32),
         grid=(g,),
         in_specs=[
@@ -287,11 +364,10 @@ def _launch8(rays_m, boxes, kid, order, planes, m8, leaf=LEAF, rt=RAY_TILE, walk
             pl.BlockSpec(boxes.shape, lambda i: (0, 0)),  # VMEM-resident
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(planes.shape, lambda i: (0, 0)),  # VMEM-resident
-        ],
+        ] + plane_specs,
         out_specs=pl.BlockSpec((2, blk), lambda i: (0, i)),
         scratch_shapes=[pltpu.SMEM((walks * DEPTH,), jnp.int32)],
-    )(rays_m, boxes, kid, order, planes)
+    )(rays_m, boxes, kid, order, *plane_args)
 
 
 def _collapse8(bvh, leaf_ids):
@@ -401,12 +477,17 @@ def build_bvh_pack8(v0, e1, e2, leaf_size: int = LEAF) -> "PallasBvhPack8 | None
         prim_map[s * L : s * L + c] = gid
 
     boxes, kid, order = _collapse8(bvh, leaf_ids)
+    ph = planes.astype(np.float32)
+    p_hi = ph.astype(jnp.bfloat16)
+    p_lo = (ph - np.asarray(p_hi, np.float32)).astype(jnp.bfloat16)
     return PallasBvhPack8(
         boxes=jnp.asarray(boxes),
         kid=jnp.asarray(kid),
         order=jnp.asarray(order),
         planes=jnp.asarray(planes),
         prim_map=jnp.asarray(prim_map),
+        planes_hi=jnp.asarray(p_hi),
+        planes_lo=jnp.asarray(p_lo),
         n_nodes=len(kid[0]),
         n_tris=t,
         leaf=leaf_size,
@@ -415,19 +496,23 @@ def build_bvh_pack8(v0, e1, e2, leaf_size: int = LEAF) -> "PallasBvhPack8 | None
 
 def intersect_bvh_pallas8(
     pack: PallasBvhPack8, tris, o, d, tnear, tfar,
-    rt: int = RAY_TILE, walks: int = 4,
+    rt: int = 512, walks: int = 8, fast: bool = True,
 ) -> Hit:
-    """Closest-hit query; indices in the returned Hit are scene tri ids."""
+    """Closest-hit query; indices in the returned Hit are scene tri ids.
+    With fast=True (default) the walk runs 1-pass bf16 leaf matmuls and the
+    winning primitive's t/u/v are recomputed here in exact f32."""
     n = o.shape[0]
     rays_m, g, _ = _pack_rays(o, d, tnear, tfar, rt * walks)
+    planes = (pack.planes_hi, pack.planes_lo) if fast else pack.planes
     out = _launch8(
-        rays_m, pack.boxes, pack.kid, pack.order, pack.planes, pack.n_nodes,
-        leaf=pack.leaf, rt=rt, walks=walks,
+        rays_m, pack.boxes, pack.kid, pack.order, planes, pack.n_nodes,
+        leaf=pack.leaf, rt=rt, walks=walks, fast=fast,
     )
     t = out[0, :n]
     local = out[1, :n].astype(jnp.int32)
     prim = jnp.where(
         local >= 0, pack.prim_map[jnp.clip(local, 0, pack.prim_map.shape[0] - 1)], -1
     )
-    u, v = _recompute_uv(tris.v0, tris.e1, tris.e2, o, d, prim)
-    return Hit(t=jnp.where(prim >= 0, t, INF), prim=prim, u=u, v=v)
+    u, v, t_exact = _recompute_uv(tris.v0, tris.e1, tris.e2, o, d, prim)
+    t_out = t_exact if fast else jnp.where(prim >= 0, t, INF)
+    return Hit(t=t_out, prim=prim, u=u, v=v)
