@@ -468,6 +468,28 @@ def _adjoint_factor(v, wo_world):
     return jnp.where(v["kind"] == V_MEDIUM, 1.0, corr)
 
 
+import functools as _functools
+
+
+@_functools.partial(jax.jit, static_argnames=("n_passes",))
+def trace_bdpt_batch(scene: FlatScene, seed, lane_ids, px, py, base_pass, n_passes=1):
+    """n_passes fused BDPT passes in ONE dispatch; returns summed
+    (eye (N,3), splat (H*W,3))."""
+    n = px.shape[0]
+    n_pix = scene.meta.res_x * scene.meta.res_y
+
+    def body(i, acc):
+        eye_a, splat_a = acc
+        ps = seed.at[1].set(0x20000 + (base_pass + i).astype(jnp.uint32))
+        eye, splat = trace_bdpt_pass(scene, ps, lane_ids, px, py)
+        return eye_a + eye, splat_a + splat
+
+    return jax.lax.fori_loop(
+        0, n_passes, body,
+        (jnp.zeros((n, 3), jnp.float32), jnp.zeros((n_pix, 3), jnp.float32)),
+    )
+
+
 @jax.jit
 def trace_bdpt_pass(scene: FlatScene, seed, lane_ids, px, py):
     """One BDPT sample per lane. Returns (eye_radiance (N, 3),

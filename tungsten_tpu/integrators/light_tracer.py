@@ -87,6 +87,26 @@ def _connect_to_camera(scene, buf, p, ng, frame, wi, mat_id, uv, throughput, med
     return splat_filtered(buf, pixel, value, visible, meta.res_x, meta.res_y)
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("n_passes",))
+def trace_light_batch(scene: FlatScene, seed, lane_ids, base_pass, n_passes=1):
+    """n_passes fused light-trace passes in ONE dispatch (the per-dispatch
+    tax on this runtime is ~25 ms; the PT's trace_batch does the same).
+    Returns the summed splat buffer."""
+    import jax.numpy as _jnp
+
+    def body(i, acc):
+        ps = seed.at[1].set(0x10000 + (base_pass + i).astype(_jnp.uint32))
+        return acc + trace_light_pass(scene, ps, lane_ids)
+
+    n_pix = scene.meta.res_x * scene.meta.res_y
+    return jax.lax.fori_loop(
+        0, n_passes, body, _jnp.zeros((n_pix, 3), _jnp.float32)
+    )
+
+
 @jax.jit
 def trace_light_pass(scene: FlatScene, seed, lane_ids):
     """Trace one light path per lane; returns the (H*W, 3) splat buffer

@@ -494,9 +494,17 @@ def build_bvh_pack8(v0, e1, e2, leaf_size: int = LEAF) -> "PallasBvhPack8 | None
     )
 
 
+import os as _os
+
+_RT_DEFAULT = int(_os.environ.get("TUNGSTEN_ISECT_RT", "256"))
+_WALKS_DEFAULT = int(_os.environ.get("TUNGSTEN_ISECT_WALKS", "8"))
+_FAST_DEFAULT = _os.environ.get("TUNGSTEN_ISECT_EXACT", "") != "1"
+
+
 def intersect_bvh_pallas8(
     pack: PallasBvhPack8, tris, o, d, tnear, tfar,
-    rt: int = 512, walks: int = 8, fast: bool = True,
+    rt: int = _RT_DEFAULT, walks: int = _WALKS_DEFAULT,
+    fast: bool = _FAST_DEFAULT,
 ) -> Hit:
     """Closest-hit query; indices in the returned Hit are scene tri ids.
     With fast=True (default) the walk runs 1-pass bf16 leaf matmuls and the

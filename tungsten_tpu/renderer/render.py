@@ -215,31 +215,52 @@ def render_scene(doc_or_path, spp=None, seed=DEFAULT_SEED, verbose=False):
     return hdr, np.clip(ldr, 0.0, 1.0)
 
 
-def render_light_traced(scene: FlatScene, spp=None, seed=DEFAULT_SEED, verbose=False):
+def render_light_traced(scene: FlatScene, spp=None, seed=DEFAULT_SEED,
+                        verbose=False, mesh=None, passes_per_batch=8):
     """Light-traced render: spp passes of W*H light paths each; the splat
     estimator satisfies E[splat_j per path] = I_j, so the image is
-    splat_sum / total_paths (LightTraceIntegrator semantics)."""
-    from ..integrators.light_tracer import trace_light_pass
+    splat_sum / total_paths (LightTraceIntegrator semantics).
+
+    mesh: optional jax.sharding.Mesh — light paths lane-shard over devices
+    (scene replicated); the scatter-added splat buffer is reduced by the
+    partitioner over ICI (SURVEY.md §2.4). Global lane ids keep the result
+    bitwise independent of the device count. Passes are fused into batched
+    dispatches (the per-dispatch tax on this runtime is ~25 ms)."""
+    from ..integrators.light_tracer import trace_light_batch
 
     meta = scene.meta
     spp = spp if spp is not None else meta.spp
     w, h = meta.res_x, meta.res_y
     n = w * h
     lane_ids = jnp.arange(n, dtype=jnp.uint32)
+    if mesh is not None:
+        from ..parallel.mesh import replicate, shard_lanes
+
+        scene = replicate(mesh, scene)
+        lane_ids = shard_lanes(mesh, lane_ids)
+    seed_arr = jnp.array([seed & 0xFFFFFFFF, 0], jnp.uint32)
     acc = None
-    for s in range(spp):
-        pass_seed = jnp.array([seed & 0xFFFFFFFF, 0x10000 + s], jnp.uint32)
-        buf = trace_light_pass(scene, pass_seed, lane_ids)
+    done = 0
+    while done < spp:
+        nb = min(passes_per_batch, spp - done)
+        buf = trace_light_batch(scene, seed_arr, lane_ids, jnp.uint32(done), n_passes=nb)
         acc = buf if acc is None else acc + buf
+        done += nb
+        if verbose:
+            print(f"  lt spp {done}/{spp}")
     # E[splat_j per light path] = I_j  =>  normalize by total path count
     img = np.asarray(acc).reshape(h, w, 3) / (spp * float(n))
     return img
 
 
-def render_bdpt(scene: FlatScene, spp=None, seed=DEFAULT_SEED, verbose=False):
+def render_bdpt(scene: FlatScene, spp=None, seed=DEFAULT_SEED, verbose=False,
+                mesh=None, passes_per_batch=4):
     """BDPT render: eye-path techniques accumulate per pixel; t=1 techniques
-    splat (normalized per light path, BidirectionalPathTracer.cpp:21-68)."""
-    from ..integrators.bdpt import trace_bdpt_pass
+    splat (normalized per light path, BidirectionalPathTracer.cpp:21-68).
+
+    mesh: optional device mesh — eye lanes pixel-shard; the splat buffer is
+    reduced over ICI by the partitioner. Passes fuse into batched dispatches."""
+    from ..integrators.bdpt import trace_bdpt_batch
 
     meta = scene.meta
     spp = spp if spp is not None else meta.spp
@@ -248,15 +269,25 @@ def render_bdpt(scene: FlatScene, spp=None, seed=DEFAULT_SEED, verbose=False):
     px = jnp.tile(jnp.arange(w, dtype=jnp.int32), h)
     py = jnp.repeat(jnp.arange(h, dtype=jnp.int32), w)
     lane_ids = jnp.arange(n, dtype=jnp.uint32)
+    if mesh is not None:
+        from ..parallel.mesh import replicate, shard_lanes
+
+        scene = replicate(mesh, scene)
+        lane_ids, px, py = shard_lanes(mesh, lane_ids, px, py)
+    seed_arr = jnp.array([seed & 0xFFFFFFFF, 0], jnp.uint32)
     eye_acc = None
     splat_acc = None
-    for s in range(spp):
-        pass_seed = jnp.array([seed & 0xFFFFFFFF, 0x20000 + s], jnp.uint32)
-        eye, splat = trace_bdpt_pass(scene, pass_seed, lane_ids, px, py)
+    done = 0
+    while done < spp:
+        nb = min(passes_per_batch, spp - done)
+        eye, splat = trace_bdpt_batch(
+            scene, seed_arr, lane_ids, px, py, jnp.uint32(done), n_passes=nb
+        )
         eye_acc = eye if eye_acc is None else eye_acc + eye
         splat_acc = splat if splat_acc is None else splat_acc + splat
-        if verbose and (s + 1) % 8 == 0:
-            print(f"  bdpt spp {s + 1}/{spp}")
+        done += nb
+        if verbose:
+            print(f"  bdpt spp {done}/{spp}")
     img = np.asarray(eye_acc).reshape(h, w, 3) / spp
     img = img + np.asarray(splat_acc).reshape(h, w, 3) / (spp * float(n))
     return img
