@@ -5,6 +5,11 @@ Metric: path-tracing throughput (Mpaths/sec/chip) on the BASELINE.json
 primary config (materialtest at 250x141; cornell-box fallback), measured
 steady-state (compile excluded).
 
+Protocol: one warmup render (compiles + first-D2H), then TRIALS timed
+renders; the headline value is the MEDIAN and the spread (min/max) is
+reported alongside so multi-tenancy noise on the shared chip cannot hide
+regressions (multi-trial protocol required by VERDICT.md round 2 item 1).
+
 Baseline: the C++ reference (embree, SSE4.2) was built in this image and
 measured on the same host (single hardware core):
   - materialtest 250x141 @ 256 spp: 20.0 s  -> 0.451 Mpaths/s/core
@@ -15,6 +20,7 @@ Mpaths/s. vs_baseline below is my_throughput / reference_32core.
 """
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -31,6 +37,8 @@ SCENES = {
     "materialtest": ("/root/reference/data/materialtest/materialtest.json", [250, 141]),
     "cornell": ("/root/reference/data/example-scenes/cornell-box/scene.json", [256, 144]),
 }
+
+TRIALS = 5
 
 
 def main():
@@ -62,20 +70,24 @@ def main():
         return
 
     n_pix = scene.meta.res_x * scene.meta.res_y
-    # measured-best wavefront config: 4 samples/lane-pass, 4 fused passes
     spp_warm, spp_meas, m, ppb = 16, 64, 4, 4
     render_flat(scene, spp=spp_warm, samples_per_pass=m, passes_per_batch=ppb)
-    t0 = time.time()
-    render_flat(scene, spp=spp_meas, samples_per_pass=m, passes_per_batch=ppb)
-    dt = time.time() - t0
-    mpaths = n_pix * spp_meas / dt / 1e6
+    rates = []
+    for trial in range(TRIALS):
+        t0 = time.time()
+        render_flat(scene, spp=spp_meas, samples_per_pass=m, passes_per_batch=ppb)
+        dt = time.time() - t0
+        rates.append(n_pix * spp_meas / dt / 1e6)
+        print(f"# trial {trial + 1}/{TRIALS}: {rates[-1]:.3f} Mpaths/s", file=sys.stderr)
 
-    n_chips = len(jax.devices())
+    med = statistics.median(rates)
     result = {
         "metric": f"{name} path-tracing throughput per chip",
-        "value": round(mpaths / max(1, 1), 4),  # single-chip measurement
+        "value": round(med, 4),
         "unit": "Mpaths/sec/chip",
-        "vs_baseline": round(mpaths / REF_32CORE[name], 4),
+        "vs_baseline": round(med / REF_32CORE[name], 4),
+        "trials": [round(r, 4) for r in rates],
+        "spread": [round(min(rates), 4), round(max(rates), 4)],
     }
     print(json.dumps(result))
 

@@ -26,3 +26,17 @@ REFERENCE_DATA = "/root/reference/data"
 @pytest.fixture
 def rng():
     return np.random.default_rng(0xBA5EBA11)
+
+
+def pytest_collection_modifyitems(config, items):
+    """Auto-mark the heavy tiers so `-m "not slow"` is a <5-minute gate:
+    golden image regressions and the integrator cross-agreement renders are
+    the long tail (VERDICT r2 'what's weak' #4)."""
+    slow_files = {"test_golden.py", "test_path_tracer.py", "test_multichip.py"}
+    fast_names = {  # cheap members of otherwise-slow files stay in the gate
+        "test_furnace_lambert_quad", "test_emissive_quad_direct_view",
+    }
+    for item in items:
+        fname = os.path.basename(str(item.fspath))
+        if fname in slow_files and item.name.split("[")[0] not in fast_names:
+            item.add_marker(pytest.mark.slow)

@@ -21,13 +21,17 @@ def blob():
     return load_grid_spec({"type": "gaussian", "resolution": 64, "sigma": SIGMA, "steps": 128})
 
 
+CENTER = np.array([0.0, 0.5, 0.0])  # normalize_size bottom-aligns y
+# (VdbGrid.cpp:237-240): world box is x,z in [-0.5,0.5], y in [0,1]
+
+
 def _analytic_tau(o, d, t):
-    """int_0^t exp(-|o+s d|^2 / (2 sigma^2)) ds, restricted to the grid's
-    world box [-0.5, 0.5]^3 (the dense grid is zero outside its bounds)."""
+    """int_0^t exp(-|o+s d - c|^2 / (2 sigma^2)) ds, restricted to the grid's
+    world box (the dense grid is zero outside its bounds)."""
     from scipy.integrate import quad
 
     def dens(s):
-        p = o + s * d
+        p = o + s * d - CENTER
         if np.any(np.abs(p) > 0.5):
             return 0.0
         return np.exp(-np.dot(p, p) / (2 * SIGMA * SIGMA))
@@ -37,19 +41,20 @@ def _analytic_tau(o, d, t):
 
 def test_density_matches_analytic(blob):
     rng = np.random.default_rng(0)
-    p = rng.uniform(-0.45, 0.45, (64, 3)).astype(np.float32)
+    p = (rng.uniform(-0.45, 0.45, (64, 3)) + CENTER).astype(np.float32)
     got = np.asarray(grid_density(blob, jnp.asarray(p)))
-    want = np.exp(-np.sum(p * p, axis=1) / (2 * SIGMA * SIGMA))
+    pc = p - CENTER.astype(np.float32)
+    want = np.exp(-np.sum(pc * pc, axis=1) / (2 * SIGMA * SIGMA))
     assert np.allclose(got, want, atol=2e-3)
 
 
 def test_optical_depth_matches_analytic(blob):
     rng = np.random.default_rng(1)
-    o = rng.uniform(-0.9, -0.6, (8, 3)).astype(np.float32)
+    o = (rng.uniform(-0.9, -0.6, (8, 3)) + CENTER).astype(np.float32)
     d = rng.normal(size=(8, 3)).astype(np.float32)
     d /= np.linalg.norm(d, axis=1, keepdims=True)
     # aim roughly at the blob so the integral is nontrivial
-    d = (-o + rng.uniform(-0.2, 0.2, (8, 3)).astype(np.float32))
+    d = (CENTER.astype(np.float32) - o + rng.uniform(-0.2, 0.2, (8, 3)).astype(np.float32))
     d /= np.linalg.norm(d, axis=1, keepdims=True)
     t1 = np.full((8,), 3.0, np.float32)
     got = np.asarray(
@@ -63,7 +68,7 @@ def test_optical_depth_matches_analytic(blob):
 
 def test_inverse_optical_depth_roundtrip(blob):
     rng = np.random.default_rng(2)
-    o = np.tile(np.array([[-1.0, 0.02, -0.03]], np.float32), (16, 1))
+    o = np.tile(np.array([[-1.0, 0.52, -0.03]], np.float32), (16, 1))
     d = np.tile(np.array([[1.0, 0.0, 0.0]], np.float32), (16, 1))
     t = rng.uniform(0.6, 1.4, 16).astype(np.float32)  # inside the blob span
     tau = grid_optical_depth(blob, jnp.asarray(o), jnp.asarray(d), jnp.zeros(16), jnp.asarray(t))
@@ -77,7 +82,7 @@ def test_inverse_optical_depth_roundtrip(blob):
 
 
 def test_inverse_unreachable_is_inf(blob):
-    o = jnp.asarray([[-1.0, 0.0, 0.0]])
+    o = jnp.asarray([[-1.0, 0.5, 0.0]])
     d = jnp.asarray([[1.0, 0.0, 0.0]])
     total = grid_optical_depth(blob, o, d, jnp.zeros(1), jnp.full(1, 1e30))
     t = grid_inverse_optical_depth(
@@ -109,7 +114,7 @@ def _voxel_media():
 def test_voxel_medium_transmittance_matches_analytic():
     media = _voxel_media()
     n = 4
-    o = jnp.asarray(np.tile([[-1.0, 0.0, 0.0]], (n, 1)).astype(np.float32))
+    o = jnp.asarray(np.tile([[-1.0, 0.5, 0.0]], (n, 1)).astype(np.float32))
     d = jnp.asarray(np.tile([[1.0, 0.0, 0.0]], (n, 1)).astype(np.float32))
     far = jnp.asarray([0.6, 1.0, 1.4, 2.0], jnp.float32)
     mid = jnp.zeros((n,), jnp.int32)
@@ -120,7 +125,7 @@ def test_voxel_medium_transmittance_matches_analytic():
     )
     sigma_t = 2.0
     want = np.array(
-        [np.exp(-sigma_t * _analytic_tau(np.array([-1.0, 0, 0]), np.array([1.0, 0, 0]), float(f)))
+        [np.exp(-sigma_t * _analytic_tau(np.array([-1.0, 0.5, 0]), np.array([1.0, 0, 0]), float(f)))
          for f in np.asarray(far)]
     )
     assert np.allclose(tr[:, 0], want, rtol=0.03), (tr[:, 0], want)
@@ -132,7 +137,7 @@ def test_voxel_medium_distance_sampling_unbiased():
     media = _voxel_media()
     n = 4096
     rng = np.random.default_rng(3)
-    o = jnp.asarray(np.tile([[-1.0, 0.0, 0.0]], (n, 1)).astype(np.float32))
+    o = jnp.asarray(np.tile([[-1.0, 0.5, 0.0]], (n, 1)).astype(np.float32))
     d = jnp.asarray(np.tile([[1.0, 0.0, 0.0]], (n, 1)).astype(np.float32))
     far = jnp.full((n,), 2.0)
     mid = jnp.zeros((n,), jnp.int32)
@@ -144,7 +149,7 @@ def test_voxel_medium_distance_sampling_unbiased():
         jnp.asarray(rng.uniform(size=n).astype(np.float32)),
     )
     scatter_frac = float(np.mean(np.asarray(ms.scattered)))
-    tau_total = _analytic_tau(np.array([-1.0, 0, 0]), np.array([1.0, 0, 0]), 2.0)
+    tau_total = _analytic_tau(np.array([-1.0, 0.5, 0]), np.array([1.0, 0, 0]), 2.0)
     want = 1.0 - np.exp(-2.0 * tau_total)
     assert abs(scatter_frac - want) < 0.03, (scatter_frac, want)
     w = np.asarray(ms.weight)

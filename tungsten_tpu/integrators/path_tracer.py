@@ -647,17 +647,17 @@ def _unified_nee_prepare(scene, sampler, vp, ng, frame, wi, mat_id, uv, lobes,
     )
 
 
-def _unified_nee_finish(scene, data, h_shadow, h_mis, medium, scattered):
-    """Consume the merged visibility results -> NEE contribution (N, 3)."""
+def _unified_nee_finish(scene, data, blocked, h_mis, medium, scattered):
+    """Consume the visibility results -> NEE contribution (N, 3).
+    `blocked` is the shadow-strategy occlusion boolean (from the dedicated
+    any-hit kernel or a closest-hit's prim >= 0)."""
     meta = scene.meta
-    n = h_shadow.t.shape[0]
+    n = blocked.shape[0]
     ls = data["ls"]
     li = data["li"]
     is_env_choice = data["is_env"]
     is_cap_choice = data["is_cap"]
     choice_weight = jnp.float32(meta.n_lights)
-
-    blocked = h_shadow.prim >= 0
     contrib_l = data["f_l"] * ls.radiance * (
         data["mis_l"] / jnp.maximum(ls.pdf, 1e-30)
     )[..., None]
@@ -1001,7 +1001,9 @@ def _trace_pass_fast(scene: FlatScene, seed, lane_ids, px, py, table=None):
                 t=h3.t[2 * n :], prim=h3.prim[2 * n :],
                 u=h3.u[2 * n :], v=h3.v[2 * n :],
             )
-            contrib = _unified_nee_finish(scene, nee, h_shadow, h_mis, medium, scattered)
+            contrib = _unified_nee_finish(
+                scene, nee, h_shadow.prim >= 0, h_mis, medium, scattered
+            )
             emission = emission + jnp.where(
                 nee_gate[..., None], throughput_vertex * contrib, 0.0
             )
@@ -1081,6 +1083,391 @@ def _trace_pass_fast(scene: FlatScene, seed, lane_ids, px, py, table=None):
             depth=jnp.zeros((n,)).at[pixf].set(final["aov_depth"]),
             normal=jnp.zeros((n, 3)).at[pixf].set(final["aov_normal"]),
             albedo=jnp.zeros((n, 3)).at[pixf].set(final["aov_albedo"]),
+        )
+        return rad, aux
+    return rad
+
+
+def _occluded_raw(scene, p, d, near, far):
+    """Any-hit boolean for explicit [near, far] segments (shadow strategy)."""
+    if jax.default_backend() == "tpu" and scene.pbvh3 is not None:
+        from ..ops.pallas_bvh2 import occluded_bvh_pallas3
+
+        return occluded_bvh_pallas3(scene.pbvh3, p, d, near, far)
+    h = _intersect(scene, p, d, near, far, any_hit=True)
+    return h.prim >= 0
+
+
+@partial(jax.jit, static_argnames=("n_passes",))
+def trace_regen_batch(scene: FlatScene, seed, px_cycle, py_cycle, pix_cycle,
+                      pass_base, n_passes=1):
+    """Regenerating (persistent-threads) wavefront PT — the TPU analog of a
+    GPU megakernel with path regeneration [Laine et al. 2013 wavefront
+    formulation]: a fixed-width W wavefront where every lane that finishes
+    its path immediately respawns a fresh camera path from the remaining
+    budget of n_passes * W paths. Occupancy stays near 100% across the
+    whole batch instead of decaying with the lockstep bounce loop (the
+    reference's thread pool gets this for free — tiles retire per-thread,
+    PathTraceIntegrator.cpp:136-156; a lockstep while_loop does not).
+
+    Estimator is identical to _trace_pass_fast (same per-bounce structure,
+    same reference citations); only the scheduling differs. Per iteration
+    the shadow strategy rides the dedicated any-hit kernel and the MIS +
+    continuation rays share one merged closest-hit call.
+
+    Radiance is accumulated DEVICE-side: completed paths scatter-add into a
+    per-pixel (n_pix, 3) buffer (AOVs likewise). RNG streams key on the
+    global path id, so results are independent of W and of how paths
+    interleave. Returns rad (n_pix, 3) [and aux per-pixel sums if AOVs]."""
+    meta = scene.meta
+    assert not meta.has_forward, "regen path: forward lobes need trace_pass"
+    W = px_cycle.shape[0]
+    n_pix = meta.res_x * meta.res_y
+    m = max(W // n_pix, 1)
+    strat = bool(getattr(meta, "stratified", False))
+    total = jnp.uint32(n_passes * W)
+    do_nee = meta.enable_light_sampling and meta.n_lights > 0
+    want_aovs = bool(meta.aovs)
+    ctx = (scene.materials, scene.textures)
+    n = W
+
+    def regen(s):
+        """Respawn dead lanes with the next path ids; past-budget lanes idle."""
+        dead = ~s["alive"]
+        ranks = jnp.cumsum(dead.astype(jnp.uint32)) - jnp.uint32(1)
+        new_id = s["next_id"] + jnp.where(dead, ranks, jnp.uint32(0))
+        take = dead & (new_id < total)
+        next_id = s["next_id"] + jnp.sum(dead.astype(jnp.uint32))
+        cyc = jnp.where(take, (new_id % jnp.uint32(W)).astype(jnp.int32), 0)
+        pxn, pyn = px_cycle[cyc], py_cycle[cyc]
+        pass_idx = pass_base.astype(jnp.uint32) + new_id // jnp.uint32(W)
+        lane_key = new_id  # global path id = RNG stream key (W-independent)
+        if strat:
+            samp_idx = pass_idx * jnp.uint32(m) + (cyc // n_pix).astype(jnp.uint32)
+            pix_key = pyn.astype(jnp.uint32) * jnp.uint32(meta.res_x) + pxn.astype(jnp.uint32)
+        else:
+            samp_idx = s["samp_idx"]
+            pix_key = s["pix_key"]
+        smp = Sampler.create(seed, lane_key, None,
+                             samp_idx if strat else None,
+                             pix_key if strat else None, strat)
+        u_cam, smp = smp.next_2d()
+        u_lens, smp = smp.next_2d()
+        if not strat and not _NO_STRAT:
+            from ..sampling.sampler import stratified_cam_2d
+
+            u_cam = stratified_cam_2d(cyc.astype(jnp.uint32), pass_idx)
+        o_c, d_c = camera_rays(scene.camera, meta, pxn, pyn, u_cam, u_lens)
+        t3 = take[..., None]
+        out = dict(s)
+        out["o"] = jnp.where(t3, o_c, s["o"])
+        out["d"] = jnp.where(t3, d_c, s["d"])
+        out["near"] = jnp.where(take, 1e-4, s["near"])
+        out["pix"] = jnp.where(take, pix_cycle[cyc], s["pix"])
+        out["lane_key"] = jnp.where(take, lane_key, s["lane_key"])
+        if strat:
+            out["samp_idx"] = jnp.where(take, samp_idx, s["samp_idx"])
+            out["pix_key"] = jnp.where(take, pix_key, s["pix_key"])
+        out["throughput"] = jnp.where(t3, 1.0, s["throughput"])
+        out["emission"] = jnp.where(t3, 0.0, s["emission"])
+        out["alive"] = s["alive"] | take
+        out["was_specular"] = jnp.where(take, True, s["was_specular"])
+        out["medium"] = jnp.where(take, meta.camera_medium, s["medium"])
+        out["first_scatter"] = jnp.where(take, True, s["first_scatter"])
+        out["med_bounce"] = jnp.where(take, 0, s["med_bounce"])
+        out["bounce"] = jnp.where(take, 0, s["bounce"])
+        out["next_id"] = next_id
+        if want_aovs:
+            out["aov_recorded"] = jnp.where(take, False, s["aov_recorded"])
+            out["aov_depth"] = jnp.where(take, 0.0, s["aov_depth"])
+            out["aov_dist"] = jnp.where(take, 0.0, s["aov_dist"])
+            out["aov_normal"] = jnp.where(t3, 0.0, s["aov_normal"])
+            out["aov_albedo"] = jnp.where(t3, 0.0, s["aov_albedo"])
+        return out
+
+    zero3 = jnp.zeros((W, 3))
+    state = dict(
+        o=zero3,
+        d=jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (W, 3)),
+        near=jnp.full((W,), 1e-4),
+        pix=jnp.zeros((W,), jnp.int32),
+        lane_key=jnp.zeros((W,), jnp.uint32),
+        samp_idx=jnp.zeros((W,), jnp.uint32) if strat else None,
+        pix_key=jnp.zeros((W,), jnp.uint32) if strat else None,
+        hit_t=jnp.full((W,), INF),
+        hit_prim=jnp.full((W,), -1, jnp.int32),
+        hit_u=jnp.zeros((W,)),
+        hit_v=jnp.zeros((W,)),
+        throughput=jnp.ones((W, 3)),
+        emission=jnp.zeros((W, 3)),
+        alive=jnp.zeros((W,), bool),
+        was_specular=jnp.ones((W,), bool),
+        medium=jnp.full((W,), meta.camera_medium, jnp.int32),
+        first_scatter=jnp.ones((W,), bool),
+        med_bounce=jnp.zeros((W,), jnp.int32),
+        bounce=jnp.zeros((W,), jnp.int32),
+        next_id=jnp.uint32(0),
+        rad_pix=jnp.zeros((n_pix, 3)),
+    )
+    if want_aovs:
+        state.update(
+            aov_recorded=jnp.zeros((W,), bool),
+            aov_depth=jnp.zeros((W,)),
+            aov_dist=jnp.zeros((W,)),
+            aov_normal=zero3,
+            aov_albedo=zero3,
+            aov_depth_pix=jnp.zeros((n_pix,)),
+            aov_normal_pix=jnp.zeros((n_pix, 3)),
+            aov_albedo_pix=jnp.zeros((n_pix, 3)),
+        )
+
+    state = regen(state)
+    h0 = _intersect(scene, state["o"], state["d"], state["near"],
+                    jnp.where(state["alive"], INF, 0.0))
+    state.update(hit_t=h0.t, hit_prim=h0.prim, hit_u=h0.u, hit_v=h0.v)
+
+    def cond(s):
+        return jnp.any(s["alive"])
+
+    def body(s):
+        bounce = s["bounce"]  # (W,) per-lane
+        smp = Sampler(seed, s["lane_key"], jnp.int32(2) + bounce * DIMS_PER_BOUNCE,
+                      None, s["samp_idx"], s["pix_key"], strat)
+        o, d, alive = s["o"], s["d"], s["alive"]
+        throughput, emission = s["throughput"], s["emission"]
+        was_specular = s["was_specular"]
+        medium = s["medium"]
+        first_scatter = s["first_scatter"]
+        med_bounce = s["med_bounce"]
+        hit = isect.Hit(t=s["hit_t"], prim=s["hit_prim"], u=s["hit_u"], v=s["hit_v"])
+        did_hit = (hit.prim >= 0) & alive
+
+        far = jnp.where(did_hit, hit.t, INF)
+
+        # ---- medium interaction ----
+        if meta.has_media:
+            from ..models.media import medium_sample_distance
+
+            u_mc, smp = smp.next_1d()
+            u_md, smp = smp.next_1d()
+            u_mb, smp = smp.next_1d()
+            ms = medium_sample_distance(
+                scene.media, medium, o, d, far, first_scatter, med_bounce,
+                u_mc, u_md, u_mb,
+            )
+            if scene.media.has_emissive_grid:
+                emission = emission + jnp.where(
+                    alive[..., None], throughput * ms.emission, 0.0
+                )
+            throughput = throughput * jnp.where(alive[..., None], ms.weight, 1.0)
+            scattered = ms.scattered & alive
+            hit_surface_lane = ms.exited & did_hit
+            alive = alive & (scattered | (ms.exited & did_hit))
+            med_bounce = jnp.where(scattered, med_bounce + 1, med_bounce)
+            first_scatter = jnp.where(scattered, False, first_scatter)
+            mi = jnp.maximum(medium, 0)
+            ptype = scene.media.phase_type[mi]
+            g = scene.media.phase_g[mi]
+            vert_p = jnp.where(scattered[..., None], ms.p, jnp.zeros((n, 3)))
+        else:
+            smp = smp.skip(3)
+            scattered = jnp.zeros((n,), bool)
+            hit_surface_lane = did_hit
+            alive = alive & did_hit
+            ptype = jnp.zeros((n,), jnp.int32)
+            g = jnp.zeros((n,))
+            vert_p = jnp.zeros((n, 3))
+
+        # ---- misses: environment ----
+        miss = s["alive"] & (hit.prim < 0) & ~scattered
+        if meta.has_env or meta.has_cap:
+            gate = L.infinite_needs_escape_add(scene, d, was_specular)
+            add_env = miss & gate & (bounce >= meta.min_bounces)
+            emission = emission + jnp.where(
+                add_env[..., None], throughput * L.infinite_radiance(scene, d), 0.0
+            )
+
+        # ---- surface shading data ----
+        p, ng, ns, uv, mat_id, light_id = _shading_data(scene, hit, o, d)
+        lobes = scene.materials.lobes[mat_id]
+        hit_backside = vo.dot(ns, d) > 0.0
+        flip = hit_backside & ~Lobes.is_transmissive(lobes) if meta.enable_two_sided else jnp.zeros_like(hit_backside)
+        frame_n = vo.where3(flip, -ns, ns)
+        t_ax, b_ax = vo.tangent_frame(ns)
+        t_ax = vo.where3(flip, -t_ax, t_ax)
+        frame = (t_ax, b_ax, frame_n)
+        wi = vo.to_local(*frame, -d)
+
+        geo_front = -vo.dot(d, ng) > jnp.maximum(
+            scene.lights.cone_cos[jnp.maximum(light_id, 0)], 0.0
+        )
+        gate_emit = (not meta.enable_light_sampling) | was_specular
+        add_emit = (
+            hit_surface_lane
+            & (light_id >= 0)
+            & geo_front
+            & gate_emit
+            & (bounce >= meta.min_bounces)
+        )
+        e_hit = eval_texture(scene.textures, scene.lights.tex[jnp.maximum(light_id, 0)], uv)
+        emission = emission + jnp.where(add_emit[..., None], throughput * e_hit, 0.0)
+
+        if want_aovs:
+            dist_new = s["aov_dist"] + jnp.where(did_hit, hit.t, 0.0)
+            not_spec = ~Lobes.is_pure_specular(lobes)
+            rec_now = hit_surface_lane & ~s["aov_recorded"]
+            albedo_aov = eval_texture(
+                scene.textures, scene.materials.albedo_tex[mat_id], uv
+            ) + jnp.where((light_id >= 0)[..., None], e_hit, 0.0)
+            aov_depth = jnp.where(rec_now & not_spec, dist_new, s["aov_depth"])
+            aov_normal = vo.where3(rec_now & not_spec, ns, s["aov_normal"])
+            aov_albedo = jnp.where((rec_now & not_spec)[..., None], albedo_aov, s["aov_albedo"])
+            aov_recorded = s["aov_recorded"] | (rec_now & not_spec)
+
+        vp = jnp.where(scattered[..., None], vert_p, p)
+        throughput_vertex = throughput
+
+        # ---- NEE prepare ----
+        if do_nee:
+            smp2, nee = _unified_nee_prepare(
+                scene, smp, vp, ng, frame, wi, mat_id, uv, lobes,
+                scattered, d, ptype, g,
+            )
+            smp = smp2
+            nee_gate = (hit_surface_lane | (scattered & meta.enable_volume_light_sampling)) & (
+                bounce < meta.max_bounces - 1
+            )
+            if meta.has_media and not meta.low_order_scattering:
+                nee_gate = nee_gate & jnp.where(scattered, med_bounce > 1, True)
+            shadow_far = jnp.where(nee_gate, nee["shadow_far"], 0.0)
+            mis_far = jnp.where(nee_gate, nee["mis_far"], 0.0)
+        else:
+            smp = smp.skip(5)
+            nee = None
+            nee_gate = jnp.zeros((n,), bool)
+
+        # ---- continuation sample ----
+        u_c2, smp = smp.next_2d()
+        u_c1, smp = smp.next_1d()
+        bs = bsdf_sample(ctx, mat_id, uv, wi, u_c2, u_c1)
+        wo_w = vo.to_global(*frame, bs.wo)
+        if meta.has_media:
+            from ..models.phase import phase_sample as _ps
+
+            w_phase, _ = _ps(ptype, g, d, u_c2)
+            wo_w = vo.where3(scattered, w_phase, wo_w)
+        weight_step = jnp.where(scattered[..., None], 1.0, bs.weight)
+        throughput = throughput * jnp.where(alive[..., None], weight_step, 1.0)
+        was_specular = jnp.where(
+            hit_surface_lane, Lobes.has_specular(bs.lobe),
+            jnp.where(
+                scattered,
+                jnp.asarray(not meta.enable_volume_light_sampling),
+                was_specular,
+            ),
+        )
+        alive = alive & jnp.where(hit_surface_lane, bs.valid, True)
+
+        if meta.has_media:
+            tri = jnp.maximum(hit.prim, 0)
+            backside_new = vo.dot(wo_w, ng) < 0.0
+            override = scene.tri_med_override[tri] & hit_surface_lane
+            new_med = jnp.where(
+                backside_new, scene.tri_med_int[tri], scene.tri_med_ext[tri]
+            )
+            medium = jnp.where(override, new_med, medium)
+            first_scatter = jnp.where(hit_surface_lane, True, first_scatter)
+            med_bounce = jnp.where(hit_surface_lane, 0, med_bounce)
+
+        alive = alive & (vo.max3(jnp.abs(throughput)) > 0.0)
+
+        # ---- russian roulette ----
+        rp = vo.max3(jnp.abs(throughput))
+        u_rr, smp = smp.next_1d()
+        do_rr = (bounce > 2) & (rp < 0.1)
+        survive = u_rr < rp
+        throughput = jnp.where(
+            (do_rr & survive & alive)[..., None],
+            throughput / jnp.maximum(rp, 1e-30)[..., None],
+            throughput,
+        )
+        alive = alive & (~do_rr | survive)
+        alive = alive & (bounce + 1 < meta.max_bounces)
+
+        # ---- deposit finished paths, then respawn their lanes ----
+        fin = s["alive"] & ~alive
+        em_clean = jnp.where(jnp.isfinite(emission), emission, 0.0)
+        rad_pix = s["rad_pix"].at[s["pix"]].add(
+            jnp.where(fin[..., None], em_clean, 0.0)
+        )
+        old_pix = s["pix"]
+
+        s2 = dict(s)
+        s2.update(
+            o=vp, d=wo_w,
+            near=jnp.where(scattered, 0.0, DEFAULT_EPSILON),
+            throughput=throughput, emission=emission, alive=alive,
+            was_specular=was_specular, medium=medium,
+            first_scatter=first_scatter, med_bounce=med_bounce,
+            bounce=bounce + 1, rad_pix=rad_pix,
+        )
+        if want_aovs:
+            dep_pix = jnp.where(fin, old_pix, 0)
+            s2.update(
+                aov_recorded=aov_recorded,
+                aov_depth=aov_depth,
+                aov_dist=dist_new,
+                aov_normal=aov_normal,
+                aov_albedo=aov_albedo,
+                aov_depth_pix=s["aov_depth_pix"].at[dep_pix].add(
+                    jnp.where(fin, aov_depth, 0.0)
+                ),
+                aov_normal_pix=s["aov_normal_pix"].at[dep_pix].add(
+                    jnp.where(fin[..., None], aov_normal, 0.0)
+                ),
+                aov_albedo_pix=s["aov_albedo_pix"].at[dep_pix].add(
+                    jnp.where(fin[..., None], aov_albedo, 0.0)
+                ),
+            )
+        s2 = regen(s2)
+
+        # ---- visibility: any-hit shadow + merged [mis | next] closest ----
+        far_next = jnp.where(s2["alive"], INF, 0.0)
+        if do_nee:
+            near_nee = jnp.where(scattered, 0.0, DEFAULT_EPSILON)
+            blocked = _occluded_raw(scene, vp, nee["ls"].d, near_nee, shadow_far)
+            o2 = jnp.concatenate([vp, s2["o"]])
+            d2 = jnp.concatenate([nee["wo_mis"], s2["d"]])
+            near2 = jnp.concatenate([near_nee, s2["near"]])
+            far2 = jnp.concatenate([mis_far, far_next])
+            h2 = _intersect(scene, o2, d2, near2, far2)
+            h_mis = isect.Hit(t=h2.t[:n], prim=h2.prim[:n], u=h2.u[:n], v=h2.v[:n])
+            h_next = isect.Hit(
+                t=h2.t[n:], prim=h2.prim[n:], u=h2.u[n:], v=h2.v[n:]
+            )
+            c = _unified_nee_finish(scene, nee, blocked, h_mis, medium, scattered)
+            cw = throughput_vertex * c
+            cw = jnp.where((nee_gate & jnp.all(jnp.isfinite(cw), axis=-1))[..., None], cw, 0.0)
+            # NEE belongs to the OLD path at this vertex: survivors bank it in
+            # their lane accumulator; finished paths go straight to the image
+            surv = s["alive"] & alive
+            s2["emission"] = s2["emission"] + jnp.where(surv[..., None], cw, 0.0)
+            s2["rad_pix"] = s2["rad_pix"].at[old_pix].add(
+                jnp.where(fin[..., None], cw, 0.0)
+            )
+        else:
+            h_next = _intersect(scene, s2["o"], s2["d"], s2["near"], far_next)
+
+        s2.update(hit_t=h_next.t, hit_prim=h_next.prim, hit_u=h_next.u, hit_v=h_next.v)
+        return s2
+
+    final = jax.lax.while_loop(cond, body, state)
+    rad = final["rad_pix"]
+    if want_aovs:
+        aux = dict(
+            depth=final["aov_depth_pix"],
+            normal=final["aov_normal_pix"],
+            albedo=final["aov_albedo_pix"],
         )
         return rad, aux
     return rad

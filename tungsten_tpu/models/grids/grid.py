@@ -235,17 +235,36 @@ def load_grid_spec(spec: dict, resolve=None) -> DenseGrid:
     # unit cube (VdbGrid::load "normalize_size").
     xf = mat4_from_json(spec.get("transform", {}))  # (4,4) object->world
     norm = spec.get("normalize_size", True)
-    scale = 1.0 / max(nx, ny, nz) if norm else 1.0
-    # grid->object: center the box at the origin, scale
-    g2o = np.array(
-        [
-            [scale, 0, 0, -0.5 * nx * scale],
-            [0, scale, 0, -0.5 * ny * scale],
-            [0, 0, scale, -0.5 * nz * scale],
-            [0, 0, 0, 1.0],
-        ],
-        np.float32,
-    )
+    if norm:
+        # VdbGrid.cpp:237-240: scale by 1/max-extent, center x/z at the
+        # origin, and place the box BOTTOM at y=0 (center.y gets no offset)
+        scale = 1.0 / max(nx, ny, nz)
+        off = (-0.5 * nx * scale, 0.0, -0.5 * nz * scale)
+        g2o = np.array(
+            [
+                [scale, 0, 0, off[0]],
+                [0, scale, 0, off[1]],
+                [0, 0, scale, off[2]],
+                [0, 0, 0, 1.0],
+            ],
+            np.float32,
+        )
+    else:
+        # VdbGrid.cpp:241-243: scale = voxel spacing, world = p*spacing +
+        # density grid center. Dense repacks carry these in the spec (the
+        # .vdb metadata is lost in the repack); defaults: unit spacing,
+        # centered at the origin.
+        spacing = float(spec.get("spacing", 1.0))
+        center = spec.get("grid_center", [0.0, 0.0, 0.0])
+        g2o = np.array(
+            [
+                [spacing, 0, 0, float(center[0])],
+                [0, spacing, 0, float(center[1])],
+                [0, 0, spacing, float(center[2])],
+                [0, 0, 0, 1.0],
+            ],
+            np.float32,
+        )
     g2w = np.asarray(xf, np.float32) @ g2o
     w2g = np.linalg.inv(g2w)[:3, :]
     vox_world = float(np.cbrt(abs(np.linalg.det(g2w[:3, :3])) + 1e-30))

@@ -370,12 +370,15 @@ def medium_sample_distance(
         rho = jnp.ones_like(t)
     sbar = _sigma_bar_full(ttype, tparams, media.trans_present)
 
-    w = trans_eval(ttype, tparams, tau, first_scatter, exited, present=media.trans_present)
+    w_trans = trans_eval(ttype, tparams, tau, first_scatter, exited, present=media.trans_present)
     pdf_exit = jnp.mean(trans_surface_prob(ttype, tparams, tau, first_scatter, present=media.trans_present), axis=-1)
     pdf_scatter = rho * jnp.mean(sigma_t * trans_medium_pdf(ttype, tparams, tau, first_scatter, present=media.trans_present), axis=-1)
     pdf = jnp.where(exited, pdf_exit, pdf_scatter)
-    w = jnp.where(exited[..., None], w, w * rho[..., None] * sigma_s * sbar[..., None])
+    w = jnp.where(exited[..., None], w_trans, w_trans * rho[..., None] * sigma_s * sbar[..., None])
     w = w / jnp.maximum(pdf, 1e-30)[..., None]
+    # emission uses the PRE-scatter weight: trans_eval/pdf only, WITHOUT the
+    # rho*sigmaS*sigmaBar factor (VoxelMedium.cpp:142-145 order)
+    w_emis = w_trans / jnp.maximum(pdf, 1e-30)[..., None]
 
     # absorption-only media never scatter: deterministic transmittance to far_t
     if media.has_hetero:
@@ -414,7 +417,7 @@ def medium_sample_distance(
             g = media.vox_grids[gi]
             if not g.has_emission:
                 continue
-            e = grid_emission(g, p_end) * w_final
+            e = grid_emission(g, p_end) * jnp.where(valid[..., None], w_emis, 0.0)
             emission = jnp.where(
                 (scattered & (i == owner))[..., None], e, emission
             )

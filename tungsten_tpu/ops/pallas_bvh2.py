@@ -249,7 +249,9 @@ def _walk_kernel4(
             c0, c1 = w * rt, (w + 1) * rt
             p = jnp.maximum(ptrs[w], 0)
             left = jnp.minimum(p + 1, m_nodes - 1)
-            right = ni_ref[2, left]  # preorder: right sibling = skip[left]
+            # clamp: when p is a leaf, `left` is arbitrary and its skip can
+            # equal m_nodes -> OOB SMEM read (result masked, read undefined)
+            right = jnp.minimum(ni_ref[2, left], m_nodes - 1)
             best = out_ref[0:1, c0:c1]
             tfar_eff = jnp.minimum(tfar, best)
             mS = _box_test(rw, inv, tnear, tfar_eff, nf_ref, p) & ray_ok

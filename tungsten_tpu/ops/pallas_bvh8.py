@@ -279,7 +279,10 @@ def _walk_kernel8(
                 c = (perm >> (3 * k)) & 7
                 kv = kid_ref[c, node]
                 pr = aliveA & (((bits >> c) & 1) == 1) & (kv != -1)
-                slot_pos = w * DEPTH + sp + cnt
+                # clamp into this walk's stack region: a pathological SAH
+                # tree deeper than ~3*DEPTH/8 binary levels would otherwise
+                # silently corrupt the adjacent walk's stack (ADVICE r2)
+                slot_pos = jnp.minimum(w * DEPTH + sp + cnt, w * DEPTH + DEPTH - 1)
 
                 @pl.when(pr)
                 def _(kv=kv, slot_pos=slot_pos):

@@ -79,6 +79,33 @@ class OutputBuffers:
             if self.aov_count is not None:
                 self.aov_count += n_samples
 
+    def add_pixel_sums(self, rad, n_samples, aux=None):
+        """Accumulate one uniform batch whose reduction already happened
+        on-device: rad is the per-pixel SUM (n_pix, 3) over n_samples
+        samples/pixel (the regenerating wavefront deposits per pixel)."""
+        rad = np.asarray(rad, np.float64)
+        self.sum += rad
+        self.count += n_samples
+        self.passes += 1
+        if self.variance:
+            batch_mean = rad / n_samples
+            delta = batch_mean - self.mean
+            self.mean += delta / self.passes
+            self.m2 += delta * (batch_mean - self.mean)
+        if self.twobuffer:
+            if self.passes % 2 == 1:
+                self.sum_a += rad
+                self.count_a += n_samples
+            else:
+                self.sum_b += rad
+                self.count_b += n_samples
+        if aux:
+            for k, v in aux.items():
+                if k in self.aovs:
+                    self.aovs[k] += np.asarray(v, np.float64).reshape(self.aovs[k].shape)
+            if self.aov_count is not None:
+                self.aov_count += n_samples
+
     def add_batch_sparse(self, rad, pix):
         """Accumulate an adaptive batch: rad (B, 3) one sample per lane,
         pix (B,) pixel index per lane."""

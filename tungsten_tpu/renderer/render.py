@@ -108,6 +108,13 @@ def render_buffers(
     px, py, lane, pix_map = _lane_arrays(meta, m, mesh)
     lane_arr, px_arr, py_arr = _place(mesh, lane, px, py)
     seed_arr = jnp.array([seed & 0xFFFFFFFF, 0], jnp.uint32)
+    # regenerating wavefront: single-chip fast path without forward lobes
+    # (occupancy stays ~100% across the bounce loop; see trace_regen_batch)
+    use_regen = mesh is None and not meta.has_forward
+    if use_regen:
+        from ..integrators.path_tracer import trace_regen_batch
+
+        pix_arr = jnp.asarray(pix_map.astype(np.int32))
 
     total_passes = (spp + m - 1) // m
     done = start_pass
@@ -130,6 +137,18 @@ def render_buffers(
             rad = np.asarray(out[0] if aov_names else out)
             bufs.add_batch_sparse(rad, pix_sel)
             done += 1
+        elif use_regen:
+            nb = min(passes_per_batch, total_passes - done)
+            out = trace_regen_batch(
+                scene, seed_arr, px_arr, py_arr, pix_arr, jnp.uint32(done), n_passes=nb
+            )
+            if aov_names:
+                rad, aux = out
+                aux_np = {k: np.asarray(v) for k, v in aux.items()}
+            else:
+                rad, aux_np = out, None
+            bufs.add_pixel_sums(np.asarray(rad), nb * m, aux_np)
+            done += nb
         else:
             nb = min(passes_per_batch, total_passes - done)
             out = trace_batch(
