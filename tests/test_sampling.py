@@ -105,12 +105,66 @@ def test_sobol_strat_sampler():
     samp = jnp.arange(n, dtype=jnp.uint32)
     pix = jnp.zeros((n,), jnp.uint32)
     s = Sampler.create(seed, lane, None, samp, pix, True)
-    for smp in (s, s.skip(5)):
-        u = np.asarray(smp.next_2d()[0])
-        cells = set((int(x * 8), int(y * 8)) for x, y in u)
-        assert len(cells) == 64
+    # draw 0 = Sobol dims (0,1): an exact (0,2)-net -> 8x8 stratified
+    u = np.asarray(s.next_2d()[0])
+    cells = set((int(x * 8), int(y * 8)) for x, y in u)
+    assert len(cells) == 64
+    # higher draws use true Sobol dims (2d, 2d+1): each 1D projection of the
+    # first 64 points is exactly 64-stratified (every Sobol dim is a base-2
+    # (0,1)-sequence; Owen scrambling preserves it). The 2D pairing is NOT
+    # a (0,2)-net in general -- that's the true-QMC trade documented in
+    # Sampler._draw.
+    for dd in (5, 11):
+        u = np.asarray(s.skip(dd).next_2d()[0])
+        for ax in (0, 1):
+            assert len(set(np.floor(u[:, ax] * 64).astype(int))) == 64
     u0 = np.asarray(s.next_2d()[0])
     u5 = np.asarray(s.skip(5).next_2d()[0])
     assert not np.allclose(u0, u5)
     s2 = Sampler.create(seed, lane, None, samp, pix + 1, True)
     assert not np.allclose(u0, np.asarray(s2.next_2d()[0]))
+
+
+def test_sobol_qmc_variance_below_hash():
+    """True Sobol' dims (VERDICT r2 item 7): integrating a smooth function of
+    draws 2..5 (dims 4..11) over 64 samples/pixel must have measurably lower
+    pixel-to-pixel estimator variance in strat (Sobol+Owen) mode than with
+    the plain PCG4D hash."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tungsten_tpu.sampling import Sampler
+
+    n_pix, spp = 128, 64
+    seed = jnp.array([7, 9], jnp.uint32)
+
+    def estimate(strat):
+        vals = np.zeros((n_pix,))
+        lane = jnp.arange(n_pix, dtype=jnp.uint32)
+        pixk = jnp.arange(n_pix, dtype=jnp.uint32)
+        for s_i in range(spp):
+            samp = jnp.full((n_pix,), s_i, jnp.uint32)
+            smp = Sampler.create(seed, lane, None,
+                                 samp if strat else None,
+                                 pixk if strat else None, strat)
+            if not strat:
+                # hash mode decorrelates via lane/seed; fold the sample index
+                smp = Sampler.create(
+                    jnp.array([7, 100 + s_i], jnp.uint32), lane)
+            smp = smp.skip(2)
+            acc = jnp.zeros((n_pix,))
+            for _ in range(4):
+                u, smp = smp.next_2d()
+                acc = acc + u[:, 0] * u[:, 1]
+            vals += np.asarray(acc)
+        return vals / spp
+
+    # E[sum of 4 products of independent U(0,1)] = 4 * 0.25 = 1.0
+    est_hash = estimate(False)
+    est_qmc = estimate(True)
+    assert abs(est_qmc.mean() - 1.0) < 0.01
+    assert abs(est_hash.mean() - 1.0) < 0.05
+    var_hash = est_hash.var()
+    var_qmc = est_qmc.var()
+    # Sobol at 64 spp on a smooth 8-dim integrand: >= 4x variance reduction
+    assert var_qmc < var_hash / 4.0, (var_qmc, var_hash)

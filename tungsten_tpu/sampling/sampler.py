@@ -25,6 +25,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax.struct import dataclass as pytree
 
 _INV_2_24 = jnp.float32(1.0 / (1 << 24))
@@ -87,6 +88,41 @@ def owen_shuffle_index(i, key):
     return _lk_hash(i, key)
 
 
+_SOBOL_MAT = None
+
+
+def sobol_matrices():
+    """Grünschloss 1024-dim Sobol' direction numbers (32 bits of index),
+    extracted from the reference's vendored table (thirdparty/sobol/sobol.h:
+    29-50 layout; published data by Leonhard Grünschloss, MIT license — a
+    constants table, same category as the metal IOR data)."""
+    global _SOBOL_MAT
+    if _SOBOL_MAT is None:
+        import os
+
+        path = os.path.join(os.path.dirname(__file__), "data", "sobol_matrices.npz")
+        # cache as NUMPY: a jnp array built inside a jit trace would cache a
+        # tracer and poison every later trace (UnexpectedTracerError). jit
+        # lifts the numpy constant per-trace instead.
+        _SOBOL_MAT = np.load(path)["matrices"]  # (1024, 32) u32
+    return _SOBOL_MAT
+
+
+SOBOL_DIMS = 1024
+
+
+def sobol_sample(dim, index):
+    """sobol::sample (sobol.h:40-52), vectorized: XOR the matrix columns of
+    `dim` selected by the set bits of `index`. dim (N,) int32, index (N,) u32."""
+    rows = jnp.take(sobol_matrices(), jnp.clip(dim, 0, SOBOL_DIMS - 1), axis=0)  # (N, 32)
+    res = jnp.zeros(index.shape, jnp.uint32)
+    idx = index
+    for i in range(32):
+        bit = (idx >> jnp.uint32(i)) & jnp.uint32(1)
+        res = res ^ jnp.where(bit == 1, rows[..., i], jnp.uint32(0))
+    return res
+
+
 @pytree
 class Sampler:
     """Per-lane counter-based sample stream.
@@ -130,23 +166,37 @@ class Sampler:
         )
         u0, u1 = _to_unit_float(r0), _to_unit_float(r1)
         if self.strat:
-            # padded XOR-scrambled (0,2)-sequence: the SobolPathSampler
-            # analog (SobolPathSampler.hpp:20-23 XORs a per-pixel hash into
-            # the raw Sobol' bits — XOR scrambling preserves the (0,2)-net
-            # exactly; we use the stronger hash-based Owen scramble [Burley 2020],
-            # which also preserves the net). Each dimension-pair re-scrambles with a key from
-            # (pixel, dim, seed[0]) only, so one pixel's spp samples stay a
-            # single low-discrepancy sequence across passes.
+            # true multi-dim Sobol' QMC (SobolPathSampler.hpp:20-72 analog):
+            # draw #d reads Grünschloss dimensions (2d, 2d+1) at a per-PIXEL
+            # index (same global index across all dims of one sample — the
+            # property that makes it a Sobol' point, not just a per-pair
+            # net), then Owen-scrambles each dimension with a (pixel, dim)
+            # key [Burley 2020] — net-preserving, stronger than the
+            # reference's XOR scramble. Past 1024 dims the draw falls back
+            # to a per-dim-jumped scrambled (0,2) net (the reference falls
+            # back to plain PCG there, UniformSampler.hpp).
             k0, k1, k2, _ = pcg4d(
                 self.pix_key,
                 jnp.broadcast_to(d, self.pix_key.shape),
                 jnp.broadcast_to(self.seed[0], self.pix_key.shape),
                 jnp.full(self.pix_key.shape, 0x50B07, jnp.uint32),
             )
-            # jump each (pixel, dim) pair to its own aligned 2^16 block of
-            # the global sequence (high-bit XOR keeps the pixel's first spp
-            # samples an exact net while decorrelating dimension pairs)
-            x, y = sobol02(self.samp_idx ^ (k0 & jnp.uint32(0xFFFF0000)))
+            hp, _, _, _ = pcg4d(
+                self.pix_key,
+                jnp.full(self.pix_key.shape, 0x51D0, jnp.uint32),
+                jnp.broadcast_to(self.seed[0], self.pix_key.shape),
+                jnp.full(self.pix_key.shape, 0xB10C, jnp.uint32),
+            )
+            di = jnp.broadcast_to(d, self.pix_key.shape).astype(jnp.int32)
+            use_qmc = 2 * di + 1 < SOBOL_DIMS
+            d0 = jnp.where(use_qmc, 2 * di, 0)
+            d1 = jnp.where(use_qmc, 2 * di + 1, 1)
+            # per-pixel aligned 2^16 block jump of the global sequence
+            # (per-DIM jump in the fallback, decorrelating overflow pairs)
+            blk = jnp.where(use_qmc, hp, k0) & jnp.uint32(0xFFFF0000)
+            idx = self.samp_idx ^ blk
+            x = sobol_sample(d0, idx)
+            y = sobol_sample(d1, idx)
             u0 = _to_unit_float(owen_scramble_u32(x, k1))
             u1 = _to_unit_float(owen_scramble_u32(y, k2))
         if self.table is not None:
