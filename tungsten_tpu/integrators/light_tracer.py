@@ -214,9 +214,9 @@ def trace_light_pass(scene: FlatScene, seed, lane_ids):
         ctx = (scene.materials, scene.textures)
         hit_backside = vo.dot(ns, d) > 0.0
         flip = hit_backside & ~Lobes.is_transmissive(lobes) if meta.enable_two_sided else jnp.zeros_like(hit_backside)
-        frame_n = vo.where3(flip, -ns, ns)
-        t_ax, b_ax = vo.tangent_frame(ns)
-        t_ax = vo.where3(flip, -t_ax, t_ax)
+        from .path_tracer import _shading_frame
+
+        t_ax, b_ax, frame_n = _shading_frame(scene, jnp.maximum(hit.prim, 0), ns, flip)
         frame = (t_ax, b_ax, frame_n)
         wi = vo.to_local(*frame, -d)
 

@@ -874,9 +874,7 @@ def _trace_pass_fast(scene: FlatScene, seed, lane_ids, px, py, table=None):
         ctx = (scene.materials, scene.textures)
         hit_backside = vo.dot(ns, d) > 0.0
         flip = hit_backside & ~Lobes.is_transmissive(lobes) if meta.enable_two_sided else jnp.zeros_like(hit_backside)
-        frame_n = vo.where3(flip, -ns, ns)
-        t_ax, b_ax = vo.tangent_frame(ns)
-        t_ax = vo.where3(flip, -t_ax, t_ax)
+        t_ax, b_ax, frame_n = _shading_frame(scene, jnp.maximum(hit.prim, 0), ns, flip)
         frame = (t_ax, b_ax, frame_n)
         wi = vo.to_local(*frame, -d)
 
@@ -937,11 +935,13 @@ def _trace_pass_fast(scene: FlatScene, seed, lane_ids, px, py, table=None):
         u_c1, smp = smp.next_1d()
         bs = bsdf_sample(ctx, mat_id, uv, wi, u_c2, u_c1)
         wo_w = vo.to_global(*frame, bs.wo)
+        pdf_cont = bs.pdf
         if meta.has_media:
             from ..models.phase import phase_sample as _ps
 
-            w_phase, _ = _ps(ptype, g, d, u_c2)
+            w_phase, pdf_phase = _ps(ptype, g, d, u_c2)
             wo_w = vo.where3(scattered, w_phase, wo_w)
+            pdf_cont = jnp.where(scattered, pdf_phase, pdf_cont)
         weight_step = jnp.where(scattered[..., None], 1.0, bs.weight)
         throughput = throughput * jnp.where(alive[..., None], weight_step, 1.0)
         was_specular = jnp.where(
@@ -1088,6 +1088,76 @@ def _trace_pass_fast(scene: FlatScene, seed, lane_ids, px, py, table=None):
     return rad
 
 
+def _shading_frame(scene, tri, ns, flip):
+    """Local shading frame (t, b, n) with the two-sided flip applied.
+
+    For fiber (curve) triangles the frame follows the reference
+    Curves::tangentSpace convention (Curves.cpp:517-528): b = the fiber
+    tangent, t = b x n — the hair BCSDF reads sin(theta) = dir.y and
+    measures phi in the (x, z) normal plane (models/bsdfs/hair.py)."""
+    t_ax, b_ax = vo.tangent_frame(ns)
+    n_ax = ns
+    if scene.meta.has_fiber_tan:
+        tan = scene.tri_tan[jnp.clip(tri, 0, scene.tri_tan.shape[0] - 1)]
+        has = vo.length_sq(tan) > 1e-12
+        b2 = vo.normalize(tan, eps=1e-12)
+        t2 = vo.normalize(jnp.cross(b2, ns), eps=1e-12)
+        n2 = jnp.cross(t2, b2)
+        t_ax = vo.where3(has, t2, t_ax)
+        b_ax = vo.where3(has, b2, b_ax)
+        n_ax = vo.where3(has, n2, n_ax)
+    t_ax = vo.where3(flip, -t_ax, t_ax)
+    n_ax = vo.where3(flip, -n_ax, n_ax)
+    return t_ax, b_ax, n_ax
+
+
+def _choose_and_sample_light(scene, sampler, p):
+    """Uniform light choice + sampleDirect composition over the light kinds
+    (area / env / cap / point). Consumes 4 sampler dims. Returns
+    (li, is_env, is_cap, is_point, LightSample, sampler)."""
+    meta = scene.meta
+    u_choose, sampler = sampler.next_1d()
+    li = jnp.minimum((u_choose * meta.n_lights).astype(jnp.int32), meta.n_lights - 1)
+    is_env_choice = scene.lights.is_env[li]
+    is_cap_choice = jnp.zeros_like(is_env_choice)
+
+    u_point, sampler = sampler.next_2d()
+    u_tri, sampler = sampler.next_1d()
+    ls = L.sample_area_direct(scene, li, p, u_tri, u_point)
+    if meta.has_env and meta.env_light_index >= 0:
+        ls_env = L.sample_env_direct(scene, u_point)
+        ls = L.LightSample(
+            d=vo.where3(is_env_choice, ls_env.d, ls.d),
+            dist=jnp.where(is_env_choice, ls_env.dist, ls.dist),
+            pdf=jnp.where(is_env_choice, ls_env.pdf, ls.pdf),
+            radiance=vo.where3(is_env_choice, ls_env.radiance, ls.radiance),
+            valid=jnp.where(is_env_choice, ls_env.valid, ls.valid),
+        )
+    if meta.has_cap and meta.cap_light_index >= 0:
+        is_cap_choice = li == meta.cap_light_index
+        ls_cap = L.sample_cap_direct(scene, u_point)
+        ls = L.LightSample(
+            d=vo.where3(is_cap_choice, ls_cap.d, ls.d),
+            dist=jnp.where(is_cap_choice, ls_cap.dist, ls.dist),
+            pdf=jnp.where(is_cap_choice, ls_cap.pdf, ls.pdf),
+            radiance=vo.where3(is_cap_choice, ls_cap.radiance, ls.radiance),
+            valid=jnp.where(is_cap_choice, ls_cap.valid, ls.valid),
+        )
+    if meta.point_light_index >= 0:
+        is_point_choice = li == meta.point_light_index
+        ls_pt = L.sample_point_direct(scene, p)
+        ls = L.LightSample(
+            d=vo.where3(is_point_choice, ls_pt.d, ls.d),
+            dist=jnp.where(is_point_choice, ls_pt.dist, ls.dist),
+            pdf=jnp.where(is_point_choice, ls_pt.pdf, ls.pdf),
+            radiance=vo.where3(is_point_choice, ls_pt.radiance, ls.radiance),
+            valid=jnp.where(is_point_choice, ls_pt.valid, ls.valid),
+        )
+    else:
+        is_point_choice = jnp.zeros_like(is_env_choice)
+    return li, is_env_choice, is_cap_choice, is_point_choice, ls, sampler
+
+
 def _occluded_raw(scene, p, d, near, far):
     """Any-hit boolean for explicit [near, far] segments (shadow strategy)."""
     if jax.default_backend() == "tpu" and scene.pbvh3 is not None:
@@ -1110,10 +1180,15 @@ def trace_regen_batch(scene: FlatScene, seed, px_cycle, py_cycle, pix_cycle,
     reference's thread pool gets this for free — tiles retire per-thread,
     PathTraceIntegrator.cpp:136-156; a lockstep while_loop does not).
 
-    Estimator is identical to _trace_pass_fast (same per-bounce structure,
-    same reference citations); only the scheduling differs. Per iteration
-    the shadow strategy rides the dedicated any-hit kernel and the MIS +
-    continuation rays share one merged closest-hit call.
+    Estimator: NEE with single-sample MIS — the light strategy (any-hit
+    shadow kernel) pairs with the CONTINUATION bsdf sample, whose hit
+    emission is weighted by power_heuristic(pdf_cont, light_direct_pdf) at
+    the next vertex (the PBRT-style arrangement). This halves the
+    closest-hit work per bounce vs the reference's separate bsdf-strategy
+    ray (TraceBase::estimateDirect) while estimating the same integral with
+    the same two-strategy MIS; the reference-structured estimator remains in
+    trace_pass. Per iteration the kernels are ONE any-hit (shadow) + ONE
+    closest-hit (continuation).
 
     Radiance is accumulated DEVICE-side: completed paths scatter-add into a
     per-pixel (n_pix, 3) buffer (AOVs likewise). RNG streams key on the
@@ -1176,6 +1251,8 @@ def trace_regen_batch(scene: FlatScene, seed, px_cycle, py_cycle, pix_cycle,
         out["first_scatter"] = jnp.where(take, True, s["first_scatter"])
         out["med_bounce"] = jnp.where(take, 0, s["med_bounce"])
         out["bounce"] = jnp.where(take, 0, s["bounce"])
+        out["pdf_cont"] = jnp.where(take, 1.0, s["pdf_cont"])
+        out["nee_active"] = jnp.where(take, False, s["nee_active"])
         out["next_id"] = next_id
         if want_aovs:
             out["aov_recorded"] = jnp.where(take, False, s["aov_recorded"])
@@ -1206,6 +1283,8 @@ def trace_regen_batch(scene: FlatScene, seed, px_cycle, py_cycle, pix_cycle,
         first_scatter=jnp.ones((W,), bool),
         med_bounce=jnp.zeros((W,), jnp.int32),
         bounce=jnp.zeros((W,), jnp.int32),
+        pdf_cont=jnp.ones((W,)),
+        nee_active=jnp.zeros((W,), bool),
         next_id=jnp.uint32(0),
         rad_pix=jnp.zeros((n_pix, 3)),
     )
@@ -1278,13 +1357,26 @@ def trace_regen_batch(scene: FlatScene, seed, px_cycle, py_cycle, pix_cycle,
             g = jnp.zeros((n,))
             vert_p = jnp.zeros((n, 3))
 
-        # ---- misses: environment ----
+        # ---- misses: environment (MIS vs the previous vertex's light
+        # strategy; an unsamplable winner has pdf 0 -> weight 1, the
+        # handleInfiniteLights gate) ----
         miss = s["alive"] & (hit.prim < 0) & ~scattered
+        do_nee = meta.enable_light_sampling and meta.n_lights > 0
+        inv_nl = 1.0 / max(meta.n_lights, 1)
+        mis_applies = ~was_specular & s["nee_active"] if do_nee else jnp.zeros((n,), bool)
         if meta.has_env or meta.has_cap:
-            gate = L.infinite_needs_escape_add(scene, d, was_specular)
-            add_env = miss & gate & (bounce >= meta.min_bounces)
+            if do_nee:
+                lp_inf = L.infinite_winner_pdf(scene, d) * inv_nl
+                w_env = jnp.where(
+                    mis_applies, warps.power_heuristic(s["pdf_cont"], lp_inf), 1.0
+                )
+            else:
+                w_env = jnp.ones((n,))
+            add_env = miss & (bounce >= meta.min_bounces)
             emission = emission + jnp.where(
-                add_env[..., None], throughput * L.infinite_radiance(scene, d), 0.0
+                add_env[..., None],
+                throughput * L.infinite_radiance(scene, d) * w_env[..., None],
+                0.0,
             )
 
         # ---- surface shading data ----
@@ -1292,25 +1384,31 @@ def trace_regen_batch(scene: FlatScene, seed, px_cycle, py_cycle, pix_cycle,
         lobes = scene.materials.lobes[mat_id]
         hit_backside = vo.dot(ns, d) > 0.0
         flip = hit_backside & ~Lobes.is_transmissive(lobes) if meta.enable_two_sided else jnp.zeros_like(hit_backside)
-        frame_n = vo.where3(flip, -ns, ns)
-        t_ax, b_ax = vo.tangent_frame(ns)
-        t_ax = vo.where3(flip, -t_ax, t_ax)
+        t_ax, b_ax, frame_n = _shading_frame(scene, jnp.maximum(hit.prim, 0), ns, flip)
         frame = (t_ax, b_ax, frame_n)
         wi = vo.to_local(*frame, -d)
 
         geo_front = -vo.dot(d, ng) > jnp.maximum(
             scene.lights.cone_cos[jnp.maximum(light_id, 0)], 0.0
         )
-        gate_emit = (not meta.enable_light_sampling) | was_specular
+        if do_nee:
+            tri_e = jnp.maximum(hit.prim, 0)
+            lp_hit = L.area_direct_pdf(scene, tri_e, o, p, d) * inv_nl
+            w_emit = jnp.where(
+                mis_applies, warps.power_heuristic(s["pdf_cont"], lp_hit), 1.0
+            )
+        else:
+            w_emit = jnp.ones((n,))
         add_emit = (
             hit_surface_lane
             & (light_id >= 0)
             & geo_front
-            & gate_emit
             & (bounce >= meta.min_bounces)
         )
         e_hit = eval_texture(scene.textures, scene.lights.tex[jnp.maximum(light_id, 0)], uv)
-        emission = emission + jnp.where(add_emit[..., None], throughput * e_hit, 0.0)
+        emission = emission + jnp.where(
+            add_emit[..., None], throughput * e_hit * w_emit[..., None], 0.0
+        )
 
         if want_aovs:
             dist_new = s["aov_dist"] + jnp.where(did_hit, hit.t, 0.0)
@@ -1327,23 +1425,63 @@ def trace_regen_batch(scene: FlatScene, seed, px_cycle, py_cycle, pix_cycle,
         vp = jnp.where(scattered[..., None], vert_p, p)
         throughput_vertex = throughput
 
-        # ---- NEE prepare ----
+        # ---- NEE: light strategy only (single-sample MIS; the bsdf
+        # strategy is the continuation sample, weighted at its hit) ----
         if do_nee:
-            smp2, nee = _unified_nee_prepare(
-                scene, smp, vp, ng, frame, wi, mat_id, uv, lobes,
-                scattered, d, ptype, g,
+            from ..models.phase import phase_eval
+
+            li, is_env_c, is_cap_c, is_point_c, ls, smp = _choose_and_sample_light(
+                scene, smp, vp
             )
-            smp = smp2
-            nee_gate = (hit_surface_lane | (scattered & meta.enable_volume_light_sampling)) & (
-                bounce < meta.max_bounces - 1
-            )
+            wo_l = vo.to_local(*frame, ls.d)
+            ctx2 = (scene.materials, scene.textures)
+            f_l = bsdf_eval(ctx2, mat_id, uv, wi, wo_l, nonspecular_only=True)
+            # competing strategy = the continuation sampler's density over
+            # continuous directions (full pdf incl. lobe-selection weight)
+            pdf_b = bsdf_pdf(ctx2, mat_id, uv, wi, wo_l)
+            if meta.has_media:
+                fp = phase_eval(ptype, g, d, ls.d)
+                f_l = jnp.where(scattered[..., None], fp[..., None], f_l)
+                pdf_b = jnp.where(scattered, fp, pdf_b)
+            w_light = warps.power_heuristic(ls.pdf * inv_nl, pdf_b)
+            w_light = jnp.where(is_point_c, 1.0, w_light)  # dirac light
+            skip_l = (
+                Lobes.is_pure_specular(lobes) | (lobes == Lobes.FORWARD) | (lobes == 0)
+            ) & ~scattered
+            nee_gate = (
+                hit_surface_lane
+                | (scattered & meta.enable_volume_light_sampling)
+            ) & (bounce < meta.max_bounces - 1)
             if meta.has_media and not meta.low_order_scattering:
                 nee_gate = nee_gate & jnp.where(scattered, med_bounce > 1, True)
-            shadow_far = jnp.where(nee_gate, nee["shadow_far"], 0.0)
-            mis_far = jnp.where(nee_gate, nee["mis_far"], 0.0)
+            cand = (
+                ls.valid & (ls.pdf > 0.0) & jnp.any(f_l > 0.0, axis=-1)
+                & ~skip_l & nee_gate
+            )
+            shadow_far = jnp.where(
+                cand, jnp.where(ls.dist >= INF, INF, ls.dist * SHADOW_FUDGE), 0.0
+            )
+            near_nee = jnp.where(scattered, 0.0, DEFAULT_EPSILON)
+            blocked = _occluded_raw(scene, vp, ls.d, near_nee, shadow_far)
+            contrib_l = f_l * ls.radiance * (
+                w_light / jnp.maximum(ls.pdf * inv_nl, 1e-30)
+            )[..., None]
+            if meta.has_media:
+                from ..models.media import medium_transmittance
+
+                tr_l = medium_transmittance(
+                    scene.media, medium, ls.dist, ~scattered,
+                    jnp.ones((n,), bool), vp, ls.d,
+                )
+                contrib_l = contrib_l * tr_l
+            contrib_l = jnp.where(
+                jnp.all(jnp.isfinite(contrib_l), axis=-1)[..., None], contrib_l, 0.0
+            )
+            emission = emission + jnp.where(
+                (cand & ~blocked)[..., None], throughput_vertex * contrib_l, 0.0
+            )
         else:
-            smp = smp.skip(5)
-            nee = None
+            smp = smp.skip(4)
             nee_gate = jnp.zeros((n,), bool)
 
         # ---- continuation sample ----
@@ -1351,11 +1489,13 @@ def trace_regen_batch(scene: FlatScene, seed, px_cycle, py_cycle, pix_cycle,
         u_c1, smp = smp.next_1d()
         bs = bsdf_sample(ctx, mat_id, uv, wi, u_c2, u_c1)
         wo_w = vo.to_global(*frame, bs.wo)
+        pdf_cont = bs.pdf
         if meta.has_media:
             from ..models.phase import phase_sample as _ps
 
-            w_phase, _ = _ps(ptype, g, d, u_c2)
+            w_phase, pdf_phase = _ps(ptype, g, d, u_c2)
             wo_w = vo.where3(scattered, w_phase, wo_w)
+            pdf_cont = jnp.where(scattered, pdf_phase, pdf_cont)
         weight_step = jnp.where(scattered[..., None], 1.0, bs.weight)
         throughput = throughput * jnp.where(alive[..., None], weight_step, 1.0)
         was_specular = jnp.where(
@@ -1410,6 +1550,7 @@ def trace_regen_batch(scene: FlatScene, seed, px_cycle, py_cycle, pix_cycle,
             was_specular=was_specular, medium=medium,
             first_scatter=first_scatter, med_bounce=med_bounce,
             bounce=bounce + 1, rad_pix=rad_pix,
+            pdf_cont=pdf_cont, nee_active=nee_gate,
         )
         if want_aovs:
             dep_pix = jnp.where(fin, old_pix, 0)
@@ -1431,32 +1572,9 @@ def trace_regen_batch(scene: FlatScene, seed, px_cycle, py_cycle, pix_cycle,
             )
         s2 = regen(s2)
 
-        # ---- visibility: any-hit shadow + merged [mis | next] closest ----
+        # ---- next-ray closest hit (continuation | fresh camera ray) ----
         far_next = jnp.where(s2["alive"], INF, 0.0)
-        if do_nee:
-            near_nee = jnp.where(scattered, 0.0, DEFAULT_EPSILON)
-            blocked = _occluded_raw(scene, vp, nee["ls"].d, near_nee, shadow_far)
-            o2 = jnp.concatenate([vp, s2["o"]])
-            d2 = jnp.concatenate([nee["wo_mis"], s2["d"]])
-            near2 = jnp.concatenate([near_nee, s2["near"]])
-            far2 = jnp.concatenate([mis_far, far_next])
-            h2 = _intersect(scene, o2, d2, near2, far2)
-            h_mis = isect.Hit(t=h2.t[:n], prim=h2.prim[:n], u=h2.u[:n], v=h2.v[:n])
-            h_next = isect.Hit(
-                t=h2.t[n:], prim=h2.prim[n:], u=h2.u[n:], v=h2.v[n:]
-            )
-            c = _unified_nee_finish(scene, nee, blocked, h_mis, medium, scattered)
-            cw = throughput_vertex * c
-            cw = jnp.where((nee_gate & jnp.all(jnp.isfinite(cw), axis=-1))[..., None], cw, 0.0)
-            # NEE belongs to the OLD path at this vertex: survivors bank it in
-            # their lane accumulator; finished paths go straight to the image
-            surv = s["alive"] & alive
-            s2["emission"] = s2["emission"] + jnp.where(surv[..., None], cw, 0.0)
-            s2["rad_pix"] = s2["rad_pix"].at[old_pix].add(
-                jnp.where(fin[..., None], cw, 0.0)
-            )
-        else:
-            h_next = _intersect(scene, s2["o"], s2["d"], s2["near"], far_next)
+        h_next = _intersect(scene, s2["o"], s2["d"], s2["near"], far_next)
 
         s2.update(hit_t=h_next.t, hit_prim=h_next.prim, hit_u=h_next.u, hit_v=h_next.v)
         return s2
@@ -1637,9 +1755,7 @@ def trace_pass(scene: FlatScene, seed, lane_ids, px, py, table=None):
         # two-sided flip (makeLocalScatterEvent, TraceBase.cpp:24-51)
         hit_backside = vo.dot(ns, d) > 0.0
         flip = hit_backside & ~Lobes.is_transmissive(lobes) if meta.enable_two_sided else jnp.zeros_like(hit_backside)
-        frame_n = vo.where3(flip, -ns, ns)
-        t_ax, b_ax = vo.tangent_frame(ns)
-        t_ax = vo.where3(flip, -t_ax, t_ax)
+        t_ax, b_ax, frame_n = _shading_frame(scene, jnp.maximum(hit.prim, 0), ns, flip)
         frame = (t_ax, b_ax, frame_n)
         wi = vo.to_local(*frame, -d)
 

@@ -34,6 +34,7 @@ from .common import BsdfSample, Lobes
 from . import lambert, null, mirror, rough_conductor, smooth_coat, oren_nayar, phong
 from . import dielectric, rough_dielectric, conductor, plastic, rough_plastic
 from . import thinsheet, transparency, forward, mixed, diffuse_transmission, rough_coat
+from . import hair
 
 N_PARAMS = 16
 
@@ -42,6 +43,7 @@ _MODULES = [
     lambert, null, mirror, rough_conductor, smooth_coat, oren_nayar, phong,
     dielectric, rough_dielectric, conductor, plastic, rough_plastic,
     thinsheet, transparency, forward, mixed, diffuse_transmission, rough_coat,
+    hair,
 ]
 
 
@@ -64,6 +66,12 @@ class MaterialTable:
     params: jnp.ndarray  # (M, 16) float32
     albedo_tex: jnp.ndarray  # (M,) int32
 
+    # hair BCSDF azimuthal tables (one slab per hair material; None when
+    # the scene has no hair): see models/bsdfs/hair.py precompute
+    hair_tables: jnp.ndarray = None  # (H, 3, 64, 64, 3)
+    hair_cdf: jnp.ndarray = None  # (H, 3, 64, 65)
+    hair_sums: jnp.ndarray = None  # (H, 3, 64)
+
     present: tuple = field(pytree_node=False, default=())  # static type-id set
 
 
@@ -84,9 +92,10 @@ def pack_materials(bsdf_specs: List[dict], tex_builder) -> MaterialTable:
     # curves are tessellated tubes, shaded with surface models:
     #   lambertian_fiber -> lambert      (diffuse cylinder surface)
     #   rough_wire       -> rough_conductor (glossy metal wire surface)
-    #   hair             -> rough_plastic with a melanin-derived albedo
-    #                       exp(-concentration * eumelanin_rgb)
+    # hair uses the REAL R+TT+TRT BCSDF (models/bsdfs/hair.py) with its
+    # azimuthal tables precomputed here.
     bsdf_specs = [dict(b) for b in bsdf_specs]
+    hair_tabs, hair_cdfs, hair_sums = [], [], []
     for b in bsdf_specs:
         t = b.get("type")
         if t == "lambertian_fiber":
@@ -95,17 +104,25 @@ def pack_materials(bsdf_specs: List[dict], tex_builder) -> MaterialTable:
             b["type"] = "rough_conductor"
             b.setdefault("material", "Cu")
         elif t == "hair":
-            import numpy as _np
-
-            c = float(b.get("melanin_concentration", 0.25))
-            ratio = float(b.get("melanin_ratio", 1.0))
-            eu = _np.array([0.419, 0.697, 1.37])
-            ph = _np.array([0.187, 0.4, 1.05])
-            sigma = c * (ratio * eu + (1.0 - ratio) * ph)
-            b["type"] = "rough_plastic"
-            b["albedo"] = [float(x) for x in _np.exp(-sigma)]
-            b.setdefault("roughness", max(float(b.get("roughness", 0.3)), 0.05))
-            b.setdefault("ior", 1.55)
+            # melanin mixture -> sigma_a (HairBcsdf.cpp:433-440: lerp from
+            # eumelanin to pheomelanin by melanin_ratio)
+            if "sigma_a" in b:
+                sa = b["sigma_a"]
+                sigma = np.asarray(sa if isinstance(sa, list) else [sa] * 3, np.float64)
+            else:
+                c = float(b.get("melanin_concentration", 0.25))
+                ratio = float(b.get("melanin_ratio", 0.5))
+                eu = np.array([0.419, 0.697, 1.37])
+                ph = np.array([0.187, 0.4, 1.05])
+                sigma = c * ((1.0 - ratio) * eu + ratio * ph)
+            beta_r = max(np.pi / 2 * float(b.get("roughness", 0.1)), 0.04)
+            tab, cdf, sums = hair.precompute_azimuthal(sigma, beta_r)
+            b["_hair_index"] = len(hair_tabs)
+            b["_beta_r"] = beta_r
+            b["_scale_rad"] = float(np.deg2rad(float(b.get("scale_angle", 2.0))))
+            hair_tabs.append(tab)
+            hair_cdfs.append(cdf)
+            hair_sums.append(sums)
     reg = _registry()
     n = len(bsdf_specs)
     types = [0] * n
@@ -149,6 +166,9 @@ def pack_materials(bsdf_specs: List[dict], tex_builder) -> MaterialTable:
         lobes=jnp.asarray(np.asarray(lobes, np.int32)),
         params=jnp.asarray(np.stack(params)),
         albedo_tex=jnp.asarray(np.asarray(albedo, np.int32)),
+        hair_tables=jnp.asarray(np.stack(hair_tabs)) if hair_tabs else None,
+        hair_cdf=jnp.asarray(np.stack(hair_cdfs)) if hair_cdfs else None,
+        hair_sums=jnp.asarray(np.stack(hair_sums)) if hair_sums else None,
         present=tuple(sorted(set(types))),
     )
 

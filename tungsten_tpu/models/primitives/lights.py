@@ -172,6 +172,25 @@ def infinite_needs_escape_add(scene, d, was_specular):
     return was_specular | winner_unsampled
 
 
+def infinite_winner_pdf(scene, d):
+    """Solid-angle direct-sampling pdf of the WINNING infinite light for an
+    escape direction d (last-listed infinite primitive wins, TraceableScene
+    intersectInfinites order); 0 where the winner is unsamplable — which
+    makes power_heuristic(pdf_bsdf, 0) = 1, the handleInfiniteLights gate."""
+    meta = scene.meta
+    pdf = jnp.zeros(d.shape[:-1])
+    if meta.has_env and meta.env_light_index >= 0:
+        pdf = env_direct_pdf(scene, d)
+    if meta.has_cap and (meta.cap_after_env or not meta.has_env):
+        cap_pdf = (
+            cap_direct_pdf(scene, d)
+            if meta.cap_light_index >= 0
+            else jnp.zeros(d.shape[:-1])
+        )
+        pdf = jnp.where(cap_in_cone(scene, d), cap_pdf, pdf)
+    return pdf
+
+
 def sample_area_direct(scene, li, p, u_tri, u2) -> LightSample:
     """Sample a point on area light li (N,) as seen from p (N, 3)."""
     lights = scene.lights

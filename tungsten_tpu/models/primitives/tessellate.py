@@ -26,6 +26,7 @@ class TriSoup:
     normal: Optional[np.ndarray]  # (V, 3) shading normals or None -> flat
     uv: np.ndarray  # (V, 2)
     indices: np.ndarray  # (F, 3)
+    tangent: Optional[np.ndarray] = None  # (V, 3) fiber tangents (curves)
 
 
 def quad() -> TriSoup:
@@ -181,7 +182,7 @@ def curve_tubes(curve_ends, nodes, sides: int = 3, taper: bool = False,
         stride = int(np.ceil(est_tris / max_tris))
         keep = keep[::stride]
 
-    pos_l, nrm_l, idx_l, uv_l = [], [], [], []
+    pos_l, nrm_l, idx_l, uv_l, tan_l = [], [], [], [], []
     ang = np.arange(sides) * (2.0 * np.pi / sides)
     ca, sa = np.cos(ang), np.sin(ang)
     base = 0
@@ -203,7 +204,7 @@ def curve_tubes(curve_ends, nodes, sides: int = 3, taper: bool = False,
         if np.linalg.norm(n0) < 1e-6:
             n0 = np.cross(tang[0], [1.0, 0.0, 0.0])
         n0 /= np.linalg.norm(n0)
-        rings_p, rings_n = [], []
+        rings_p, rings_n, rings_t = [], [], []
         nrm = n0
         for k in range(m):
             nrm = nrm - tang[k] * np.dot(nrm, tang[k])
@@ -212,11 +213,13 @@ def curve_tubes(curve_ends, nodes, sides: int = 3, taper: bool = False,
             bt = np.cross(tang[k], nrm)
             ring_n = nrm[None, :] * ca[:, None] + bt[None, :] * sa[:, None]
             rings_n.append(ring_n)
+            rings_t.append(np.tile(tang[k][None, :], (sides, 1)))
             rings_p.append(pts[k][None, :] + ring_n * max(rad[k], 1e-6))
         rp = np.concatenate(rings_p)
         rn = np.concatenate(rings_n)
         pos_l.append(rp)
         nrm_l.append(rn)
+        tan_l.append(np.concatenate(rings_t))
         uv_l.append(np.stack([np.tile(ang / (2 * np.pi), m),
                               np.repeat(np.linspace(0, 1, m), sides)], 1))
         for k in range(m - 1):
@@ -234,9 +237,10 @@ def curve_tubes(curve_ends, nodes, sides: int = 3, taper: bool = False,
     pos = np.concatenate(pos_l).astype(np.float32)
     nrm = np.concatenate(nrm_l).astype(np.float32)
     uv = np.concatenate(uv_l).astype(np.float32)
+    tan = np.concatenate(tan_l).astype(np.float32)
     idx = np.asarray(idx_l, np.int32)
     p0, p1, p2 = pos[idx[:, 0]], pos[idx[:, 1]], pos[idx[:, 2]]
     ng = np.cross(p1 - p0, p2 - p0)
     flip = np.einsum("ij,ij->i", ng, nrm[idx[:, 0]]) < 0
     idx[flip] = idx[flip][:, [0, 2, 1]]
-    return TriSoup(pos=pos, normal=nrm, uv=uv, indices=idx)
+    return TriSoup(pos=pos, normal=nrm, uv=uv, indices=idx, tangent=tan)

@@ -133,6 +133,7 @@ class SceneMeta:
     cap_light_index: int = -1  # index in light list, -1 if unsamplable/absent
     cap_after_env: bool = False  # cap listed after the env/skydome primitive
     point_light_index: int = -1  # dirac point light, -1 if absent
+    has_fiber_tan: bool = False  # curve prims present -> tri_tan populated
 
 
 @pytree
@@ -150,6 +151,8 @@ class FlatScene:
     tri_med_int: jnp.ndarray  # (T,) int32 interior medium (-1 = vacuum)
     tri_med_ext: jnp.ndarray  # (T,) int32 exterior medium
     tri_med_override: jnp.ndarray  # (T,) bool (Primitive::overridesMedia)
+    tri_tan: jnp.ndarray  # (T, 3) fiber tangent for curve tris ((1,3) zeros
+    # when the scene has no curves — gated by meta.has_fiber_tan)
     bvh: BvhSoA
     ptris: PallasTriPack
     pbvh: "PallasBvhPack | None"
@@ -211,6 +214,7 @@ def flatten_scene(doc: SceneDocument) -> FlatScene:
 
     # ---- geometry ---------------------------------------------------------
     pos_l, n_l, uv_l, idx_l, mat_l, prim_l = [], [], [], [], [], []
+    tan_l = []  # per-prim fiber tangents (curves) or None
     med_int_l, med_ext_l, med_ov_l = [], [], []
     emissive_prims = []  # (prim_index, emission_spec)
     env_spec = None
@@ -297,6 +301,12 @@ def flatten_scene(doc: SceneDocument) -> FlatScene:
 
         pos_l.append(wpos)
         n_l.append(wn)
+        if getattr(soup, "tangent", None) is not None:
+            wt = tf.transform_vector(m, soup.tangent)
+            lt = np.linalg.norm(wt, axis=-1, keepdims=True)
+            tan_l.append((wt / np.maximum(lt, 1e-20)).astype(np.float32))
+        else:
+            tan_l.append(None)
         uv_l.append(soup.uv.astype(np.float32))
         idx_l.append(soup.indices + vert_base)
         mat_l.append(np.full(len(soup.indices), prim["_bsdf_index"], np.int32))
@@ -333,11 +343,16 @@ def flatten_scene(doc: SceneDocument) -> FlatScene:
 
     # shading normals: vertex normals where present, face normal otherwise
     all_n = np.zeros_like(all_pos)
+    all_tan = np.zeros_like(all_pos)
+    has_fiber_tan = any(wt is not None for wt in tan_l)
     off = 0
-    for wpos, wn in zip(pos_l, n_l):
+    for wpos, wn, wt in zip(pos_l, n_l, tan_l):
         if wn is not None:
             all_n[off : off + len(wpos)] = wn
+        if wt is not None:
+            all_tan[off : off + len(wpos)] = wt
         off += len(wpos)
+    tri_tan = all_tan[indices[:, 0]]  # fiber tangent, constant per tri
     n0 = all_n[indices[:, 0]]
     n1 = all_n[indices[:, 1]]
     n2 = all_n[indices[:, 2]]
@@ -369,6 +384,7 @@ def flatten_scene(doc: SceneDocument) -> FlatScene:
     tri_med_int = permute(tri_med_int)
     tri_med_ext = permute(tri_med_ext)
     tri_med_ov = permute(tri_med_ov)
+    tri_tan = permute(tri_tan) if has_fiber_tan else np.zeros((1, 3), np.float32)
 
     # ---- materials, media & textures ---------------------------------------
     materials = pack_materials(doc.bsdfs, tex_builder)
@@ -604,6 +620,7 @@ def flatten_scene(doc: SceneDocument) -> FlatScene:
         spp=int(doc.renderer.get("spp", 32)),
         spp_step=int(doc.renderer.get("spp_step", 16)),
         use_bvh=bool(doc.renderer.get("scene_bvh", True)),
+        has_fiber_tan=bool(has_fiber_tan),
         aovs=tuple(
             (
                 b.get("type"),
@@ -643,6 +660,7 @@ def flatten_scene(doc: SceneDocument) -> FlatScene:
         tri_med_int=jnp.asarray(tri_med_int),
         tri_med_ext=jnp.asarray(tri_med_ext),
         tri_med_override=jnp.asarray(tri_med_ov),
+        tri_tan=jnp.asarray(tri_tan),
         bvh=bvh_soa,
         ptris=build_tri_pack(p0, p1 - p0, p2 - p0),
         pbvh=_maybe_bvh_pack(p0, p1 - p0, p2 - p0),
