@@ -131,9 +131,29 @@ def main():
                 return out
 
             if itype == "kelemen_mlt":
-                from tungsten_tpu.integrators.kelemen import render_kelemen
+                # reference default is the bidirectional variant
+                # (KelemenMltSettings "bidirectional": true)
+                if doc.integrator.get("bidirectional", True):
+                    from tungsten_tpu.integrators.kelemen import render_kelemen_bdpt
 
-                hdr = render_kelemen(
+                    hdr = render_kelemen_bdpt(
+                        scene, spp=args.spp, seed=args.seed,
+                        p_large=float(doc.integrator.get("large_step_probability", 0.1)),
+                        verbose=not args.quiet,
+                    )
+                else:
+                    from tungsten_tpu.integrators.kelemen import render_kelemen
+
+                    hdr = render_kelemen(
+                        scene, spp=args.spp, seed=args.seed,
+                        p_large=float(doc.integrator.get("large_step_probability", 0.1)),
+                        verbose=not args.quiet,
+                    )
+                out = save_simple(hdr)
+            elif itype == "multiplexed_mlt":
+                from tungsten_tpu.integrators.multiplexed import render_mmlt
+
+                hdr = render_mmlt(
                     scene, spp=args.spp, seed=args.seed,
                     p_large=float(doc.integrator.get("large_step_probability", 0.1)),
                     verbose=not args.quiet,

@@ -495,6 +495,25 @@ def trace_bdpt_pass(scene: FlatScene, seed, lane_ids, px, py):
     """One BDPT sample per lane. Returns (eye_radiance (N, 3),
     splat_buffer (H*W, 3)) — t=1 techniques go to the splat buffer
     (normalize by total paths like the light tracer)."""
+    return _bdpt_sample(scene, seed, lane_ids, px, py)
+
+
+def _bdpt_sample(scene: FlatScene, seed, lane_ids, px, py, table=None,
+                 skip_dims=1, sel=None, collect=False):
+    """Core BDPT sample evaluation.
+
+    table: optional (N, D, 2) primary-sample table (MLT replay — the
+      WritableMetropolisSampler analog); slot layout: `skip_dims` reserved
+      driver slots (pixel position, MMLT technique selector), then the path
+      dims in trace order.
+    sel: optional (s_sel (N,), v_sel (N,)) — restrict each lane to ONE
+      technique: s light vertices with total vertex count v = s + t
+      (multiplexed MLT, MultiplexedMltTracer.hpp:25-40). Contributions are
+      NOT scaled by the per-length technique count (caller's job).
+    collect=False: returns (eye (N,3), splat_buffer (H*W,3)).
+    collect=True: returns dict(eye (N,3), t1_val (N,S,3), t1_pixf (N,S,2),
+      t1_ok (N,S)) with S = k_max-2 t=1 techniques (s = 2..k_max-1), values
+      in light-tracer units (divide by n_pix for eye units)."""
     from .path_tracer import _trace_transparent
 
     meta = scene.meta
@@ -503,7 +522,15 @@ def trace_bdpt_pass(scene: FlatScene, seed, lane_ids, px, py):
     # (BidirectionalPathTracer.cpp:14-15); cap at 8 to bound the static
     # (s, t) family unroll count on the host compiler
     k_max = min(meta.max_bounces + 1, int(getattr(meta, "bdpt_max_vertices", 8)) or 8)
-    sampler = Sampler.create(seed, lane_ids)
+    sampler = Sampler.create(seed, lane_ids, table)
+    if table is not None and skip_dims:
+        sampler = sampler.skip(skip_dims)
+
+    def tech_mask(s, t):
+        """Per-lane gate for technique family (s, t)."""
+        if sel is None:
+            return jnp.ones((n,), bool)
+        return (sel[0] == s) & (sel[1] == s + t)
 
     # ---- camera subpath ----
     u_cam, sampler = sampler.next_2d()
@@ -598,7 +625,9 @@ def trace_bdpt_pass(scene: FlatScene, seed, lane_ids, px, py):
         else:
             w = _mis_weight_static(scene, cv, lv, 0, t, over_c1, over_c2, None, None)
         contrib = C["throughput"] * le * w[..., None]
-        eye = eye + jnp.where((on_light & front)[..., None], contrib, 0.0)
+        eye = eye + jnp.where(
+            (on_light & front & tech_mask(0, t))[..., None], contrib, 0.0
+        )
 
     # ---- s >= 1, t >= 2 connections ----
     for t in range(2, k_max + 1):
@@ -627,7 +656,7 @@ def trace_bdpt_pass(scene: FlatScene, seed, lane_ids, px, py):
                 fL_scale = Lv["throughput"]
 
             contrib = C["throughput"] * fC * fL * fL_scale / dsq[..., None]
-            cand = exists & (jnp.any(contrib > 0.0, axis=-1))
+            cand = exists & (jnp.any(contrib > 0.0, axis=-1)) & tech_mask(s, t)
 
             med = C["medium"] if meta.has_media else jnp.full((n,), -1, jnp.int32)
             w_vis, h_vis, _ = _trace_transparent(
@@ -637,6 +666,29 @@ def trace_bdpt_pass(scene: FlatScene, seed, lane_ids, px, py):
             visible = cand & (h_vis.prim < 0)
             contrib = contrib * w_vis
 
+            # connection-EDGE medium distance pdfs (the reference fills
+            # edge.pdfForward/Backward inside generalizedShadowRayAndPdfs,
+            # LightPath.cpp:358-361, and evalPdfs multiplies them into the
+            # junction pdfs as nextEdge.pdfForward, PathVertex.cpp:303-325).
+            # Without them the junction overrides are inconsistent with the
+            # stored pdf_fwd/pdf_rev (which DO carry edge medium pdfs) and
+            # the balance products bias the estimator in scattering media.
+            if meta.has_media:
+                from ..models.media import medium_distance_pdf
+
+                edge_pdf_cl = medium_distance_pdf(  # C -> Lv direction
+                    scene.media, med, C["p"], dn, dist,
+                    start_on_surface=C["kind"] != V_MEDIUM,
+                    end_on_surface=Lv["kind"] != V_MEDIUM,
+                )
+                edge_pdf_lc = medium_distance_pdf(  # Lv -> C direction
+                    scene.media, med, Lv["p"], -dn, dist,
+                    start_on_surface=Lv["kind"] != V_MEDIUM,
+                    end_on_surface=C["kind"] != V_MEDIUM,
+                )
+            else:
+                edge_pdf_cl = edge_pdf_lc = jnp.ones((n,))
+
             # junction overrides
             # rev(C_{t-1}): pdf of generating C from Lv
             if s == 1:
@@ -644,7 +696,7 @@ def trace_bdpt_pass(scene: FlatScene, seed, lane_ids, px, py):
                 pLC_solid = cosL2 * warps.INV_PI
             else:
                 _, pLC_solid = _vertex_fg(scene, Lv, Lv["wi"], -dn)
-            over_c1 = _solid_to_area(pLC_solid, -dn, dsq, C["ng"], C["kind"])
+            over_c1 = _solid_to_area(pLC_solid, -dn, dsq, C["ng"], C["kind"]) * edge_pdf_lc
             # rev(C_{t-2}): pdf at C scattering backward (wi = dir to Lv)
             P = _vert_at(cv, t - 2)
             bvec = P["p"] - C["p"]
@@ -656,7 +708,7 @@ def trace_bdpt_pass(scene: FlatScene, seed, lane_ids, px, py):
                 over_c2 = over_c2 * cv.edge_med_bwd[:, t - 2]
             # rev(L_{s-1}): pdf of generating Lv from C
             _, pCL_solid = _vertex_fg(scene, C, C["wi"], dn)
-            over_l1 = _solid_to_area(pCL_solid, dn, dsq, Lv["ng"], Lv["kind"])
+            over_l1 = _solid_to_area(pCL_solid, dn, dsq, Lv["ng"], Lv["kind"]) * edge_pdf_cl
             # rev(L_{s-2}): pdf at Lv scattering backward
             if s >= 2:
                 Q = _vert_at(lv, s - 2)
@@ -679,13 +731,14 @@ def trace_bdpt_pass(scene: FlatScene, seed, lane_ids, px, py):
             eye = eye + jnp.where(visible[..., None], contrib * w[..., None], 0.0)
 
     # ---- t = 1: splat light-subpath vertices to the camera ----
+    t1_entries = []
     for s in range(2, k_max):
         Lv = _vert_at(lv, s - 1)
         exists = (s <= n_lv) & ~Lv["dirac"] & (Lv["kind"] != V_INVALID)
         dc, distc, cam_w, pixel, vld = camera_sample_direct(scene.camera, meta, Lv["p"])
         fL, _ = _vertex_fg(scene, Lv, Lv["wi"], dc)
         fL = fL * _adjoint_factor(Lv, dc)[..., None]
-        cand = exists & vld & jnp.any(fL > 0.0, axis=-1)
+        cand = exists & vld & jnp.any(fL > 0.0, axis=-1) & tech_mask(s, 1)
         med = Lv["medium"] if meta.has_media else jnp.full((n,), -1, jnp.int32)
         w_vis, h_vis, _ = _trace_transparent(
             scene, Lv["p"], dc, jnp.where(cand, distc * SHADOW_FUDGE, 0.0), med,
@@ -699,6 +752,17 @@ def trace_bdpt_pass(scene: FlatScene, seed, lane_ids, px, py):
         cosz2 = jnp.maximum(local_d[..., 2], 1e-6)
         pdf_cam = (1.0 / ((2.0 / scene.camera.plane_dist) * (2.0 * ratio / scene.camera.plane_dist))) / (cosz2**3)
         over_l1 = _solid_to_area(pdf_cam, -dc, distc**2, Lv["ng"], Lv["kind"])
+        if meta.has_media:
+            # camera-edge medium distance pdf, camera -> Lv direction
+            # (LightPath.cpp:383-386 semantics; camera counts as a surface
+            # endpoint). The edge medium is the splat walk's start medium.
+            from ..models.media import medium_distance_pdf
+
+            over_l1 = over_l1 * medium_distance_pdf(
+                scene.media, med, Lv["p"] + dc * distc[..., None], -dc, distc,
+                start_on_surface=jnp.ones((n,), bool),
+                end_on_surface=Lv["kind"] != V_MEDIUM,
+            )
         if s >= 2:
             Q = _vert_at(lv, s - 2)
             qvec = Q["p"] - Lv["p"]
@@ -716,10 +780,23 @@ def trace_bdpt_pass(scene: FlatScene, seed, lane_ids, px, py):
             w = jnp.zeros((n,))
         else:
             w = _mis_weight_static(scene, cv, lv, s, 1, None, None, over_l1, over_l2)
-        splat = splat_filtered(
-            splat, pixel, value * w[..., None], visible, meta.res_x, meta.res_y
-        )
+        if collect:
+            t1_entries.append((value * w[..., None], pixel, visible))
+        else:
+            splat = splat_filtered(
+                splat, pixel, value * w[..., None], visible, meta.res_x, meta.res_y
+            )
 
     eye = jnp.where(jnp.isfinite(eye), eye, 0.0)
+    if collect:
+        if t1_entries:
+            t1_val = jnp.stack([jnp.where(jnp.isfinite(v), v, 0.0) for v, _, _ in t1_entries], axis=1)
+            t1_pixf = jnp.stack([p_ for _, p_, _ in t1_entries], axis=1)
+            t1_ok = jnp.stack([ok for _, _, ok in t1_entries], axis=1)
+        else:
+            t1_val = jnp.zeros((n, 1, 3))
+            t1_pixf = jnp.zeros((n, 1, 2))
+            t1_ok = jnp.zeros((n, 1), bool)
+        return dict(eye=eye, t1_val=t1_val, t1_pixf=t1_pixf, t1_ok=t1_ok)
     splat = jnp.where(jnp.isfinite(splat), splat, 0.0)
     return eye, splat

@@ -318,6 +318,7 @@ def render_sppm(
     seed=DEFAULT_SEED,
     photons_per_iter=1 << 18,
     initial_radius=None,
+    volume_radius=None,
     alpha=0.3,
     verbose=False,
 ):
@@ -332,27 +333,57 @@ def render_sppm(
     n = w * h
     px = jnp.tile(jnp.arange(w, dtype=jnp.int32), h)
     py = jnp.repeat(jnp.arange(h, dtype=jnp.int32), w)
+    ext = np.asarray(scene.bvh.node_max[0] - scene.bvh.node_min[0])
+    diag = float(np.linalg.norm(ext))
     if initial_radius is None:
         # scene-bbox heuristic (the reference derives it from gatherRadius)
-        ext = np.asarray(scene.bvh.node_max[0] - scene.bvh.node_min[0])
-        initial_radius = float(np.linalg.norm(ext)) * 5e-3
+        initial_radius = diag * 5e-3
+    if volume_radius is None:
+        # reference default: volumeGatherRadius = gatherRadius
+        # (PhotonMapSettings.hpp:45); the bbox heuristic is too tight for
+        # the 2D beam kernel, so widen it
+        volume_radius = initial_radius * 4.0
     r2 = initial_radius * initial_radius
+    r_vol = volume_radius
     acc = None
     k_ph = min(meta.max_bounces, 6)
+    ovf_total = 0
     for it in range(iters):
         seed_ph = jnp.array([seed & 0xFFFFFFFF, 0x30000 + it], jnp.uint32)
         lane_ph = jnp.arange(photons_per_iter, dtype=jnp.uint32)
-        pos, power, wi, valid = trace_photons(scene, seed_ph, lane_ph, k_max=k_ph)
+        surf, vol = trace_photons(scene, seed_ph, lane_ph, k_max=k_ph)
         radius = float(np.sqrt(r2))
-        pack, starts, counts = build_photon_grid(pos, power, wi, valid, radius)
+        pack, starts, counts, ovf = build_photon_grid(
+            surf[0], surf[1], surf[2], surf[3], radius, bounce=surf[4]
+        )
+        ovf_total += int(ovf)
+        if vol is not None:
+            vpack, vstarts, vcounts, ovf_v = build_photon_grid(
+                vol[0], vol[1], vol[2], vol[3], 2.0 * r_vol, bounce=vol[4]
+            )
+            ovf_total += int(ovf_v)
+            vargs = dict(
+                vpack=vpack, vstarts=vstarts, vcounts=vcounts,
+                v_radius=jnp.float32(r_vol), scene_far=jnp.float32(diag * 2.0),
+            )
+        else:
+            vargs = {}
         seed_cam = jnp.array([seed & 0xFFFFFFFF, 0x40000 + it], jnp.uint32)
         lane_cam = jnp.arange(n, dtype=jnp.uint32)
         img = gather_pass(
             scene, seed_cam, lane_cam, px, py, pack, starts, counts,
-            jnp.float32(radius), jnp.float32(photons_per_iter),
+            jnp.float32(radius), jnp.float32(photons_per_iter), **vargs,
         )
         acc = img if acc is None else acc + img
-        r2 = r2 * (it + 1 + alpha) / (it + 2)
+        # radius schedule (ProgressivePhotonMapIntegrator.cpp:58-76):
+        # gamma per iteration; surface uses sqrt(gamma) on r (= gamma on
+        # r^2), volume POINTS use cbrt(gamma)
+        gamma_it = (it + 1 + alpha) / (it + 2)
+        r2 = r2 * gamma_it
+        r_vol = r_vol * gamma_it ** (1.0 / 3.0)
         if verbose:
-            print(f"  sppm iter {it + 1}/{iters} r={radius:.4f}")
+            print(f"  sppm iter {it + 1}/{iters} r={radius:.4f} r_vol={r_vol:.4f}")
+    if ovf_total and verbose:
+        print(f"  WARNING: {ovf_total} photons beyond MAX_PER_CELL were "
+              f"invisible to the gather (raise radius or photon granularity)")
     return np.asarray(acc).reshape(h, w, 3) / iters
