@@ -6,16 +6,22 @@ backends the reference lacks — SURVEY.md §4).
 """
 import os
 
+# TUNGSTEN_TEST_TPU=1 keeps the real backend so the @pytest.mark.tpu kernel
+# parity tests (test_pallas_parity.py) can run on the bench chip; everything
+# else runs on the virtual CPU mesh.
+_USE_TPU = os.environ.get("TUNGSTEN_TEST_TPU", "") == "1"
+
 flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
+if not _USE_TPU and "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
 # jax may already be pre-imported by the environment with a TPU backend
 # selected; config.update works either way.
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _USE_TPU:
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
@@ -36,7 +42,13 @@ def pytest_collection_modifyitems(config, items):
     fast_names = {  # cheap members of otherwise-slow files stay in the gate
         "test_furnace_lambert_quad", "test_emissive_quad_direct_view",
     }
+    on_tpu = jax.default_backend() == "tpu"
+    skip_tpu = pytest.mark.skip(
+        reason="requires a real TPU backend (run with TUNGSTEN_TEST_TPU=1)"
+    )
     for item in items:
         fname = os.path.basename(str(item.fspath))
         if fname in slow_files and item.name.split("[")[0] not in fast_names:
             item.add_marker(pytest.mark.slow)
+        if "tpu" in item.keywords and not on_tpu:
+            item.add_marker(skip_tpu)

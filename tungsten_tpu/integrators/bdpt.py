@@ -784,7 +784,8 @@ def _bdpt_sample(scene: FlatScene, seed, lane_ids, px, py, table=None,
             t1_entries.append((value * w[..., None], pixel, visible))
         else:
             splat = splat_filtered(
-                splat, pixel, value * w[..., None], visible, meta.res_x, meta.res_y
+                splat, pixel, value * w[..., None], visible, meta.res_x, meta.res_y,
+                filter_name=meta.filter
             )
 
     eye = jnp.where(jnp.isfinite(eye), eye, 0.0)

@@ -101,15 +101,15 @@ def _eval_bdpt(scene, table, lane_ids, seed, sel=None, skip_dims=1):
     )
 
 
-def _splat_chain(buf, ev, weight, res_x, res_y):
+def _splat_chain(buf, ev, weight, res_x, res_y, filter_name="tent"):
     """Splat one chain state's full splat set with scalar per-chain weight."""
     buf = splat_filtered(buf, ev["pix"], ev["eye"] * weight[:, None],
-                         weight > 0, res_x, res_y)
+                         weight > 0, res_x, res_y, filter_name=filter_name)
     S = ev["t1_val"].shape[1]
     for i in range(S):
         buf = splat_filtered(
             buf, ev["t1_pixf"][:, i], ev["t1_val"][:, i] * weight[:, None],
-            weight > 0, res_x, res_y,
+            weight > 0, res_x, res_y, filter_name=filter_name,
         )
     return buf
 
@@ -141,10 +141,11 @@ def _mlt_step_impl(scene: FlatScene, state, lane_ids, seed, step_idx, p_large, b
     buf = state["splat"]
     buf = splat_filtered(
         buf, state["pix"], state["rad"] * w_cur[:, None],
-        state["lum"] > 0, meta.res_x, meta.res_y,
+        state["lum"] > 0, meta.res_x, meta.res_y, filter_name=meta.filter,
     )
     buf = splat_filtered(
-        buf, pix_p, rad_p * w_prop[:, None], lum_p > 0, meta.res_x, meta.res_y
+        buf, pix_p, rad_p * w_prop[:, None], lum_p > 0, meta.res_x, meta.res_y,
+        filter_name=meta.filter,
     )
 
     u_acc, _ = _rand((n,), s0, seed[1], jnp.uint32(step_idx) * 4 + 3)
@@ -228,9 +229,9 @@ def _mlt_step_bdpt_impl(scene, state, lane_ids, seed, step_idx, p_large, bw,
                   t1_val=state["t1_val"], t1_pixf=state["t1_pixf"])
     buf = state["splat"]
     buf = _splat_chain(buf, ev_cur, jnp.where(state["lum"] > 0, w_cur, 0.0),
-                       meta.res_x, meta.res_y)
+                       meta.res_x, meta.res_y, filter_name=meta.filter)
     buf = _splat_chain(buf, ev_p, jnp.where(ev_p["lum"] > 0, w_prop, 0.0),
-                       meta.res_x, meta.res_y)
+                       meta.res_x, meta.res_y, filter_name=meta.filter)
 
     u_acc, _ = _rand((n,), s0, seed[1], jnp.uint32(step_idx) * 4 + 3)
     accept = u_acc < a

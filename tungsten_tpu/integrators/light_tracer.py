@@ -35,19 +35,42 @@ from .path_tracer import (
 )
 
 
-def splat_filtered(buf, pixel_xy, value, valid, res_x, res_y):
-    """Tent-filtered splat over the 2x2 neighborhood (splatFiltered)."""
+def splat_filtered(buf, pixel_xy, value, valid, res_x, res_y, filter_name="tent"):
+    """Filtered splat (AtomicFramebuffer::splatFiltered, AtomicFramebuffer.
+    hpp:50-76): tent gets the exact analytic 2x2; gaussian / mitchell /
+    catmull_rom / lanczos use the SIGNED tabulated evalApproximate over their
+    width-2 4x4 support (negative lobes splat negative energy — the
+    sharpening the reference's pyramid filters rely on); box hits one pixel;
+    dirac drops the splat (the reference does too — dirac scenes cannot use
+    splatting integrators)."""
+    from ..models.cameras import rfilter
+
+    if filter_name == "dirac":
+        return buf
     fx = pixel_xy[:, 0] - 0.5
     fy = pixel_xy[:, 1] - 0.5
+    if filter_name == "box":
+        px = jnp.floor(pixel_xy[:, 0])
+        py = jnp.floor(pixel_xy[:, 1])
+        inside = (px >= 0) & (px < res_x) & (py >= 0) & (py < res_y) & valid
+        idx = jnp.clip(py.astype(jnp.int32) * res_x + px.astype(jnp.int32), 0, res_x * res_y - 1)
+        return buf.at[idx].add(jnp.where(inside[:, None], value, 0.0))
+    tabulated = rfilter.is_tabulated(filter_name)
+    taps = (-1, 0, 1, 2) if tabulated else (0, 1)
     x0 = jnp.floor(fx)
     y0 = jnp.floor(fy)
-    for dx in (0, 1):
-        for dy in (0, 1):
+    for dx in taps:
+        for dy in taps:
             px = x0 + dx
             py = y0 + dy
-            wx = jnp.maximum(0.0, 1.0 - jnp.abs(fx - px))
-            wy = jnp.maximum(0.0, 1.0 - jnp.abs(fy - py))
-            w = wx * wy
+            if tabulated:
+                w = rfilter.eval_approx(filter_name, fx - px) * rfilter.eval_approx(
+                    filter_name, fy - py
+                )
+            else:
+                wx = jnp.maximum(0.0, 1.0 - jnp.abs(fx - px))
+                wy = jnp.maximum(0.0, 1.0 - jnp.abs(fy - py))
+                w = wx * wy
             inside = (px >= 0) & (px < res_x) & (py >= 0) & (py < res_y) & valid
             idx = jnp.clip(py.astype(jnp.int32) * res_x + px.astype(jnp.int32), 0, res_x * res_y - 1)
             contrib = jnp.where(inside[:, None], value * w[:, None], 0.0)
@@ -84,7 +107,8 @@ def _connect_to_camera(scene, buf, p, ng, frame, wi, mat_id, uv, throughput, med
     )
     visible = cand & (h_sh.prim < 0)
     value = throughput * f * w_sh * cam_w[:, None]
-    return splat_filtered(buf, pixel, value, visible, meta.res_x, meta.res_y)
+    return splat_filtered(buf, pixel, value, visible, meta.res_x, meta.res_y,
+                          filter_name=meta.filter)
 
 
 import functools
@@ -193,7 +217,7 @@ def trace_light_pass(scene: FlatScene, seed, lane_ids):
             visv = candv & (hv.prim < 0)
             buf = splat_filtered(
                 buf, pix, throughput * wv * (fp * cw)[:, None], visv,
-                meta.res_x, meta.res_y,
+                meta.res_x, meta.res_y, filter_name=meta.filter,
             )
             u_ph, smp = smp.next_2d()
             w_phase, _ = phase_sample(

@@ -31,8 +31,14 @@ def filter_offset(filter_name: str, u2):
     if filter_name == "gaussian":
         gx, gy = warps.gaussian_filter_sample(u2[..., 0], u2[..., 1])
         return jnp.stack([gx, gy], axis=-1)
-    # mitchell_netravali / catmull_rom / lanczos need the tabulated CDF +
-    # negative-lobe weights; fall back to tent until implemented.
+    from . import rfilter
+
+    if rfilter.is_tabulated(filter_name):
+        # mitchell_netravali / catmull_rom / lanczos: 31-bin tabulated CDF
+        # with mirror-folded sign (ReconstructionFilter.hpp:86-104)
+        return rfilter.sample_offset(filter_name, u2)
+    # unknown name: reference StringableEnum would have rejected it at parse
+    # time; behave like tent rather than crash mid-render
     return jnp.stack(
         [warps.tent_filter_sample(u2[..., 0]), warps.tent_filter_sample(u2[..., 1])],
         axis=-1,

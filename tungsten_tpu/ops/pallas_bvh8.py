@@ -201,7 +201,17 @@ def _walk_kernel8(
             jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
             jnp.maximum(t0z, t1z),
         )
+        # NOTE: a stale-best variant (box tests pruning against a copy of
+        # best-t refreshed every 8 iterations, to break the leaf->box RAW
+        # chain) was implemented and MEASURED SLOWER (8.6/31.2 ms vs
+        # 6.6/24.3 ms coherent/incoherent on materialtest 131k rays): the
+        # vector stream executes in order regardless, so the "dependency"
+        # costs nothing, while lazier pruning adds real node visits.
         best = out_ref[0:1, c0:c1]
+        if fast:
+            # best may be a bf16-underestimated (or phantom) t: prune with
+            # relative slack so marginally-nearer real hits stay reachable
+            best = best * (1.0 + 1e-3)
         hit = (
             (tmin <= tmax)
             & (tmax > tnear)
@@ -211,11 +221,17 @@ def _walk_kernel8(
         rowany = jnp.max(hit.astype(jnp.float32), axis=1, keepdims=True)  # (8,1)
         return jnp.sum(rowany * w8)  # scalar: packed per-child any
 
-    # fast mode: 3-pass bf16x3 leaf matmuls (~2e-6 relative) with a little
-    # slack on the edge tests and the best-t prune; the caller recomputes
-    # exact f32 t/u/v for the winner
-    e_edge = 1e-4 if fast else 0.0
-    e_t = 1e-4 if fast else 0.0
+    # fast mode: 3-pass bf16x3 leaf matmuls with slack on the edge tests and
+    # the best-t prune; the caller exact-validates the winner and re-traces
+    # rays whose winner was a phantom. The slack must UPPER-BOUND the
+    # absolute bf16x3 error: the dropped lo*lo term is ~2^-16 of the
+    # intermediate |N.o| magnitudes, which scale with scene_extent /
+    # triangle_extent (NOT with the O(1) barycentric outputs) — measured
+    # ~3e-4 absolute in u/v on an 80k-tri scene. 5e-3 gives 10x headroom;
+    # phantoms it admits cost only repair-pass work, false NEGATIVES from
+    # too-tight slack return a silently wrong (farther) surface.
+    e_edge = 2e-2 if fast else 0.0
+    e_t = 1e-3 if fast else 0.0
 
     def leaf_eval(w, v):
         c0, c1 = w * rt, (w + 1) * rt
@@ -279,10 +295,11 @@ def _walk_kernel8(
                 c = (perm >> (3 * k)) & 7
                 kv = kid_ref[c, node]
                 pr = aliveA & (((bits >> c) & 1) == 1) & (kv != -1)
-                # clamp into this walk's stack region: a pathological SAH
-                # tree deeper than ~3*DEPTH/8 binary levels would otherwise
-                # silently corrupt the adjacent walk's stack (ADVICE r2)
-                slot_pos = jnp.minimum(w * DEPTH + sp + cnt, w * DEPTH + DEPTH - 1)
+                # stack-bound safety is enforced HOST-SIDE at build time
+                # (build_bvh_pack8 asserts 8*ceil(depth) <= DEPTH): an
+                # in-kernel jnp.minimum clamp here was measured to cost
+                # ~25% end-to-end (8 extra scalar ops in the hottest loop)
+                slot_pos = w * DEPTH + sp + cnt
 
                 @pl.when(pr)
                 def _(kv=kv, slot_pos=slot_pos):
@@ -419,6 +436,16 @@ def _collapse8(bvh, leaf_ids):
         i += 1
 
     m8 = len(nodes8)
+    # bound the worst-case stack: depth of the 8-ary tree * 8 pushes/visit
+    # must fit the per-walk SMEM stack (ADVICE r2: silent corruption guard)
+    depth8 = np.zeros(m8, np.int32)
+    for id8 in range(m8 - 1, -1, -1):
+        kids8 = [memo[sq] for sq in nodes8[id8] if count[sq] == 0]
+        depth8[id8] = 1 + max((int(depth8[kq]) for kq in kids8), default=0)
+    assert 8 * int(depth8[0]) <= DEPTH, (
+        f"BVH8 depth {int(depth8[0])} needs {8 * int(depth8[0])} stack slots "
+        f"> DEPTH={DEPTH}; raise DEPTH in ops/pallas_bvh8.py"
+    )
     boxes = np.zeros((m8, 8, 8), np.float32)
     boxes[:, :, 0:3] = np.float32(3e38)  # absent: inverted box, never hits
     boxes[:, :, 3:6] = np.float32(-3e38)
@@ -524,6 +551,71 @@ def intersect_bvh_pallas8(
     prim = jnp.where(
         local >= 0, pack.prim_map[jnp.clip(local, 0, pack.prim_map.shape[0] - 1)], -1
     )
+    if fast:
+        # the bf16x3 leaf eval runs its edge tests with e_edge slack so it
+        # never FALSE-NEGATIVES a true hit; the price is ~1e-4 of rays whose
+        # winner is a phantom just OUTSIDE a triangle (grazing a silhouette
+        # edge). Re-validate the winner with the exact f32 Moller-Trumbore
+        # (identical conditions to ops.intersect.ray_tri); for the rays
+        # whose winner was a phantom (it may have PRUNED a real hit behind
+        # it) re-trace through the exact-f32 kernel with every other ray's
+        # interval collapsed to empty — those walks do no work, so the
+        # repair pass costs one launch, not a second traversal.
+        u, v, t_exact, ok = _exact_validate(
+            tris.v0, tris.e1, tris.e2, o, d, prim, tnear, tfar
+        )
+        need = prim >= 0
+        need = need & ~ok
+        rays_r, _, _ = _pack_rays(
+            o, d, tnear, jnp.where(need, tfar, 0.0), rt * walks
+        )
+        out_r = _launch8(
+            rays_r, pack.boxes, pack.kid, pack.order, pack.planes,
+            pack.n_nodes, leaf=pack.leaf, rt=rt, walks=walks, fast=False,
+        )
+        local_r = out_r[1, :n].astype(jnp.int32)
+        prim_r = jnp.where(
+            need & (local_r >= 0),
+            pack.prim_map[jnp.clip(local_r, 0, pack.prim_map.shape[0] - 1)],
+            -1,
+        )
+        u_r, v_r, t_r = _recompute_uv(tris.v0, tris.e1, tris.e2, o, d, prim_r)
+        prim = jnp.where(ok, prim, prim_r)
+        return Hit(
+            t=jnp.where(ok, t_exact, jnp.where(prim_r >= 0, t_r, INF)),
+            prim=prim,
+            u=jnp.where(ok, u, u_r),
+            v=jnp.where(ok, v, v_r),
+        )
     u, v, t_exact = _recompute_uv(tris.v0, tris.e1, tris.e2, o, d, prim)
-    t_out = t_exact if fast else jnp.where(prim >= 0, t, INF)
-    return Hit(t=t_out, prim=prim, u=u, v=v)
+    return Hit(t=jnp.where(prim >= 0, t, INF), prim=prim, u=u, v=v)
+
+
+def _exact_validate(v0, e1, e2, o, d, prim, tnear, tfar):
+    """Exact f32 Moller-Trumbore on the winning prim with ray_tri's accept
+    conditions. Returns (u_clipped, v_clipped, t, ok)."""
+    tri = jnp.maximum(prim, 0)
+    a, ee1, ee2 = v0[tri], e1[tri], e2[tri]
+    p = jnp.cross(d, ee2)
+    det = jnp.sum(ee1 * p, axis=-1)
+    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / jnp.where(det == 0, 1.0, det), 0.0)
+    tv = o - a
+    u = jnp.sum(tv * p, axis=-1) * inv_det
+    q = jnp.cross(tv, ee1)
+    v = jnp.sum(d * q, axis=-1) * inv_det
+    t = jnp.sum(ee2 * q, axis=-1) * inv_det
+    ok = (
+        (prim >= 0)
+        & (jnp.abs(det) > 1e-12)
+        & (u >= 0.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t > tnear)
+        & (t < tfar)
+    )
+    return (
+        jnp.where(ok, jnp.clip(u, 0.0, 1.0), 0.0),
+        jnp.where(ok, jnp.clip(v, 0.0, 1.0), 0.0),
+        t,
+        ok,
+    )
