@@ -367,7 +367,9 @@ def _trace_subpath(scene, sampler, o0, d0, beta0, pdf0_dir, root_fields, k_max, 
                 jnp.where(fwd_evt, s["edge_fwd_base"] * edge_fwd_med, 1.0)
                 if meta.has_media else s["edge_fwd_base"]
             ),
-            smp=smp,
+            # skip(0) drops any pending half-draw so the carry pytree
+            # structure matches the loop init (pending=None)
+            smp=smp.skip(0),
         )
 
     final = jax.lax.fori_loop(1, k_max, body, state)

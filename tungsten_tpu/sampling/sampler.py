@@ -110,6 +110,35 @@ def sobol_matrices():
 
 SOBOL_DIMS = 1024
 
+# Per-pixel Sobol index bits kept EXACT: samples 0..2^S-1 of each pixel get
+# true Owen-scrambled Sobol' points; past that the low-bit points repeat with
+# a different Owen key folded from the high index bits (unbiased, random-
+# padding-quality — the stratified prefix covers any practical spp).
+SOBOL_LOW_BITS = 8
+
+_SOBOL_PAIRS = None
+
+
+def sobol_pair_table():
+    """(512, 2*S) u32 — row j holds the first S direction numbers of Sobol'
+    dims (2j, 2j+1) side by side, so one row gather serves both dims of a
+    2D draw (the hot-loop layout; full matrices stay in sobol_matrices)."""
+    global _SOBOL_PAIRS
+    if _SOBOL_PAIRS is None:
+        M = sobol_matrices()
+        S = SOBOL_LOW_BITS
+        P = np.concatenate([M[0::2, :S], M[1::2, :S]], axis=1)
+        # rows are stored BIT-REVERSED: rev(a^b) = rev(a)^rev(b), so the XOR
+        # accumulation happens in the reversed domain and the Owen scramble
+        # skips its inner _reverse_bits32 (one less 16-op pass per dim)
+        v = P.astype(np.uint32)
+        v = ((v >> 1) & 0x55555555) | ((v & 0x55555555) << 1)
+        v = ((v >> 2) & 0x33333333) | ((v & 0x33333333) << 2)
+        v = ((v >> 4) & 0x0F0F0F0F) | ((v & 0x0F0F0F0F) << 4)
+        v = ((v >> 8) & 0x00FF00FF) | ((v & 0x00FF00FF) << 8)
+        _SOBOL_PAIRS = ((v >> 16) | (v << 16)).astype(np.uint32)
+    return _SOBOL_PAIRS
+
 
 def sobol_sample(dim, index):
     """sobol::sample (sobol.h:40-52), vectorized: XOR the matrix columns of
@@ -143,6 +172,10 @@ class Sampler:
     samp_idx: jnp.ndarray = None  # (N,) u32 per-pixel sample number (sobol)
     pix_key: jnp.ndarray = None  # (N,) u32 pixel id (sobol scramble key)
     strat: bool = __import__("flax").struct.field(pytree_node=False, default=False)
+    # second component of the last pair draw, awaiting the next next_1d()
+    # call (two 1D sites share one _draw; None-ness is static per trace
+    # position, so the pairing costs no runtime branching)
+    pending: jnp.ndarray = None
 
     @staticmethod
     def create(seed, lane_ids: jnp.ndarray, table=None, samp_idx=None,
@@ -167,38 +200,55 @@ class Sampler:
         u0, u1 = _to_unit_float(r0), _to_unit_float(r1)
         if self.strat:
             # true multi-dim Sobol' QMC (SobolPathSampler.hpp:20-72 analog):
-            # draw #d reads Grünschloss dimensions (2d, 2d+1) at a per-PIXEL
-            # index (same global index across all dims of one sample — the
-            # property that makes it a Sobol' point, not just a per-pair
+            # draw #d reads Grünschloss dimensions (2d, 2d+1) at the pixel's
+            # per-sample index (same index across all dims of one sample —
+            # the property that makes it a Sobol' point, not just a per-pair
             # net), then Owen-scrambles each dimension with a (pixel, dim)
             # key [Burley 2020] — net-preserving, stronger than the
-            # reference's XOR scramble. Past 1024 dims the draw falls back
-            # to a per-dim-jumped scrambled (0,2) net (the reference falls
-            # back to plain PCG there, UniformSampler.hpp).
-            k0, k1, k2, _ = pcg4d(
-                self.pix_key,
-                jnp.broadcast_to(d, self.pix_key.shape),
-                jnp.broadcast_to(self.seed[0], self.pix_key.shape),
-                jnp.full(self.pix_key.shape, 0x50B07, jnp.uint32),
-            )
-            hp, _, _, _ = pcg4d(
-                self.pix_key,
-                jnp.full(self.pix_key.shape, 0x51D0, jnp.uint32),
-                jnp.broadcast_to(self.seed[0], self.pix_key.shape),
-                jnp.full(self.pix_key.shape, 0xB10C, jnp.uint32),
-            )
-            di = jnp.broadcast_to(d, self.pix_key.shape).astype(jnp.int32)
+            # reference's XOR scramble, and the sole pixel decorrelator (a
+            # per-pixel index block jump would be redundant with it). Hot-
+            # loop layout: only the low SOBOL_LOW_BITS of the index select
+            # direction numbers (one paired-row gather + an S-step XOR);
+            # index bits above that fold into the Owen key (unbiased point
+            # reuse past 2^S spp). Past 1024 dims the draw falls back to a
+            # per-(pixel,dim,sample) hash (the reference falls back to plain
+            # PCG there too, UniformSampler.hpp).
+            S = SOBOL_LOW_BITS
+            shp = self.pix_key.shape
+            db = jnp.broadcast_to(d, shp)
+            di = db.astype(jnp.int32)
             use_qmc = 2 * di + 1 < SOBOL_DIMS
-            d0 = jnp.where(use_qmc, 2 * di, 0)
-            d1 = jnp.where(use_qmc, 2 * di + 1, 1)
-            # per-pixel aligned 2^16 block jump of the global sequence
-            # (per-DIM jump in the fallback, decorrelating overflow pairs)
-            blk = jnp.where(use_qmc, hp, k0) & jnp.uint32(0xFFFF0000)
-            idx = self.samp_idx ^ blk
-            x = sobol_sample(d0, idx)
-            y = sobol_sample(d1, idx)
-            u0 = _to_unit_float(owen_scramble_u32(x, k1))
-            u1 = _to_unit_float(owen_scramble_u32(y, k2))
+            # ONE hash serves both roles: in qmc mode the 3rd input is
+            # forced to 0 so (v1, v2) are samp-independent Owen KEYS; in the
+            # hash fallback it is the sample index so (v0, v3) are fresh
+            # per-(pixel, dim, sample) uniforms.
+            h0, k1, k2, h1 = pcg4d(
+                self.pix_key, db,
+                jnp.where(use_qmc, jnp.uint32(0), self.samp_idx),
+                jnp.broadcast_to(self.seed[0] ^ jnp.uint32(0x50B07), shp),
+            )
+            rows = jnp.take(
+                jnp.asarray(sobol_pair_table()),
+                jnp.clip(di, 0, SOBOL_DIMS // 2 - 1), axis=0,
+            )  # (N, 2S): bit-reversed dims (2d, 2d+1) side by side
+            x = jnp.zeros(shp, jnp.uint32)
+            y = jnp.zeros(shp, jnp.uint32)
+            for i in range(S):
+                bit = (self.samp_idx >> jnp.uint32(i)) & jnp.uint32(1)
+                on = bit == 1
+                x = x ^ jnp.where(on, rows[..., i], jnp.uint32(0))
+                y = y ^ jnp.where(on, rows[..., S + i], jnp.uint32(0))
+            hi = (self.samp_idx >> jnp.uint32(S)) * jnp.uint32(0x9E3779B9)
+            # x/y are already bit-reversed: finish the Owen scramble with
+            # lk_hash + one outer reverse
+            u0 = jnp.where(
+                use_qmc, _to_unit_float(_reverse_bits32(_lk_hash(x, k1 ^ hi))),
+                _to_unit_float(h0),
+            )
+            u1 = jnp.where(
+                use_qmc, _to_unit_float(_reverse_bits32(_lk_hash(y, k2 ^ hi))),
+                _to_unit_float(h1),
+            )
         if self.table is not None:
             dmax = self.table.shape[1]
             idx = jnp.clip(self.dim, 0, dmax - 1)
@@ -209,13 +259,15 @@ class Sampler:
         return u0, u1
 
     def next_1d(self) -> Tuple[jnp.ndarray, "Sampler"]:
-        u0, _ = self._draw()
-        return u0, self._advance(1)
+        if self.pending is not None:
+            return self.pending, self._advance(0, pending=None)
+        u0, u1 = self._draw()
+        return u0, self._advance(1, pending=u1)
 
     def next_2d(self) -> Tuple[jnp.ndarray, "Sampler"]:
         u0, u1 = self._draw()
         u = jnp.stack([u0, u1], axis=-1)
-        return u, self._advance(1)
+        return u, self._advance(1, pending=self.pending)
 
     def next_bool(self, p) -> Tuple[jnp.ndarray, "Sampler"]:
         """Bernoulli(p) per lane (PathSampleGenerator::nextBoolean)."""
@@ -228,13 +280,14 @@ class Sampler:
 
     def skip(self, n) -> "Sampler":
         """Advance the dimension counter; keeps lax.while bounce iterations
-        consuming a fixed dimension budget so streams stay aligned."""
-        return self._advance(n)
+        consuming a fixed dimension budget so streams stay aligned. Drops
+        any pending half-draw (skip means skip)."""
+        return self._advance(n, pending=None)
 
-    def _advance(self, n):
+    def _advance(self, n, pending=None):
         return Sampler(
             self.seed, self.lane_id, self.dim + n, self.table,
-            self.samp_idx, self.pix_key, self.strat,
+            self.samp_idx, self.pix_key, self.strat, pending,
         )
 
 
