@@ -15,9 +15,9 @@ overrides computed per connection — algebraically the same pdf-ratio products
 as LightPath::misWeight.
 
 Supports surface and medium (phase-function) vertices; subpaths are capped at
-K = min(max_bounces + 1, 8) vertices — contributions beyond that depth are
-negligible for the shipped scenes but the cap is configurable via the
-integrator's "bdpt_max_vertices".
+K = min(max_bounces + 1, 16) vertices by default — configurable via the
+integrator's "bdpt_max_vertices" (vertex SoA memory scales ~K, connection
+batches ~K^2/2; see SceneMeta.bdpt_max_vertices for the measured curve).
 """
 from __future__ import annotations
 
@@ -523,7 +523,7 @@ def _bdpt_sample(scene: FlatScene, seed, lane_ids, px, py, table=None,
     # LightPath(settings.maxBounces + 1) vertices per subpath
     # (BidirectionalPathTracer.cpp:14-15); cap at 8 to bound the static
     # (s, t) family unroll count on the host compiler
-    k_max = min(meta.max_bounces + 1, int(getattr(meta, "bdpt_max_vertices", 8)) or 8)
+    k_max = min(meta.max_bounces + 1, meta.bdpt_max_vertices)
     sampler = Sampler.create(seed, lane_ids, table)
     if table is not None and skip_dims:
         sampler = sampler.skip(skip_dims)

@@ -281,7 +281,7 @@ def render_kelemen_bdpt(
     meta = scene.meta
     spp = spp if spp is not None else meta.spp
     w, h = meta.res_x, meta.res_y
-    k_max = min(meta.max_bounces + 1, int(getattr(meta, "bdpt_max_vertices", 8)) or 8)
+    k_max = min(meta.max_bounces + 1, meta.bdpt_max_vertices)
     dims = _table_dims_bdpt(meta, k_max)
     lane_ids = jnp.arange(n_chains, dtype=jnp.uint32)
     seed_arr = jnp.array([seed & 0xFFFFFFFF, 0x60000], jnp.uint32)

@@ -51,7 +51,7 @@ def render_mmlt(
     meta = scene.meta
     spp = spp if spp is not None else meta.spp
     w, h = meta.res_x, meta.res_y
-    k_max = min(meta.max_bounces + 1, int(getattr(meta, "bdpt_max_vertices", 8)) or 8)
+    k_max = min(meta.max_bounces + 1, meta.bdpt_max_vertices)
     lengths = list(range(2, k_max + 1))
     dims = _table_dims_bdpt(meta, k_max, extra=2)  # slot 0 pixel, slot 1 tech
     seed_arr = jnp.array([seed & 0xFFFFFFFF, 0x70000], jnp.uint32)

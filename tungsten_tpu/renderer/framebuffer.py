@@ -37,6 +37,10 @@ class OutputBuffers:
             self.mean = np.zeros((n, 3), np.float64)
             self.m2 = np.zeros((n, 3), np.float64)
         self.aovs = {k: np.zeros((n, 3 if k in ("normal", "albedo") else 1), np.float64) for k in aovs}
+        # A/B halves per AOV: NFOR's feature prefilter needs two-buffer
+        # feature variance (denoiser.cpp:147-180 loads featureA/B/variance)
+        self.aovs_a = {k: np.zeros_like(v) for k, v in self.aovs.items()} if twobuffer else {}
+        self.aovs_b = {k: np.zeros_like(v) for k, v in self.aovs.items()} if twobuffer else {}
         self.aov_count = np.zeros(n, np.int64) if aovs else None
         self.passes = 0
 
@@ -66,6 +70,7 @@ class OutputBuffers:
                 self.sum_b += rad
                 self.count_b += n_samples
         if aux:
+            half = self.aovs_a if (self.twobuffer and self.passes % 2 == 1) else self.aovs_b
             for k, v in aux.items():
                 if k in self.aovs:
                     a = np.asarray(v, np.float64)[: m * n_pix]
@@ -76,6 +81,8 @@ class OutputBuffers:
                         np.add.at(acc, pix_map[: m * n_pix], a.reshape(m * n_pix, -1))
                         a = acc
                     self.aovs[k] += a.reshape(self.aovs[k].shape)
+                    if self.twobuffer:
+                        half[k] += a.reshape(self.aovs[k].shape)
             if self.aov_count is not None:
                 self.aov_count += n_samples
 
@@ -100,9 +107,13 @@ class OutputBuffers:
                 self.sum_b += rad
                 self.count_b += n_samples
         if aux:
+            half = self.aovs_a if (self.twobuffer and self.passes % 2 == 1) else self.aovs_b
             for k, v in aux.items():
                 if k in self.aovs:
-                    self.aovs[k] += np.asarray(v, np.float64).reshape(self.aovs[k].shape)
+                    a = np.asarray(v, np.float64).reshape(self.aovs[k].shape)
+                    self.aovs[k] += a
+                    if self.twobuffer:
+                        half[k] += a
             if self.aov_count is not None:
                 self.aov_count += n_samples
 
@@ -131,6 +142,33 @@ class OutputBuffers:
         h, w = self.res
         a = self.aovs[name] / np.maximum(self.aov_count, 1)[:, None]
         return a.reshape(h, w, -1).astype(np.float32)
+
+    def nfor_inputs(self):
+        """Assemble the NFOR pipeline inputs (utils/nfor.nfor): the color
+        half buffers + sample variance of the mean, and per-AOV feature
+        dicts with two-buffer feature variance ((a-b)^2/4, the same
+        estimator denoiser.cpp:117 uses for combined features)."""
+        h, w = self.res
+        a, b = self.half_images()
+        # variance of the FULL-buffer pixel mean: m2/(passes-1) is the
+        # variance of batch means, /passes gives the mean's variance (the
+        # reference's sampleVariance buffer; denoiser.cpp:71 uses 2*var as
+        # the half-buffer variance)
+        var = self.sample_variance() / max(self.passes, 1)
+        feats = []
+        for k in self.aovs:
+            ca = np.maximum(self.count_a, 1)[:, None]
+            cb = np.maximum(self.count_b, 1)[:, None]
+            fa = (self.aovs_a[k] / ca).reshape(h, w, -1)
+            fb = (self.aovs_b[k] / cb).reshape(h, w, -1)
+            feats.append(
+                {
+                    "buffer_a": fa,
+                    "buffer_b": fb,
+                    "variance": (fa - fb) ** 2 * 0.25,
+                }
+            )
+        return a, b, var, feats
 
     def half_images(self):
         h, w = self.res
@@ -162,6 +200,10 @@ class OutputBuffers:
             state.update(mean=self.mean, m2=self.m2)
         for k, v in self.aovs.items():
             state[f"aov_{k}"] = v
+        for k, v in self.aovs_a.items():
+            state[f"aova_{k}"] = v
+        for k, v in self.aovs_b.items():
+            state[f"aovb_{k}"] = v
         header = json.dumps(
             {"scene_hash": scene_hash, "passes": self.passes, "extra": extra or {}}
         )
@@ -188,6 +230,9 @@ class OutputBuffers:
         for k in list(self.aovs):
             if f"aov_{k}" in z:
                 self.aovs[k] = z[f"aov_{k}"]
+            if f"aova_{k}" in z and self.twobuffer:
+                self.aovs_a[k] = z[f"aova_{k}"]
+                self.aovs_b[k] = z[f"aovb_{k}"]
         self.passes = header["passes"]
         return header.get("extra", {})
 

@@ -134,6 +134,13 @@ class SceneMeta:
     cap_after_env: bool = False  # cap listed after the env/skydome primitive
     point_light_index: int = -1  # dirac point light, -1 if absent
     has_fiber_tan: bool = False  # curve prims present -> tri_tan populated
+    # BDPT subpath vertex cap: the reference allocates maxBounces+1 vertices
+    # per subpath (BidirectionalPathTracer.cpp:14-15); we cap the static
+    # (s,t) family unroll. Memory/compile curve per doubling of the cap:
+    # vertex SoA bytes scale ~K (N*K*~40 f32), connection batches ~K^2/2
+    # (each a full wavefront visibility walk) — K=16 is ~134 batches vs
+    # K=8's ~40. Override with integrator "bdpt_max_vertices".
+    bdpt_max_vertices: int = 16
 
 
 @pytree
@@ -620,6 +627,7 @@ def flatten_scene(doc: SceneDocument) -> FlatScene:
         spp=int(doc.renderer.get("spp", 32)),
         spp_step=int(doc.renderer.get("spp_step", 16)),
         use_bvh=bool(doc.renderer.get("scene_bvh", True)),
+        bdpt_max_vertices=int(integ.get("bdpt_max_vertices", 16)),
         has_fiber_tan=bool(has_fiber_tan),
         aovs=tuple(
             (
