@@ -1216,7 +1216,11 @@ def trace_regen_batch(scene: FlatScene, seed, px_cycle, py_cycle, pix_cycle,
         cyc = jnp.where(take, (new_id % jnp.uint32(W)).astype(jnp.int32), 0)
         pxn, pyn = px_cycle[cyc], py_cycle[cyc]
         pass_idx = pass_base.astype(jnp.uint32) + new_id // jnp.uint32(W)
-        lane_key = new_id  # global path id = RNG stream key (W-independent)
+        # global path id = RNG stream key, W-independent AND batch-unique:
+        # pass_base must fold in, or successive driver batches replay the
+        # SAME per-path randoms (spp stops reducing variance, A/B halves
+        # collapse) — only the in-invocation id is new_id
+        lane_key = pass_base.astype(jnp.uint32) * jnp.uint32(W) + new_id
         if strat:
             samp_idx = pass_idx * jnp.uint32(m) + (cyc // n_pix).astype(jnp.uint32)
             pix_key = pyn.astype(jnp.uint32) * jnp.uint32(meta.res_x) + pxn.astype(jnp.uint32)

@@ -82,6 +82,7 @@ def render_buffers(
     scene_hash_value: str = "",
     checkpoint_cb=None,
     checkpoint_interval: float = 0.0,
+    wavefront: str = "auto",
 ) -> OutputBuffers:
     """Full render into OutputBuffers (color + AOVs + variance)."""
     meta = scene.meta
@@ -110,7 +111,12 @@ def render_buffers(
     seed_arr = jnp.array([seed & 0xFFFFFFFF, 0], jnp.uint32)
     # regenerating wavefront: single-chip fast path without forward lobes
     # (occupancy stays ~100% across the bounce loop; see trace_regen_batch)
-    use_regen = mesh is None and not meta.has_forward
+    if wavefront == "regen":
+        use_regen = True
+    elif wavefront == "lockstep":
+        use_regen = False
+    else:
+        use_regen = mesh is None and not meta.has_forward
     if use_regen:
         from ..integrators.path_tracer import trace_regen_batch
 
@@ -210,6 +216,7 @@ def render_flat(
     samples_per_pass: int = 1,
     passes_per_batch: int = 16,
     adaptive: bool = False,
+    wavefront: str = "auto",
 ) -> np.ndarray:
     """Render and return the *linear* HDR framebuffer (H, W, 3) float32.
 
@@ -220,7 +227,7 @@ def render_flat(
     bufs = render_buffers(
         scene, spp=spp, seed=seed, verbose=verbose, mesh=mesh,
         samples_per_pass=samples_per_pass, passes_per_batch=passes_per_batch,
-        adaptive=adaptive,
+        adaptive=adaptive, wavefront=wavefront,
     )
     return bufs.color()
 
