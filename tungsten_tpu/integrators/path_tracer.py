@@ -48,6 +48,11 @@ import os as _os
 # the tile coherence that feeds Pallas chunk culling, so it is opt-in
 _NO_COMPACT = _os.environ.get("TUNGSTEN_COMPACT", "") != "1"
 _NO_STRAT = _os.environ.get("TUNGSTEN_NO_STRAT", "") == "1"
+# debug: isolate one MIS strategy half ("light" = light-sampling strategy
+# only, "bsdf" = bsdf/phase-strategy only); biased output, diagnosis only
+_DBG_MIS_HALF = _os.environ.get("TUNGSTEN_DEBUG_MIS_HALF", "")
+# debug: regen uses the lockstep _unified_nee_prepare/_finish light strategy
+_REGEN_UNEE = _os.environ.get("TUNGSTEN_REGEN_UNEE", "") == "1"
 SHADOW_FUDGE = 1.0 - 1e-3  # cf. attenuatedEmission's 1+1e-3 (TraceBase.cpp:155)
 
 
@@ -729,6 +734,10 @@ def _unified_nee_finish(scene, data, blocked, h_mis, medium, scattered):
         contrib_b = contrib_b * tr_b
     contrib_b = jnp.where((data["mis_cand"] & match)[..., None], contrib_b, 0.0)
 
+    if _DBG_MIS_HALF == "bsdf":
+        contrib_l = jnp.zeros_like(contrib_l)
+    elif _DBG_MIS_HALF == "light":
+        contrib_b = jnp.zeros_like(contrib_b)
     total = (contrib_l + contrib_b) * choice_weight
     return jnp.where(data["skip"][..., None], 0.0, total)
 
@@ -1160,7 +1169,11 @@ def _choose_and_sample_light(scene, sampler, p):
 
 def _occluded_raw(scene, p, d, near, far):
     """Any-hit boolean for explicit [near, far] segments (shadow strategy)."""
-    if jax.default_backend() == "tpu" and scene.pbvh3 is not None:
+    if _os.environ.get("TUNGSTEN_SHADOW_CLOSEST", "") == "1":
+        h = _intersect(scene, p, d, near, far)
+        return h.prim >= 0
+    if (jax.default_backend() == "tpu" and scene.pbvh3 is not None
+            and _os.environ.get("TUNGSTEN_NO_ANYHIT", "") != "1"):
         from ..ops.pallas_bvh2 import occluded_bvh_pallas3
 
         return occluded_bvh_pallas3(scene.pbvh3, p, d, near, far)
@@ -1401,6 +1414,8 @@ def trace_regen_batch(scene: FlatScene, seed, px_cycle, py_cycle, pix_cycle,
             w_emit = jnp.where(
                 mis_applies, warps.power_heuristic(s["pdf_cont"], lp_hit), 1.0
             )
+            if _DBG_MIS_HALF == "light":
+                w_emit = jnp.where(mis_applies, 0.0, w_emit)
         else:
             w_emit = jnp.ones((n,))
         add_emit = (
@@ -1431,7 +1446,28 @@ def trace_regen_batch(scene: FlatScene, seed, px_cycle, py_cycle, pix_cycle,
 
         # ---- NEE: light strategy only (single-sample MIS; the bsdf
         # strategy is the continuation sample, weighted at its hit) ----
-        if do_nee:
+        if do_nee and _REGEN_UNEE:
+            smp, nee = _unified_nee_prepare(
+                scene, smp, vp, ng, frame, wi, mat_id, uv, lobes,
+                scattered, d, ptype, g,
+            )
+            nee_gate = (
+                hit_surface_lane | (scattered & meta.enable_volume_light_sampling)
+            ) & (bounce < meta.max_bounces - 1)
+            if meta.has_media and not meta.low_order_scattering:
+                nee_gate = nee_gate & jnp.where(scattered, med_bounce > 1, True)
+            shadow_far_u = jnp.where(nee_gate, nee["shadow_far"], 0.0)
+            near_nee = jnp.where(scattered, 0.0, DEFAULT_EPSILON)
+            blocked = _occluded_raw(scene, vp, nee["ls"].d, near_nee, shadow_far_u)
+            dummy = isect.Hit(
+                t=jnp.zeros((n,)), prim=jnp.full((n,), -1, jnp.int32),
+                u=jnp.zeros((n,)), v=jnp.zeros((n,)),
+            )
+            contrib = _unified_nee_finish(scene, nee, blocked, dummy, medium, scattered)
+            emission = emission + jnp.where(
+                nee_gate[..., None], throughput_vertex * contrib, 0.0
+            )
+        elif do_nee:
             from ..models.phase import phase_eval
 
             li, is_env_c, is_cap_c, is_point_c, ls, smp = _choose_and_sample_light(
@@ -1481,6 +1517,8 @@ def trace_regen_batch(scene: FlatScene, seed, px_cycle, py_cycle, pix_cycle,
             contrib_l = jnp.where(
                 jnp.all(jnp.isfinite(contrib_l), axis=-1)[..., None], contrib_l, 0.0
             )
+            if _DBG_MIS_HALF == "bsdf":
+                contrib_l = jnp.zeros_like(contrib_l)
             emission = emission + jnp.where(
                 (cand & ~blocked)[..., None], throughput_vertex * contrib_l, 0.0
             )
