@@ -37,7 +37,9 @@ from ..models.primitives import lights as L
 from ..sampling import Sampler, warps
 from ..scene.flatten import DEFAULT_EPSILON, FlatScene
 from .light_tracer import splat_filtered
-from .path_tracer import INF, SHADOW_FUDGE, _intersect, _shading_data
+from .path_tracer import (
+    INF, SHADOW_FUDGE, _intersect, _select_medium_dir, _shading_data,
+)
 
 # vertex kinds
 V_INVALID = 0
@@ -84,6 +86,7 @@ class _Verts:
         self.light = jnp.full((n, k), -1, jnp.int32)
         self.dirac = jnp.zeros((n, k), bool)
         self.medium = jnp.full((n, k), -1, jnp.int32)
+        self.tri = jnp.full((n, k), -1, jnp.int32)  # surface prim (media select)
 
     def tree(self):
         return vars(self)
@@ -247,6 +250,7 @@ def _trace_subpath(scene, sampler, o0, d0, beta0, pdf0_dir, root_fields, k_max, 
             light=jnp.where(hit_surface, light_id, -1),
             dirac=jnp.zeros((n,), bool),
             medium=medium,
+            tri=jnp.where(hit_surface, hit.prim, -1),
         )
         for name, val in new_fields.items():
             arr = getattr(verts, name)
@@ -660,7 +664,15 @@ def _bdpt_sample(scene: FlatScene, seed, lane_ids, px, py, table=None,
             contrib = C["throughput"] * fC * fL * fL_scale / dsq[..., None]
             cand = exists & (jnp.any(contrib > 0.0, axis=-1)) & tech_mask(s, t)
 
-            med = C["medium"] if meta.has_media else jnp.full((n,), -1, jnp.int32)
+            if meta.has_media:
+                # the connection ray leaves C toward Lv: start it in C's
+                # medium on THAT side (a.selectMedium(edge.d),
+                # LightPath.cpp:358, PathVertex.cpp:379-388)
+                med = _select_medium_dir(
+                    scene, C["medium"], C["tri"], dn, C["kind"] == V_SURFACE
+                )
+            else:
+                med = jnp.full((n,), -1, jnp.int32)
             w_vis, h_vis, _ = _trace_transparent(
                 scene, C["p"], dn, jnp.where(cand, dist * SHADOW_FUDGE, 0.0), med,
                 C["kind"] != V_MEDIUM, Lv["kind"] != V_MEDIUM,
@@ -741,7 +753,14 @@ def _bdpt_sample(scene: FlatScene, seed, lane_ids, px, py, table=None,
         fL, _ = _vertex_fg(scene, Lv, Lv["wi"], dc)
         fL = fL * _adjoint_factor(Lv, dc)[..., None]
         cand = exists & vld & jnp.any(fL > 0.0, axis=-1) & tech_mask(s, 1)
-        med = Lv["medium"] if meta.has_media else jnp.full((n,), -1, jnp.int32)
+        if meta.has_media:
+            # splat walk leaves Lv toward the camera (b.selectMedium(-d),
+            # LightPath.cpp:344)
+            med = _select_medium_dir(
+                scene, Lv["medium"], Lv["tri"], dc, Lv["kind"] == V_SURFACE
+            )
+        else:
+            med = jnp.full((n,), -1, jnp.int32)
         w_vis, h_vis, _ = _trace_transparent(
             scene, Lv["p"], dc, jnp.where(cand, distc * SHADOW_FUDGE, 0.0), med,
             Lv["kind"] != V_MEDIUM, jnp.ones((n,), bool),

@@ -78,7 +78,8 @@ def splat_filtered(buf, pixel_xy, value, valid, res_x, res_y, filter_name="tent"
     return buf
 
 
-def _connect_to_camera(scene, buf, p, ng, frame, wi, mat_id, uv, throughput, medium, active):
+def _connect_to_camera(scene, buf, p, ng, frame, wi, mat_id, uv, throughput,
+                       medium, active, prim=None):
     """surfaceLensSample (TraceBase.cpp:176-244): adjoint bsdf eval toward the
     lens, generalized shadow walk, filtered splat."""
     meta = scene.meta
@@ -100,7 +101,15 @@ def _connect_to_camera(scene, buf, p, ng, frame, wi, mat_id, uv, throughput, med
     f = f * (corr / jnp.maximum(eta2, 1e-20))[..., None]
 
     cand = active & valid & jnp.any(f > 0.0, axis=-1)
-    med = medium if meta.has_media else jnp.full((n,), -1, jnp.int32)
+    if meta.has_media:
+        # the lens ray leaves the vertex toward the camera: start it in the
+        # medium on THAT side of the geometric normal (TraceBase.cpp:223-224)
+        from .path_tracer import _select_medium_dir
+
+        pr = prim if prim is not None else jnp.full((n,), -1, jnp.int32)
+        med = _select_medium_dir(scene, medium, pr, d, active)
+    else:
+        med = jnp.full((n,), -1, jnp.int32)
     w_sh, h_sh, _ = _trace_transparent(
         scene, p, d, jnp.where(cand, dist * SHADOW_FUDGE, 0.0), med,
         jnp.ones((n,), bool), jnp.ones((n,), bool),
@@ -246,7 +255,7 @@ def trace_light_pass(scene: FlatScene, seed, lane_ids):
 
         buf = _connect_to_camera(
             scene, buf, p, ng, frame, wi, mat_id, uv, throughput, medium,
-            hit_surface_lane,
+            hit_surface_lane, prim=hit.prim,
         )
 
         u_c2, smp = smp.next_2d()

@@ -216,7 +216,22 @@ def _trace_transparent(scene, o, d, far, medium, start_on_surface, end_on_surfac
     return weight, isect.Hit(t=fin_t, prim=fin_prim, u=fin_u, v=fin_v), cur_med
 
 
-def _nee(scene, sampler, p, ng, frame, wi, mat_id, uv, lobes, medium=None):
+def _select_medium_dir(scene, medium, prim, d_dir, on_surface):
+    """Primitive::selectMedium for a ray LEAVING a surface vertex along
+    d_dir (Primitive.hpp:177-183; used by every reference shadow/connection
+    ray: TraceBase.cpp:223-224/261-262/303-304, PathVertex.cpp:379-388):
+    pick int/ext medium by the side of the geometric normal d_dir exits
+    through, but only when the primitive overrides media; medium-scatter
+    (non-surface) lanes keep the current medium."""
+    tri = jnp.maximum(prim, 0)
+    backside = vo.dot(d_dir, scene.tri_ng[tri]) < 0.0
+    override = scene.tri_med_override[tri] & on_surface & (prim >= 0)
+    sel = jnp.where(backside, scene.tri_med_int[tri], scene.tri_med_ext[tri])
+    return jnp.where(override, sel, medium)
+
+
+def _nee(scene, sampler, p, ng, frame, wi, mat_id, uv, lobes, medium=None,
+         prim=None):
     """estimateDirect: one uniformly chosen light, both MIS strategies.
     Returns (N, 3) contribution (un-multiplied by throughput)."""
     meta = scene.meta
@@ -304,11 +319,16 @@ def _nee(scene, sampler, p, ng, frame, wi, mat_id, uv, lobes, medium=None):
         o2 = jnp.concatenate([p, p])
         d2 = jnp.concatenate([ls.d, wo_w])
         far2 = jnp.concatenate([shadow_far, jnp.where(bs_cand, INF, 0.0)])
-        med2 = (
-            jnp.concatenate([medium, medium])
-            if medium is not None
-            else jnp.full((2 * n,), -1, jnp.int32)
-        )
+        if medium is not None:
+            # each strategy's ray starts in the medium on ITS side of the
+            # geometric normal (TraceBase.cpp:261-262, 303-304)
+            on_surf = jnp.ones((n,), bool)
+            pr = prim if prim is not None else jnp.full((n,), -1, jnp.int32)
+            med_l = _select_medium_dir(scene, medium, pr, ls.d, on_surf)
+            med_b = _select_medium_dir(scene, medium, pr, wo_w, on_surf)
+            med2 = jnp.concatenate([med_l, med_b])
+        else:
+            med2 = jnp.full((2 * n,), -1, jnp.int32)
         w2, h2, _ = _trace_transparent(
             scene, o2, d2, far2, med2,
             jnp.ones((2 * n,), bool), jnp.ones((2 * n,), bool),
@@ -652,10 +672,13 @@ def _unified_nee_prepare(scene, sampler, vp, ng, frame, wi, mat_id, uv, lobes,
     )
 
 
-def _unified_nee_finish(scene, data, blocked, h_mis, medium, scattered):
+def _unified_nee_finish(scene, data, blocked, h_mis, medium_l, medium_b,
+                        scattered):
     """Consume the visibility results -> NEE contribution (N, 3).
     `blocked` is the shadow-strategy occlusion boolean (from the dedicated
-    any-hit kernel or a closest-hit's prim >= 0)."""
+    any-hit kernel or a closest-hit's prim >= 0). medium_l / medium_b are
+    the per-strategy shadow-ray media, each selected by ITS direction's
+    side of the geometric normal (TraceBase.cpp:261-262, 303-304)."""
     meta = scene.meta
     n = blocked.shape[0]
     ls = data["ls"]
@@ -670,7 +693,7 @@ def _unified_nee_finish(scene, data, blocked, h_mis, medium, scattered):
         from ..models.media import medium_transmittance
 
         tr_l = medium_transmittance(
-            scene.media, medium, ls.dist, ~scattered, jnp.ones((n,), bool),
+            scene.media, medium_l, ls.dist, ~scattered, jnp.ones((n,), bool),
             data["vp"], ls.d,
         )
         contrib_l = contrib_l * tr_l
@@ -728,7 +751,7 @@ def _unified_nee_finish(scene, data, blocked, h_mis, medium, scattered):
         from ..models.media import medium_transmittance
 
         tr_b = medium_transmittance(
-            scene.media, medium, jnp.where(h.prim >= 0, h.t, INF),
+            scene.media, medium_b, jnp.where(h.prim >= 0, h.t, INF),
             ~scattered, jnp.ones((n,), bool), vp, wo_mis,
         )
         contrib_b = contrib_b * tr_b
@@ -916,6 +939,11 @@ def _trace_pass_fast(scene: FlatScene, seed, lane_ids, px, py, table=None):
 
         vp = jnp.where(scattered[..., None], vert_p, p)
         throughput_vertex = throughput
+        # shadow/MIS media derive from the medium AT THE VERTEX (selected
+        # per strategy direction below) — snapshot it BEFORE the
+        # continuation's boundary update, or NEE transmittance silently
+        # evaluates in the continuation-side medium (TraceBase.cpp:261-262)
+        medium_vertex = medium
 
         # ---- NEE prepare ----
         do_nee = meta.enable_light_sampling and meta.n_lights > 0
@@ -1010,8 +1038,17 @@ def _trace_pass_fast(scene: FlatScene, seed, lane_ids, px, py, table=None):
                 t=h3.t[2 * n :], prim=h3.prim[2 * n :],
                 u=h3.u[2 * n :], v=h3.v[2 * n :],
             )
+            if meta.has_media:
+                med_l = _select_medium_dir(
+                    scene, medium_vertex, hit.prim, nee["ls"].d, hit_surface_lane
+                )
+                med_b = _select_medium_dir(
+                    scene, medium_vertex, hit.prim, nee["wo_mis"], hit_surface_lane
+                )
+            else:
+                med_l = med_b = medium_vertex
             contrib = _unified_nee_finish(
-                scene, nee, h_shadow.prim >= 0, h_mis, medium, scattered
+                scene, nee, h_shadow.prim >= 0, h_mis, med_l, med_b, scattered
             )
             emission = emission + jnp.where(
                 nee_gate[..., None], throughput_vertex * contrib, 0.0
@@ -1463,7 +1500,18 @@ def trace_regen_batch(scene: FlatScene, seed, px_cycle, py_cycle, pix_cycle,
                 t=jnp.zeros((n,)), prim=jnp.full((n,), -1, jnp.int32),
                 u=jnp.zeros((n,)), v=jnp.zeros((n,)),
             )
-            contrib = _unified_nee_finish(scene, nee, blocked, dummy, medium, scattered)
+            if meta.has_media:
+                med_l = _select_medium_dir(
+                    scene, medium, hit.prim, nee["ls"].d, hit_surface_lane
+                )
+                med_b = _select_medium_dir(
+                    scene, medium, hit.prim, nee["wo_mis"], hit_surface_lane
+                )
+            else:
+                med_l = med_b = medium
+            contrib = _unified_nee_finish(
+                scene, nee, blocked, dummy, med_l, med_b, scattered
+            )
             emission = emission + jnp.where(
                 nee_gate[..., None], throughput_vertex * contrib, 0.0
             )
@@ -1509,8 +1557,11 @@ def trace_regen_batch(scene: FlatScene, seed, px_cycle, py_cycle, pix_cycle,
             if meta.has_media:
                 from ..models.media import medium_transmittance
 
+                med_l = _select_medium_dir(
+                    scene, medium, hit.prim, ls.d, hit_surface_lane
+                )
                 tr_l = medium_transmittance(
-                    scene.media, medium, ls.dist, ~scattered,
+                    scene.media, med_l, ls.dist, ~scattered,
                     jnp.ones((n,), bool), vp, ls.d,
                 )
                 contrib_l = contrib_l * tr_l
@@ -1847,7 +1898,8 @@ def trace_pass(scene: FlatScene, seed, lane_ids, px, py, table=None):
 
         # ---- surface NEE ----
         if meta.enable_light_sampling and meta.n_lights > 0:
-            nee, smp = _nee(scene, smp, p, ng, frame, wi, mat_id, uv, lobes, medium)
+            nee, smp = _nee(scene, smp, p, ng, frame, wi, mat_id, uv, lobes,
+                            medium, prim=hit.prim)
             do_nee = hit_surface_lane & ~go_forward & (bounce < meta.max_bounces - 1)
             emission = emission + jnp.where(do_nee[..., None], throughput * nee, 0.0)
         else:
