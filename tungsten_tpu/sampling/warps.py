@@ -98,3 +98,54 @@ def gaussian_filter_sample(u0, u1, width=2.0, alpha=2.0):
     r = jnp.sqrt(-jnp.log(jnp.maximum(1e-7, 1.0 - u0 * (1.0 - jnp.exp(-alpha * width * width)))) / alpha)
     phi = 2.0 * jnp.pi * u1
     return r * jnp.cos(phi), r * jnp.sin(phi)
+
+
+# ---- inverse warps (RJ-MLT path inversion, SampleWarp.hpp:17-146) ---------
+# Each invert_* is a right-inverse of its forward warp: forward(invert(w))
+# reproduces w up to fp rounding. `mu` supplies the free uniform for
+# degenerate (measure-zero) inputs, mirroring the reference's untracked1D().
+
+def invert_phi(w, mu=0.5):
+    """Azimuth of w as a [0,1) uniform (SampleWarp::invertPhi)."""
+    degen = (w[..., 0] == 0.0) & (w[..., 1] == 0.0)
+    res = jnp.where(
+        degen, mu * INV_TWO_PI * (2.0 * jnp.pi),
+        jnp.arctan2(w[..., 1], w[..., 0]) * INV_TWO_PI,
+    )
+    return jnp.where(res < 0.0, res + 1.0, res)
+
+
+def invert_cosine_hemisphere(w, mu=0.5):
+    return jnp.stack(
+        [invert_phi(w, mu), jnp.maximum(1.0 - w[..., 2] * w[..., 2], 0.0)],
+        axis=-1,
+    )
+
+
+def invert_uniform_hemisphere(w, mu=0.5):
+    return jnp.stack([invert_phi(w, mu), w[..., 2]], axis=-1)
+
+
+def invert_uniform_sphere(w, mu=0.5):
+    return jnp.stack([invert_phi(w, mu), (w[..., 2] + 1.0) * 0.5], axis=-1)
+
+
+def invert_uniform_disk(p, mu=0.5):
+    return jnp.stack(
+        [invert_phi(p, mu), p[..., 0] ** 2 + p[..., 1] ** 2], axis=-1
+    )
+
+
+def invert_uniform_spherical_cap(w, cos_theta_max, mu=0.5):
+    """Returns (u2, ok) — ok False when w lies outside the cap."""
+    y = (w[..., 2] - cos_theta_max) / jnp.maximum(1.0 - cos_theta_max, 1e-20)
+    ok = (y >= 0.0) & (y < 1.0)
+    return jnp.stack([invert_phi(w, mu), jnp.clip(y, 0.0, 1.0)], axis=-1), ok
+
+
+def invert_uniform_triangle_uv(bary):
+    """Inverse of uniform_triangle_uv: barycentric (a, b) -> u2."""
+    u1 = 1.0 - bary[..., 0]
+    u0 = u1 * u1
+    ub = bary[..., 1] / jnp.maximum(u1, 1e-20)
+    return jnp.stack([u0, jnp.clip(ub, 0.0, 1.0)], axis=-1)
