@@ -216,6 +216,29 @@ def test_kelemen_mlt_matches_path_tracer():
     np.testing.assert_allclose(ratio, 1.0, atol=0.15)
 
 
+def test_rjmlt_matches_path_tracer():
+    """RJ-MLT vs PT flux agreement (VERDICT r2 missing #2): the strategy
+    perturbations (technique jumps via path inversion) must leave the
+    estimator unbiased relative to the MMLT baseline — same tolerance as
+    the Kelemen/MMLT tests at this mutation budget."""
+    import json
+
+    from tungsten_tpu.integrators.rjmlt import render_rjmlt
+
+    with open("/root/reference/data/example-scenes/cornell-box/scene.json") as f:
+        raw = json.load(f)
+    raw["camera"]["resolution"] = [32, 24]
+    raw["integrator"]["max_bounces"] = 4
+
+    doc = parse_scene(raw, path="/root/reference/data/example-scenes/cornell-box/scene.json")
+    scene = flatten_scene(doc)
+    img_pt = render_flat(scene, spp=96, seed=51)
+    img_rj = render_rjmlt(scene, spp=96, seed=52, n_chains=4096, bootstrap_factor=8)
+    mask = img_pt.max(-1) > 0.01
+    ratio = img_rj[mask].mean(0) / img_pt[mask].mean(0)
+    np.testing.assert_allclose(ratio, 1.0, atol=0.15)
+
+
 def test_bdpt_matches_path_tracer_in_media():
     """Volumetric BDPT vs PT (VERDICT r2 item 2, resolved round 3): with a
     scattering medium filling the box, all estimators must agree.

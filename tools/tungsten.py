@@ -159,6 +159,15 @@ def main():
                     verbose=not args.quiet,
                 )
                 out = save_simple(hdr)
+            elif itype == "reversible_jump_mlt":
+                from tungsten_tpu.integrators.rjmlt import render_rjmlt
+
+                hdr = render_rjmlt(
+                    scene, spp=args.spp, seed=args.seed,
+                    p_large=float(doc.integrator.get("large_step_probability", 0.1)),
+                    verbose=not args.quiet,
+                )
+                out = save_simple(hdr)
             elif itype in ("photon_map", "progressive_photon_map"):
                 from tungsten_tpu.renderer.render import render_sppm
 

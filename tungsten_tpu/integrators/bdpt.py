@@ -87,6 +87,7 @@ class _Verts:
         self.dirac = jnp.zeros((n, k), bool)
         self.medium = jnp.full((n, k), -1, jnp.int32)
         self.tri = jnp.full((n, k), -1, jnp.int32)  # surface prim (media select)
+        self.flip = jnp.zeros((n, k), bool)  # two-sided shading-frame flip
 
     def tree(self):
         return vars(self)
@@ -251,6 +252,7 @@ def _trace_subpath(scene, sampler, o0, d0, beta0, pdf0_dir, root_fields, k_max, 
             dirac=jnp.zeros((n,), bool),
             medium=medium,
             tri=jnp.where(hit_surface, hit.prim, -1),
+            flip=flip & hit_surface,
         )
         for name, val in new_fields.items():
             arr = getattr(verts, name)
@@ -505,7 +507,7 @@ def trace_bdpt_pass(scene: FlatScene, seed, lane_ids, px, py):
 
 
 def _bdpt_sample(scene: FlatScene, seed, lane_ids, px, py, table=None,
-                 skip_dims=1, sel=None, collect=False):
+                 skip_dims=1, sel=None, collect=False, return_verts=False):
     """Core BDPT sample evaluation.
 
     table: optional (N, D, 2) primary-sample table (MLT replay — the
@@ -819,6 +821,12 @@ def _bdpt_sample(scene: FlatScene, seed, lane_ids, px, py, table=None,
             t1_val = jnp.zeros((n, 1, 3))
             t1_pixf = jnp.zeros((n, 1, 2))
             t1_ok = jnp.zeros((n, 1), bool)
-        return dict(eye=eye, t1_val=t1_val, t1_pixf=t1_pixf, t1_ok=t1_ok)
+        out = dict(eye=eye, t1_val=t1_val, t1_pixf=t1_pixf, t1_ok=t1_ok)
+        if return_verts:
+            out["cv"] = cv.tree()
+            out["lv"] = lv.tree()
+            out["n_cv"] = n_cv
+            out["n_lv"] = n_lv
+        return out
     splat = jnp.where(jnp.isfinite(splat), splat, 0.0)
     return eye, splat

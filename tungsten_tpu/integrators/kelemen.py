@@ -273,6 +273,7 @@ def render_kelemen_bdpt(
     p_large=0.1,
     bootstrap_factor=16,
     verbose=False,
+    mesh=None,
 ):
     """Bidirectional PSSMLT (the reference's default "bidirectional": true
     mode): each primary-sample vector drives one camera + one light subpath
@@ -313,6 +314,12 @@ def render_kelemen_bdpt(
         t1_pixf=evs["t1_pixf"], lum=evs["lum"],
         splat=jnp.zeros((w * h, 3), jnp.float32),
     )
+    if mesh is not None:
+        from ..parallel.mesh import replicate, shard_chain_state, shard_lanes
+
+        scene = replicate(mesh, scene)
+        lane_ids = shard_lanes(mesh, lane_ids)
+        state = shard_chain_state(mesh, state, n_chains)
 
     total_mutations = spp * w * h
     steps = max(1, total_mutations // n_chains)
@@ -339,6 +346,7 @@ def render_kelemen(
     p_large=0.1,
     bootstrap_factor=16,
     verbose=False,
+    mesh=None,
 ):
     """Full PSSMLT render. Total mutations = spp * W * H."""
     meta = scene.meta
@@ -384,6 +392,12 @@ def render_kelemen(
         pix=pix,
         splat=jnp.zeros((w * h, 3), jnp.float32),
     )
+    if mesh is not None:
+        from ..parallel.mesh import replicate, shard_chain_state, shard_lanes
+
+        scene = replicate(mesh, scene)
+        lane_ids = shard_lanes(mesh, lane_ids)
+        state = shard_chain_state(mesh, state, n_chains)
 
     total_mutations = spp * w * h
     steps = max(1, total_mutations // n_chains)

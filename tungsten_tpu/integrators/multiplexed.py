@@ -36,25 +36,14 @@ def _ntech(v):
     return 1 if v <= 2 else v
 
 
-def render_mmlt(
-    scene: FlatScene,
-    spp=None,
-    seed=0xBA5EBA11,
-    n_chains=1 << 13,
-    p_large=0.1,
-    bootstrap_factor=16,
-    verbose=False,
-):
-    """Full MMLT render. Total mutations = spp * W * H, split across path
-    lengths proportionally to the bootstrap per-length luminance
-    (MultiplexedMltIntegrator.cpp:92-94)."""
+def _bootstrap_mmlt(scene, seed, seed_arr, n_chains, k_max, bootstrap_factor):
+    """Shared MMLT/RJ-MLT bootstrap: per-length luminance estimation,
+    chain-count budgeting, and luminance-proportional seeding. Returns
+    (state-without-splat, bw (N,), v_sel (N,)) or None if the scene is
+    black (MultiplexedMltIntegrator.cpp:92-124)."""
     meta = scene.meta
-    spp = spp if spp is not None else meta.spp
-    w, h = meta.res_x, meta.res_y
-    k_max = min(meta.max_bounces + 1, meta.bdpt_max_vertices)
     lengths = list(range(2, k_max + 1))
     dims = _table_dims_bdpt(meta, k_max, extra=2)  # slot 0 pixel, slot 1 tech
-    seed_arr = jnp.array([seed & 0xFFFFFFFF, 0x70000], jnp.uint32)
 
     # ---- bootstrap: per-length luminances on uniformly-assigned lanes ----
     lane_ids = jnp.arange(n_chains, dtype=jnp.uint32)
@@ -80,7 +69,7 @@ def render_mmlt(
     b_v = {v: float(lums_np[v_np == v].mean()) for v in lengths}
     b_total = sum(b_v.values())
     if b_total <= 0:
-        return np.zeros((h, w, 3), np.float32)
+        return None
 
     # ---- allocate chains per length proportional to b_V (>= 1 each) ----
     n_v = {}
@@ -130,8 +119,42 @@ def render_mmlt(
         t1_val=evs["t1_val"] * nt_lane[:, None, None],
         t1_pixf=evs["t1_pixf"],
         lum=evs["lum"] * nt_lane,
-        splat=jnp.zeros((w * h, 3), jnp.float32),
     )
+    return state, bw, v_sel
+
+
+def render_mmlt(
+    scene: FlatScene,
+    spp=None,
+    seed=0xBA5EBA11,
+    n_chains=1 << 13,
+    p_large=0.1,
+    bootstrap_factor=16,
+    verbose=False,
+    mesh=None,
+):
+    """Full MMLT render. Total mutations = spp * W * H, split across path
+    lengths proportionally to the bootstrap per-length luminance
+    (MultiplexedMltIntegrator.cpp:92-94)."""
+    meta = scene.meta
+    spp = spp if spp is not None else meta.spp
+    w, h = meta.res_x, meta.res_y
+    k_max = min(meta.max_bounces + 1, meta.bdpt_max_vertices)
+    seed_arr = jnp.array([seed & 0xFFFFFFFF, 0x70000], jnp.uint32)
+    lane_ids = jnp.arange(n_chains, dtype=jnp.uint32)
+
+    boot = _bootstrap_mmlt(scene, seed, seed_arr, n_chains, k_max,
+                           bootstrap_factor)
+    if boot is None:
+        return np.zeros((h, w, 3), np.float32)
+    state, bw, v_sel = boot
+    state = dict(state, splat=jnp.zeros((w * h, 3), jnp.float32))
+    if mesh is not None:
+        from ..parallel.mesh import replicate, shard_chain_state, shard_lanes
+
+        scene = replicate(mesh, scene)
+        lane_ids, bw, v_sel = shard_lanes(mesh, lane_ids, bw, v_sel)
+        state = shard_chain_state(mesh, state, n_chains)
 
     total_mutations = spp * w * h
     steps = max(1, total_mutations // n_chains)

@@ -217,14 +217,12 @@ def bsdf_invert(ctx, mat_id, uv, wi, wo, mu=(0.5, 0.5, 0.5)):
     tid = materials.type[mat_id]
 
     n = wi.shape[0]
-    u2 = jnp.full((n, 2), mu[0], jnp.float32)
-    u1 = jnp.full((n,), mu[2], jnp.float32)
-    ok = jnp.zeros((n,), bool)
-    mu_arr = (
-        jnp.full((n,), mu[0], jnp.float32),
-        jnp.full((n,), mu[1], jnp.float32),
-        jnp.full((n,), mu[2], jnp.float32),
+    mu_arr = tuple(
+        jnp.broadcast_to(jnp.asarray(m, jnp.float32), (n,)) for m in mu
     )
+    u2 = jnp.stack([mu_arr[0], mu_arr[0]], axis=-1)
+    u1 = mu_arr[2]
+    ok = jnp.zeros((n,), bool)
     for type_id in materials.present:
         mod = module_for_id(type_id)
         fn = _INVERTERS.get(mod.NAME)

@@ -43,3 +43,19 @@ def replicate(mesh: Mesh, tree):
 
 def pad_to_devices(n: int, n_dev: int) -> int:
     return ((n + n_dev - 1) // n_dev) * n_dev
+
+
+def shard_chain_state(mesh: Mesh, state: dict, n_chains: int):
+    """Shard an MLT chain-state dict over the mesh: every (n_chains, ...)
+    leading-axis array lane-shards; everything else (the splat framebuffer)
+    replicates. Chain counts are powers of two, so they divide any 2^k
+    device count."""
+    lane_sh = NamedSharding(mesh, P("shard"))
+    repl = NamedSharding(mesh, P())
+    out = {}
+    for k, v in state.items():
+        if hasattr(v, "shape") and v.ndim >= 1 and v.shape[0] == n_chains:
+            out[k] = jax.device_put(v, lane_sh)
+        else:
+            out[k] = jax.device_put(v, repl)
+    return out

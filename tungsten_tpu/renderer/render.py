@@ -328,10 +328,16 @@ def render_sppm(
     volume_radius=None,
     alpha=0.3,
     verbose=False,
+    mesh=None,
 ):
     """Stochastic progressive photon mapping: per iteration one photon pass
     (hash-grid build) + one camera gather pass; radius shrinks per
-    ProgressivePhotonMapIntegrator.cpp:58-76 (r_{i+1}^2 = r_i^2 (i+a)/(i+1))."""
+    ProgressivePhotonMapIntegrator.cpp:58-76 (r_{i+1}^2 = r_i^2 (i+a)/(i+1)).
+
+    mesh: optional device mesh — photon-trace lanes and camera-gather lanes
+    shard over it (global lane ids keep the deposits identical); the photon
+    pack is small (~10 MB at 2^18 photons) so the grid build runs on the
+    gathered set, XLA inserting the all-gather over ICI."""
     from ..integrators.photon_map import build_photon_grid, gather_pass, trace_photons
 
     meta = scene.meta
@@ -340,6 +346,18 @@ def render_sppm(
     n = w * h
     px = jnp.tile(jnp.arange(w, dtype=jnp.int32), h)
     py = jnp.repeat(jnp.arange(h, dtype=jnp.int32), w)
+    shard_cam = False
+    if mesh is not None:
+        from ..parallel.mesh import pad_to_devices, replicate, shard_lanes
+
+        scene = replicate(mesh, scene)
+        n_dev = mesh.devices.size
+        photons_per_iter = pad_to_devices(photons_per_iter, n_dev)
+        # camera lanes shard only when they divide evenly (no pad lane
+        # machinery in the gather); photon lanes always shard
+        shard_cam = n % n_dev == 0
+        if shard_cam:
+            px, py = shard_lanes(mesh, px, py)
     ext = np.asarray(scene.bvh.node_max[0] - scene.bvh.node_min[0])
     diag = float(np.linalg.norm(ext))
     if initial_radius is None:
@@ -358,6 +376,10 @@ def render_sppm(
     for it in range(iters):
         seed_ph = jnp.array([seed & 0xFFFFFFFF, 0x30000 + it], jnp.uint32)
         lane_ph = jnp.arange(photons_per_iter, dtype=jnp.uint32)
+        if mesh is not None:
+            from ..parallel.mesh import shard_lanes
+
+            lane_ph = shard_lanes(mesh, lane_ph)
         surf, vol = trace_photons(scene, seed_ph, lane_ph, k_max=k_ph)
         radius = float(np.sqrt(r2))
         pack, starts, counts, ovf = build_photon_grid(
@@ -377,6 +399,10 @@ def render_sppm(
             vargs = {}
         seed_cam = jnp.array([seed & 0xFFFFFFFF, 0x40000 + it], jnp.uint32)
         lane_cam = jnp.arange(n, dtype=jnp.uint32)
+        if shard_cam:
+            from ..parallel.mesh import shard_lanes
+
+            lane_cam = shard_lanes(mesh, lane_cam)
         img = gather_pass(
             scene, seed_cam, lane_cam, px, py, pack, starts, counts,
             jnp.float32(radius), jnp.float32(photons_per_iter), **vargs,
