@@ -176,6 +176,7 @@ def main():
                     scene, spp=args.spp, seed=args.seed,
                     photons_per_iter=min(int(pm.get("photon_count", 1 << 18)), 1 << 20),
                     alpha=float(pm.get("alpha", 0.3)),
+                    volume_photon_type=pm.get("volume_photon_type", "points"),
                     verbose=not args.quiet,
                 )
                 out = save_simple(hdr)

@@ -274,6 +274,8 @@ def render_kelemen_bdpt(
     bootstrap_factor=16,
     verbose=False,
     mesh=None,
+    resume_file=None,
+    scene_hash_value="",
 ):
     """Bidirectional PSSMLT (the reference's default "bidirectional": true
     mode): each primary-sample vector drives one camera + one light subpath
@@ -325,6 +327,12 @@ def render_kelemen_bdpt(
     steps = max(1, total_mutations // n_chains)
     chunk = 16
     it = 0
+    if resume_file:
+        loaded = load_mlt_state(resume_file, scene_hash_value)
+        if loaded is not None:
+            state, _, it = loaded
+            if verbose:
+                print(f"  resumed at mlt step {it}")
     while it < steps:
         k = min(chunk, steps - it)
         state = mlt_steps_bdpt(
@@ -334,6 +342,8 @@ def render_kelemen_bdpt(
         it += k
         if verbose:
             print(f"  mlt-bdpt step {it}/{steps}")
+    if resume_file:
+        save_mlt_state(resume_file, scene_hash_value, state, it)
     img = np.asarray(state["splat"]).reshape(h, w, 3) / (steps * n_chains)
     return img * (w * h)
 
@@ -347,6 +357,8 @@ def render_kelemen(
     bootstrap_factor=16,
     verbose=False,
     mesh=None,
+    resume_file=None,
+    scene_hash_value="",
 ):
     """Full PSSMLT render. Total mutations = spp * W * H."""
     meta = scene.meta
@@ -403,6 +415,12 @@ def render_kelemen(
     steps = max(1, total_mutations // n_chains)
     chunk = 32
     it = 0
+    if resume_file:
+        loaded = load_mlt_state(resume_file, scene_hash_value)
+        if loaded is not None:
+            state, _, it = loaded
+            if verbose:
+                print(f"  resumed at mlt step {it}")
     while it < steps:
         k = min(chunk, steps - it)
         state = mlt_steps(
@@ -412,5 +430,45 @@ def render_kelemen(
         it += k
         if verbose:
             print(f"  mlt step {it}/{steps}")
+    if resume_file:
+        save_mlt_state(resume_file, scene_hash_value, state, it)
     img = np.asarray(state["splat"]).reshape(h, w, 3) / (steps * n_chains)
     return img * (w * h)
+
+
+# ---- MLT chain-state checkpoint/resume --------------------------------------
+# The reference CANNOT resume its splatting integrators (Integrator.cpp:117,
+# saveState only covers the sample buffers — its own known gap). Here the
+# complete chain population (primary-sample tables, cached splat sets,
+# luminances, the accumulated splat buffer, and the per-length budgeting
+# arrays) round-trips through one npz, so Kelemen/MMLT/RJ-MLT renders
+# checkpoint and resume exactly.
+
+def save_mlt_state(path, scene_hash, state, it, extras=None):
+    import json as _json
+    import os as _os
+
+    header = _json.dumps({"scene_hash": scene_hash, "it": int(it)})
+    arrs = {f"s_{k}": np.asarray(v) for k, v in state.items()}
+    for k, v in (extras or {}).items():
+        arrs[f"x_{k}"] = np.asarray(v)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, __header__=np.frombuffer(header.encode(), np.uint8), **arrs)
+    _os.replace(tmp, path)
+
+
+def load_mlt_state(path, scene_hash):
+    """Returns (state dict, extras dict, it) or None on mismatch/absence."""
+    import json as _json
+    import os as _os
+
+    if not _os.path.exists(path):
+        return None
+    z = np.load(path)
+    header = _json.loads(bytes(z["__header__"]).decode())
+    if header["scene_hash"] != scene_hash:
+        return None
+    state = {k[2:]: jnp.asarray(z[k]) for k in z.files if k.startswith("s_")}
+    extras = {k[2:]: jnp.asarray(z[k]) for k in z.files if k.startswith("x_")}
+    return state, extras, int(header["it"])

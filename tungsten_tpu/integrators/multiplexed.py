@@ -132,6 +132,8 @@ def render_mmlt(
     bootstrap_factor=16,
     verbose=False,
     mesh=None,
+    resume_file=None,
+    scene_hash_value="",
 ):
     """Full MMLT render. Total mutations = spp * W * H, split across path
     lengths proportionally to the bootstrap per-length luminance
@@ -156,10 +158,23 @@ def render_mmlt(
         lane_ids, bw, v_sel = shard_lanes(mesh, lane_ids, bw, v_sel)
         state = shard_chain_state(mesh, state, n_chains)
 
+    from .kelemen import load_mlt_state, save_mlt_state
+
     total_mutations = spp * w * h
     steps = max(1, total_mutations // n_chains)
+    if resume_file:
+        loaded = load_mlt_state(resume_file, scene_hash_value)
+        if loaded is not None:
+            state, extras, _it0 = loaded
+            bw = extras.get("bw", bw)
+            v_sel = extras.get("v_sel", v_sel)
+            globals_it0 = _it0
+        else:
+            globals_it0 = 0
+    else:
+        globals_it0 = 0
     chunk = 16
-    it = 0
+    it = globals_it0
     while it < steps:
         k = min(chunk, steps - it)
         state = mlt_steps_bdpt(
@@ -169,5 +184,8 @@ def render_mmlt(
         it += k
         if verbose:
             print(f"  mmlt step {it}/{steps}")
+    if resume_file:
+        save_mlt_state(resume_file, scene_hash_value, state, it,
+                       extras=dict(bw=bw, v_sel=v_sel))
     img = np.asarray(state["splat"]).reshape(h, w, 3) / steps
     return img * (w * h) / n_chains

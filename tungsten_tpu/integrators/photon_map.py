@@ -90,6 +90,11 @@ def trace_photons(scene: FlatScene, seed, lane_ids, k_max=6):
             first_scatter=jnp.ones((n,), bool),
             med_bounce=jnp.zeros((n,), jnp.int32),
             since_surface=jnp.zeros((n,), jnp.int32),
+            # photon BEAMS (short-beam mode): one record per medium segment
+            bo=jnp.zeros((n, k_max, 3)), bd=jnp.zeros((n, k_max, 3)),
+            blen=jnp.zeros((n, k_max)), bpow=jnp.zeros((n, k_max, 3)),
+            bmed=jnp.zeros((n, k_max), jnp.int32),
+            bval=jnp.zeros((n, k_max), bool),
         )
 
     def body(k, s):
@@ -110,6 +115,27 @@ def trace_photons(scene: FlatScene, seed, lane_ids, k_max=6):
                 scene.media, s["medium"], o, d, far, s["first_scatter"],
                 s["med_bounce"], u_mc, u_md, u_mb,
             )
+            # SHORT photon beam over this medium segment (PathPhoton,
+            # Photon.hpp:50-56 / PhotonTracer.cpp:440-510): covers the
+            # segment up to the REALIZED end (sampled scatter or surface
+            # hit), power = throughput ENTERING the segment — the sampled
+            # length's expectation supplies the photon-side transmittance,
+            # so the 1D estimate needs only the camera-side Tr. The first
+            # segment after a surface/light is single scattering -> gated
+            # like the points mode (PhotonTracer.cpp:456-458).
+            seg_end = jnp.where(
+                ms.scattered & alive, ms.t, jnp.where(hit.prim >= 0, hit.t, INF)
+            )
+            beam_ok = (
+                alive & (s["medium"] >= 0) & (seg_end < INF)
+                & (jnp.asarray(meta.low_order_scattering) | (s["since_surface"] > 0))
+            )
+            s["bo"] = s["bo"].at[:, k].set(o)
+            s["bd"] = s["bd"].at[:, k].set(d)
+            s["blen"] = s["blen"].at[:, k].set(jnp.where(beam_ok, seg_end, 0.0))
+            s["bpow"] = s["bpow"].at[:, k].set(jnp.where(beam_ok[..., None], power, 0.0))
+            s["bmed"] = s["bmed"].at[:, k].set(s["medium"])
+            s["bval"] = s["bval"].at[:, k].set(beam_ok)
             power = power * jnp.where(alive[..., None], ms.weight, 1.0)
             scattered = ms.scattered & alive
             did_hit = ms.exited & did_hit
@@ -215,9 +241,19 @@ def trace_photons(scene: FlatScene, seed, lane_ids, k_max=6):
             final["vval"].reshape(n * k_max),
             bounce,
         )
+        beams = (
+            final["bo"].reshape(n * k_max, 3),
+            final["bd"].reshape(n * k_max, 3),
+            final["blen"].reshape(n * k_max),
+            final["bpow"].reshape(n * k_max, 3),
+            final["bmed"].reshape(n * k_max),
+            final["bval"].reshape(n * k_max),
+            bounce,
+        )
     else:
         vol = None
-    return surf, vol
+        beams = None
+    return surf, vol, beams
 
 
 @jax.jit
@@ -246,6 +282,185 @@ def build_photon_grid(pos, power, wi, valid, cell_size, bounce=None):
 
 
 MAX_VOL_STEPS = 96
+BEAM_STATIONS = 64  # hash-grid insertion points per beam (spacing = r_beam)
+
+
+@partial(jax.jit, static_argnames=())
+def build_beam_grid(bo, bd, blen, bpow, bmed, valid, bounce, r_beam):
+    """Insert photon beams into the hash grid as STATIONS spaced r_beam
+    apart along each beam (the cell is 2*r_beam wide, so a station is
+    always within the 3x3x3 neighborhood of any crossing point its interval
+    owns — see the interval dedup in _beam1d_gather). The reference inserts
+    beams into a BVH (PhotonTracer.hpp:103-112 + GridAccel); the sorted
+    hash grid is the TPU-native equivalent of its memory-budgeted DDA grid
+    (GridAccel.hpp:173-199). Beams longer than BEAM_STATIONS * r_beam get
+    truncated coverage — counted and returned as overflow."""
+    nb = bo.shape[0]
+    cell_sz = 2.0 * r_beam
+    step = r_beam
+    si = jnp.arange(BEAM_STATIONS, dtype=jnp.float32)
+    s0 = si[None, :] * step  # (NB, S) station interval starts
+    st_valid = valid[:, None] & (s0 < blen[:, None])
+    st_pos = bo[:, None, :] + bd[:, None, :] * jnp.minimum(
+        s0 + 0.5 * step, jnp.maximum(blen[:, None] - 1e-6, 0.0)
+    )[..., None]
+    cell = jnp.where(
+        st_valid[..., None], jnp.floor(st_pos / cell_sz).astype(jnp.int32), 1 << 28
+    )
+    key = jnp.where(
+        st_valid,
+        _hash_cell(cell[..., 0].ravel(), cell[..., 1].ravel(), cell[..., 2].ravel()
+                   ).reshape(nb, BEAM_STATIONS),
+        jnp.uint32(GRID_SIZE),
+    ).ravel()
+    # row per station: [o(3) d(3) len pow(3) bounce med s0] = 13 floats
+    row = jnp.concatenate(
+        [
+            bo, bd, blen[:, None], bpow,
+            bounce.astype(jnp.float32)[:, None],
+            bmed.astype(jnp.float32)[:, None],
+        ],
+        axis=1,
+    )  # (NB, 12)
+    rows = jnp.broadcast_to(row[:, None, :], (nb, BEAM_STATIONS, 12))
+    s0_b = jnp.broadcast_to(s0, (nb, BEAM_STATIONS))
+    rows = jnp.concatenate([rows, s0_b[..., None]], axis=-1).reshape(-1, 13)
+    order = jnp.argsort(key)
+    key_s = key[order]
+    pack = rows[order]
+    grid_ids = jnp.arange(GRID_SIZE, dtype=jnp.uint32)
+    starts = jnp.searchsorted(key_s, grid_ids, side="left")
+    ends = jnp.searchsorted(key_s, grid_ids, side="right")
+    counts = (ends - starts).astype(jnp.int32)
+    overflow = jnp.sum(jnp.maximum(counts - MAX_PER_CELL, 0))
+    truncated = jnp.sum(
+        jnp.where(valid, jnp.maximum(blen - BEAM_STATIONS * step, 0.0), 0.0)
+    )
+    return pack, starts.astype(jnp.int32), counts, overflow, truncated
+
+
+def _beam1d_gather(scene, o, d, seg, medium, active, bpack, bstarts,
+                   bcounts, r_beam, cam_bounce):
+    """Short-beam 1D estimator (PhotonTracer.cpp:35-66 intersectBeam1D +
+    :120-135 evalBeam1D): for every photon beam whose perpendicular
+    distance to the camera ray is < r at their crossing:
+      sigma_t(x) * (1/sin theta) / (2 r) * phase(b.dir, -d)
+        * Tr_cam(0 -> t) * beam.power
+    gated by fullPathBounce. The photon-side transmittance is implicit in
+    the SHORT beam length (the sampled-distance expectation).
+
+    Dedup: a station accepts the beam only when the crossing's beam
+    parameter s lies in ITS interval [s0, s0+step) — unique per beam, and
+    the owning station sits within sqrt(2)*r < cell of the crossing, so
+    the 27-neighborhood always visits it."""
+    from ..models.media import medium_transmittance
+    from ..models.media.media import _hetero_density, _hetero_ray
+    from ..models.phase import phase_eval
+
+    meta = scene.meta
+    n = o.shape[0]
+    cell_sz = 2.0 * r_beam
+    step = r_beam
+    total = bpack.shape[0]
+    marange = jnp.arange(MAX_PER_CELL)
+    mi = jnp.maximum(medium, 0)
+    offsets = jnp.asarray(
+        [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)],
+        jnp.int32,
+    )
+
+    seg = jnp.where(active, seg, 0.0)
+    inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-12, 1e-12, d)
+    stp = jnp.where(d >= 0.0, 1, -1)
+    cell0 = jnp.floor(o / cell_sz).astype(jnp.int32)
+    nxt = (cell0.astype(jnp.float32) + (d >= 0.0)) * cell_sz
+    tmax = (nxt - o) * inv_d
+    tdelta = jnp.abs(cell_sz * inv_d)
+    # per-(lane, bundle-slot) hetero line params for sigma_t(t) lookups —
+    # built once (o, d are loop-invariant), tiled over the MAX_PER_CELL axis
+    rep = lambda a: jnp.repeat(a, MAX_PER_CELL, axis=0)
+    hp_nm = _hetero_ray(scene.media, rep(mi), rep(o), rep(d))
+
+    def visit(cell, acc):
+        def nb(kk, a):
+            off = offsets[kk]
+            h = _hash_cell(cell[:, 0] + off[0], cell[:, 1] + off[1], cell[:, 2] + off[2])
+            start = bstarts[h]
+            cnt = jnp.minimum(bcounts[h], MAX_PER_CELL)
+            idx = jnp.clip(start[:, None] + marange[None, :], 0, total - 1)
+            b = bpack[idx]  # (N, M, 13)
+            mask = (marange[None, :] < cnt[:, None]) & active[:, None]
+            b_o = b[..., 0:3]
+            b_d = b[..., 3:6]
+            b_len = b[..., 6]
+            b_pow = b[..., 7:10]
+            b_bounce = b[..., 10].astype(jnp.int32)
+            b_s0 = b[..., 12]
+            # intersectBeam1D
+            l = b_o - o[:, None, :]
+            u = vo.normalize(jnp.cross(l, b_d), eps=1e-12)
+            nv = jnp.cross(b_d, u)
+            denom = jnp.sum(nv * d[:, None, :], axis=-1)
+            t = jnp.sum(nv * l, axis=-1) / jnp.where(
+                jnp.abs(denom) < 1e-9, 1e-9, denom
+            )
+            hitp = o[:, None, :] + d[:, None, :] * t[..., None]
+            cosr = jnp.sum(d[:, None, :] * b_d, axis=-1)
+            inv_sin = 1.0 / jnp.sqrt(jnp.maximum(1.0 - cosr * cosr, 1e-8))
+            perp = jnp.abs(jnp.sum(u * (hitp - b_o), axis=-1))
+            s_cr = jnp.sum(b_d * (hitp - b_o), axis=-1)
+            ok = (
+                mask
+                & (perp < r_beam)
+                & (t > 0.0) & (t < seg[:, None])
+                & (s_cr >= 0.0) & (s_cr <= b_len)
+                & (s_cr >= b_s0) & (s_cr < b_s0 + step)  # interval dedup
+            )
+            full_b = cam_bounce + b_bounce - 1
+            ok = ok & (full_b >= meta.min_bounces) & (full_b < meta.max_bounces)
+            # sigma_t at the crossing (channel vector, density-modulated)
+            dens = _hetero_density(hp_nm, t.reshape(-1)).reshape(t.shape)
+            sig_t = scene.media.sigma_t[mi][:, None, :] * dens[..., None]
+            fp = phase_eval(
+                jnp.broadcast_to(scene.media.phase_type[mi][:, None], t.shape).reshape(-1),
+                jnp.broadcast_to(scene.media.phase_g[mi][:, None], t.shape).reshape(-1),
+                b_d.reshape(-1, 3),
+                jnp.broadcast_to(-d[:, None, :], b_d.shape).reshape(-1, 3),
+            ).reshape(t.shape)
+            tr = medium_transmittance(
+                scene.media,
+                jnp.broadcast_to(medium[:, None], t.shape).reshape(-1),
+                jnp.maximum(t, 0.0).reshape(-1),
+                jnp.ones((n * MAX_PER_CELL,), bool),
+                jnp.zeros((n * MAX_PER_CELL,), bool),
+                jnp.broadcast_to(o[:, None, :], b_d.shape).reshape(-1, 3),
+                jnp.broadcast_to(d[:, None, :], b_d.shape).reshape(-1, 3),
+            ).reshape(t.shape + (3,))
+            contrib = (
+                sig_t * (inv_sin / (2.0 * r_beam) * fp)[..., None] * tr * b_pow
+            )
+            return a + jnp.sum(jnp.where(ok[..., None], contrib, 0.0), axis=1)
+
+        return jax.lax.fori_loop(0, 27, nb, acc)
+
+    def cond(st):
+        i, t, cell, tm, acc = st
+        return (i < MAX_VOL_STEPS) & jnp.any((t < seg) & active)
+
+    def body(st):
+        i, t, cell, tm, acc = st
+        acc = visit(cell, acc)
+        ax = jnp.argmin(tm, axis=-1)
+        t_new = jnp.take_along_axis(tm, ax[:, None], axis=-1)[:, 0]
+        cell = cell.at[jnp.arange(n), ax].add(stp[jnp.arange(n), ax])
+        tm = tm.at[jnp.arange(n), ax].add(tdelta[jnp.arange(n), ax])
+        return (i + 1, t_new, cell, tm, acc)
+
+    _, _, _, _, acc = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), jnp.zeros((n,)), cell0, tmax, jnp.zeros((n, 3))),
+    )
+    return acc
 
 
 def _volume_beam_gather(scene, o, d, seg, medium, active, vpack, vstarts,
@@ -308,8 +523,8 @@ def _volume_beam_gather(scene, o, d, seg, medium, active, vpack, vstarts,
             ok = mask & dedup & (dist2 < r2) & gate
             kern = 3.0 * warps.INV_PI * (1.0 - dist2 / r2) ** 2 / r2
             fp = phase_eval(
-                ptype[:, None] * jnp.ones((1, MAX_PER_CELL), jnp.int32),
-                g[:, None] * jnp.ones((1, MAX_PER_CELL)),
+                jnp.broadcast_to(ptype[:, None], (n, MAX_PER_CELL)).reshape(-1),
+                jnp.broadcast_to(g[:, None], (n, MAX_PER_CELL)).reshape(-1),
                 ph[..., 6:9].reshape(-1, 3),
                 jnp.broadcast_to(-d[:, None, :], (n, MAX_PER_CELL, 3)).reshape(-1, 3),
             ).reshape(n, MAX_PER_CELL)
@@ -350,7 +565,8 @@ def _volume_beam_gather(scene, o, d, seg, medium, active, vpack, vstarts,
 @jax.jit
 def gather_pass(scene: FlatScene, seed, lane_ids, px, py, pack, starts, counts,
                 radius, n_emitted, vpack=None, vstarts=None, vcounts=None,
-                v_radius=None, scene_far=None):
+                v_radius=None, scene_far=None,
+                bpack=None, bstarts=None, bcounts=None, b_radius=None):
     """Camera pass: specular-chain walk + fixed-radius photon density estimate
     at the first non-specular hit (PhotonTracer::traceSensorPath). With a
     volume photon grid (vpack/...): per-bounce beam-query volume gather over
@@ -363,6 +579,7 @@ def gather_pass(scene: FlatScene, seed, lane_ids, px, py, pack, starts, counts,
     u_lens, sampler = sampler.next_2d()
     o, d = camera_rays(scene.camera, meta, px, py, u_cam, u_lens)
     do_volume = meta.has_media and vpack is not None
+    do_beams = meta.has_media and bpack is not None
 
     state = dict(
         o=o, d=d, throughput=jnp.ones((n, 3)), emission=jnp.zeros((n, 3)),
@@ -384,16 +601,23 @@ def gather_pass(scene: FlatScene, seed, lane_ids, px, py, pack, starts, counts,
         did_hit = (hit.prim >= 0) & alive
 
         # ---- volume gather over this segment + transmittance to it ----
-        if do_volume:
+        if do_volume or do_beams:
             from ..models.media import medium_transmittance
 
             seg = jnp.where(did_hit, hit.t, scene_far)
             in_med = alive & (s["medium"] >= 0)
-            est = _volume_beam_gather(
-                scene, o, d, seg, s["medium"], in_med,
-                vpack, vstarts, vcounts, v_radius, k + 1,
-            )
-            emission = emission + throughput * est / n_emitted
+            if do_volume:
+                est = _volume_beam_gather(
+                    scene, o, d, seg, s["medium"], in_med,
+                    vpack, vstarts, vcounts, v_radius, k + 1,
+                )
+                emission = emission + throughput * est / n_emitted
+            if do_beams:
+                est_b = _beam1d_gather(
+                    scene, o, d, seg, s["medium"], in_med,
+                    bpack, bstarts, bcounts, b_radius, k + 1,
+                )
+                emission = emission + throughput * est_b / n_emitted
             tr = medium_transmittance(
                 scene.media, s["medium"], seg, jnp.ones((n,), bool),
                 jnp.ones((n,), bool), o, d,

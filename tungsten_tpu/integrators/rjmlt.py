@@ -432,6 +432,8 @@ def render_rjmlt(
     bootstrap_factor=16,
     verbose=False,
     mesh=None,
+    resume_file=None,
+    scene_hash_value="",
 ):
     """Full RJ-MLT render: MMLT chain populations + every STRATEGY_EVERY-th
     mutation a reversible-jump strategy perturbation. Bootstrap, per-length
@@ -459,9 +461,22 @@ def render_rjmlt(
         lane_ids, bw, v_sel = shard_lanes(mesh, lane_ids, bw, v_sel)
         state = shard_chain_state(mesh, state, n_chains)
 
+    from .kelemen import load_mlt_state, save_mlt_state
+
     total_mutations = spp * w * h
     steps = max(1, total_mutations // n_chains)
-    it = 0
+    if resume_file:
+        loaded = load_mlt_state(resume_file, scene_hash_value)
+        if loaded is not None:
+            state, extras, _it0 = loaded
+            bw = extras.get("bw", bw)
+            v_sel = extras.get("v_sel", v_sel)
+            globals_it0 = _it0
+        else:
+            globals_it0 = 0
+    else:
+        globals_it0 = 0
+    it = globals_it0
     acc_hist = []
     while it < steps:
         k = min(STRATEGY_EVERY - 1, steps - it)
@@ -480,6 +495,9 @@ def render_rjmlt(
             it += 1
         if verbose:
             print(f"  rjmlt step {it}/{steps}")
+    if resume_file:
+        save_mlt_state(resume_file, scene_hash_value, state, it,
+                       extras=dict(bw=bw, v_sel=v_sel))
     if verbose and acc_hist:
         acc = float(np.mean([float(a) for a, _ in acc_hist]))
         inv = float(np.mean([float(i) for _, i in acc_hist]))

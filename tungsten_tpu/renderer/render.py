@@ -329,10 +329,14 @@ def render_sppm(
     alpha=0.3,
     verbose=False,
     mesh=None,
+    volume_photon_type="points",
 ):
     """Stochastic progressive photon mapping: per iteration one photon pass
     (hash-grid build) + one camera gather pass; radius shrinks per
     ProgressivePhotonMapIntegrator.cpp:58-76 (r_{i+1}^2 = r_i^2 (i+a)/(i+1)).
+
+    volume_photon_type: "points" (3D kernel, beam query) or "beams"
+    (short photon beams, 1D kernel) — PhotonMapSettings volumePhotonType.
 
     mesh: optional device mesh — photon-trace lanes and camera-gather lanes
     shard over it (global lane ids keep the deposits identical); the photon
@@ -380,13 +384,14 @@ def render_sppm(
             from ..parallel.mesh import shard_lanes
 
             lane_ph = shard_lanes(mesh, lane_ph)
-        surf, vol = trace_photons(scene, seed_ph, lane_ph, k_max=k_ph)
+        surf, vol, beams = trace_photons(scene, seed_ph, lane_ph, k_max=k_ph)
         radius = float(np.sqrt(r2))
         pack, starts, counts, ovf = build_photon_grid(
             surf[0], surf[1], surf[2], surf[3], radius, bounce=surf[4]
         )
         ovf_total += int(ovf)
-        if vol is not None:
+        vargs = {}
+        if vol is not None and volume_photon_type == "points":
             vpack, vstarts, vcounts, ovf_v = build_photon_grid(
                 vol[0], vol[1], vol[2], vol[3], 2.0 * r_vol, bounce=vol[4]
             )
@@ -395,8 +400,18 @@ def render_sppm(
                 vpack=vpack, vstarts=vstarts, vcounts=vcounts,
                 v_radius=jnp.float32(r_vol), scene_far=jnp.float32(diag * 2.0),
             )
-        else:
-            vargs = {}
+        elif beams is not None and volume_photon_type == "beams":
+            from ..integrators.photon_map import build_beam_grid
+
+            bpack, bstarts, bcounts, ovf_b, trunc = build_beam_grid(
+                beams[0], beams[1], beams[2], beams[3], beams[4], beams[5],
+                beams[6], jnp.float32(r_vol),
+            )
+            ovf_total += int(ovf_b)
+            vargs = dict(
+                bpack=bpack, bstarts=bstarts, bcounts=bcounts,
+                b_radius=jnp.float32(r_vol), scene_far=jnp.float32(diag * 2.0),
+            )
         seed_cam = jnp.array([seed & 0xFFFFFFFF, 0x40000 + it], jnp.uint32)
         lane_cam = jnp.arange(n, dtype=jnp.uint32)
         if shard_cam:
@@ -413,7 +428,12 @@ def render_sppm(
         # r^2), volume POINTS use cbrt(gamma)
         gamma_it = (it + 1 + alpha) / (it + 2)
         r2 = r2 * gamma_it
-        r_vol = r_vol * gamma_it ** (1.0 / 3.0)
+        # kernel-dimension exponents: surface 2D -> gamma on r^2; volume
+        # points 3D -> cbrt; beams 1D -> gamma directly on r
+        if volume_photon_type == "beams":
+            r_vol = r_vol * gamma_it
+        else:
+            r_vol = r_vol * gamma_it ** (1.0 / 3.0)
         if verbose:
             print(f"  sppm iter {it + 1}/{iters} r={radius:.4f} r_vol={r_vol:.4f}")
     if ovf_total and verbose:
