@@ -102,12 +102,7 @@ def _occluded(scene, p, d, dist):
     rtcOccluded split, TraceableScene.hpp:211-223)."""
     far = jnp.where(dist >= INF, INF, dist * SHADOW_FUDGE)
     near = jnp.full(p.shape[:-1], DEFAULT_EPSILON)
-    if jax.default_backend() == "tpu" and scene.pbvh3 is not None:
-        from ..ops.pallas_bvh2 import occluded_bvh_pallas3
-
-        return occluded_bvh_pallas3(scene.pbvh3, p, d, near, far)
-    h = _intersect(scene, p, d, near, far, any_hit=True)
-    return h.prim >= 0
+    return _occluded_raw(scene, p, d, near, far)
 
 
 def _forward_transparency(scene, mat_id, uv, wi):
@@ -1209,11 +1204,16 @@ def _occluded_raw(scene, p, d, near, far):
     if _os.environ.get("TUNGSTEN_SHADOW_CLOSEST", "") == "1":
         h = _intersect(scene, p, d, near, far)
         return h.prim >= 0
-    if (jax.default_backend() == "tpu" and scene.pbvh3 is not None
-            and _os.environ.get("TUNGSTEN_NO_ANYHIT", "") != "1"):
-        from ..ops.pallas_bvh2 import occluded_bvh_pallas3
+    if jax.default_backend() == "tpu" and _os.environ.get("TUNGSTEN_NO_ANYHIT", "") != "1":
+        if (scene.pbvh8 is not None
+                and _os.environ.get("TUNGSTEN_SHADOW_BVH2", "") != "1"):
+            from ..ops.pallas_bvh8 import occluded_bvh_pallas8
 
-        return occluded_bvh_pallas3(scene.pbvh3, p, d, near, far)
+            return occluded_bvh_pallas8(scene.pbvh8, p, d, near, far)
+        if scene.pbvh3 is not None:
+            from ..ops.pallas_bvh2 import occluded_bvh_pallas3
+
+            return occluded_bvh_pallas3(scene.pbvh3, p, d, near, far)
     h = _intersect(scene, p, d, near, far, any_hit=True)
     return h.prim >= 0
 

@@ -1,11 +1,13 @@
-"""Minimal OpenVDB (.vdb) reader: dense-ifies one float grid.
+"""Minimal OpenVDB (.vdb) container reader: header, metadata, and grid
+descriptors only — the 5-4-3 TREE PAYLOAD IS NOT DECODED. Every .vdb load
+fails loudly at _read_grid with repack instructions; use an
+OpenVDB-enabled Python offline to dump the density grid to .npy and
+reference it as a {"type": "dense"} grid spec (models/grids/grid.py).
 
-Supports the subset needed to load typical fog volumes written by OpenVDB
-3.x-8.x with NO compression or ZLIB compression (the reference links full
-OpenVDB, src/core/grids/VdbGrid.cpp; this environment has no OpenVDB, so
-the 5-4-3 tree topology and leaf buffers are parsed directly). Blosc
-compression and non-float grids raise loudly — repack such assets to
-.npy/.npz ({"type": "dense"}) with any OpenVDB-enabled Python offline.
+The reference links full OpenVDB (src/core/grids/VdbGrid.cpp); this
+environment has neither OpenVDB nor any .vdb test asset, so a blind tree
+decoder could not be validated — the honest boundary is the descriptor
+walk (useful for error messages naming the grids a file DOES contain).
 
 Format notes (derived from the public openvdb/io/* layout):
   header: int64 magic 0x56444220 | uint32 file version | 2x uint32 library

@@ -129,7 +129,7 @@ class PallasBvhPack8:
 
 def _walk_kernel8(
     rays_ref, boxes_ref, kid_ref, ord_ref, planes_ref, out_ref, stack_ref,
-    *, m8, leaf, rt, walks, fast=False,
+    *, m8, leaf, rt, walks, fast=False, any_hit=False,
 ):
     """Software-pipelined traversal loop. On-chip profiling showed the naive
     loop pays ~5 us of pure LATENCY per iteration (its control flow consumes
@@ -254,6 +254,14 @@ def _walk_kernel8(
             & (t > tnear * (1.0 - e_t))
             & (t < jnp.minimum(tfar, cur) * (1.0 + e_t))
         )
+        if any_hit:
+            # latch: best-t = 0 kills every future box test for this ray
+            # (tmin < min(tfar, 0) never holds), so its subtree pushes stop
+            # and the walk drains early — the rtcOccluded split
+            hit_now = jnp.max(h.astype(jnp.float32), axis=0, keepdims=True) > 0.0
+            out_ref[0:1, c0:c1] = jnp.where(hit_now, 0.0, cur)
+            out_ref[1:2, c0:c1] = jnp.where(hit_now, 1.0, out_ref[1:2, c0:c1])
+            return
         tt = jnp.where(h, t, _INF)
         tbest = jnp.min(tt, axis=0, keepdims=True)
         slot = jnp.min(jnp.where(tt <= tbest, slot_iota, 1e9), axis=0, keepdims=True)
@@ -346,17 +354,18 @@ def _walk_kernel8(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("m8", "leaf", "rt", "walks", "fast")
+    jax.jit, static_argnames=("m8", "leaf", "rt", "walks", "fast", "any_hit")
 )
 def _launch8(
     rays_m, boxes, kid, order, planes, m8, leaf=LEAF, rt=RAY_TILE, walks=4,
-    fast=False,
+    fast=False, any_hit=False,
 ):
     """`planes`: f32 table when fast=False, (hi, lo) bf16 pair when True."""
     blk = rt * walks
     g = rays_m.shape[1] // blk
     kern = functools.partial(
-        _walk_kernel8, m8=m8, leaf=leaf, rt=rt, walks=walks, fast=fast
+        _walk_kernel8, m8=m8, leaf=leaf, rt=rt, walks=walks, fast=fast,
+        any_hit=any_hit,
     )
     if fast:
         plane_specs = [
@@ -529,6 +538,23 @@ import os as _os
 _RT_DEFAULT = int(_os.environ.get("TUNGSTEN_ISECT_RT", "256"))
 _WALKS_DEFAULT = int(_os.environ.get("TUNGSTEN_ISECT_WALKS", "8"))
 _FAST_DEFAULT = _os.environ.get("TUNGSTEN_ISECT_EXACT", "") != "1"
+
+
+def occluded_bvh_pallas8(
+    pack: PallasBvhPack8, o, d, tnear, tfar,
+    rt: int = _RT_DEFAULT, walks: int = _WALKS_DEFAULT,
+) -> jnp.ndarray:
+    """Any-hit query -> bool per ray, on the 8-wide ordered-traversal
+    kernel: leaves LATCH (best-t forced to 0 on first hit, draining the
+    walk early) — the rtcOccluded split on the gen-4 kernel. Runs the
+    exact f32 leaf (a bf16 phantom would FALSE-occlude)."""
+    n = o.shape[0]
+    rays_m, g, _ = _pack_rays(o, d, tnear, tfar, rt * walks)
+    out = _launch8(
+        rays_m, pack.boxes, pack.kid, pack.order, pack.planes, pack.n_nodes,
+        leaf=pack.leaf, rt=rt, walks=walks, fast=False, any_hit=True,
+    )
+    return out[1, :n] > 0.0
 
 
 def intersect_bvh_pallas8(
