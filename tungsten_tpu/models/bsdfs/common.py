@@ -81,3 +81,30 @@ class BsdfSample:
             lobe=jnp.zeros((n,), jnp.int32),
             valid=jnp.zeros((n,), bool),
         )
+
+
+def pack_roughness(spec, key, default, tex_builder):
+    """Roughness parameter slot: scalar value, or -(tex_id + 2) when the
+    scene drives it with a texture (the reference's roughness is a
+    Texture, e.g. RoughConductorBsdf::_roughness). Decode at eval time
+    with resolve_roughness."""
+    r = spec.get(key, default)
+    if isinstance(r, (int, float)):
+        return float(r)
+    from ..textures import texture_from_spec
+
+    tid = texture_from_spec(r, tex_builder, spec.get("_resolve_path"))
+    return -(float(tid) + 2.0)
+
+
+def resolve_roughness(ctx, rough_param, uv):
+    """Per-lane roughness: scalar slots pass through; negative-encoded
+    texture ids evaluate the texture's first channel at uv."""
+    import jax.numpy as jnp
+
+    from ..textures import eval_texture
+
+    _, textures = ctx
+    tid = jnp.maximum((-rough_param - 2.0).astype(jnp.int32), 0)
+    tex_r = eval_texture(textures, tid, uv)[..., 0]
+    return jnp.where(rough_param < -1.0, tex_r, rough_param)

@@ -130,9 +130,11 @@ def _inv_plastic(ctx, params, albedo, uv, wi, wo, mu):
 
 
 def _inv_rough_plastic(ctx, params, albedo, uv, wi, wo, mu):
+    from .common import resolve_roughness
     from .rough_plastic import _spec_prob as rp_spec_prob, _tr as rp_tr
 
     rough, ior, dist = rp_tr(params)
+    rough = resolve_roughness(ctx, rough, uv)
     # the glossy lobe SAMPLES its half-vector with the scaled roughness
     # (RoughDielectricBsdf::sampleBase) — invert with the same alpha
     sample_rough = (1.2 - 0.2 * jnp.sqrt(jnp.abs(wi[..., 2]))) * rough
@@ -157,9 +159,11 @@ def _inv_rough_plastic(ctx, params, albedo, uv, wi, wo, mu):
 
 
 def _inv_rough_conductor(ctx, params, albedo, uv, wi, wo, mu):
+    from .common import resolve_roughness
     from .rough_conductor import _unpack as rc_unpack
 
     _, _, rough, dist = rc_unpack(params)
+    rough = resolve_roughness(ctx, rough, uv)
     alpha = mf.roughness_to_alpha(dist, rough)
     m = vo.normalize(wi + wo, eps=1e-12)
     ok = (wi[..., 2] > 0.0) & (wo[..., 2] > 0.0) & (vo.dot(wi, m) > 0.0)

@@ -28,9 +28,9 @@ def pack(spec, params, tex_builder):
     params[5] = spec.get("_substrate_index", -1)
     if params[5] < 0:
         raise ValueError("rough_coat requires a substrate")
-    r = spec.get("roughness", 0.1)
-    if not isinstance(r, (int, float)):
-        raise NotImplementedError("textured roughness")
+    from .common import pack_roughness
+
+    r = pack_roughness(spec, "roughness", 0.1, tex_builder)
     params[6] = r
     params[7] = mf.dist_id(spec.get("distribution", "ggx"))
     return params
@@ -62,8 +62,10 @@ def _substrate_eval_pdf(ctx, params, uv, wi, wo, nonspecular_only):
     return f, p
 
 
-def _coat(params, wi, wo, what):
-    rough = params[..., 6]
+def _coat(ctx, params, uv, wi, wo, what):
+    from .common import resolve_roughness
+
+    rough = resolve_roughness(ctx, params[..., 6], uv)
     ior = params[..., 0]
     dist = params[..., 7].astype(jnp.int32)
     n = wi.shape[0]
@@ -76,7 +78,7 @@ def _coat(params, wi, wo, what):
 
 def eval(ctx, params, albedo, uv, wi, wo, nonspecular_only=False):
     f_sub, _ = _substrate_eval_pdf(ctx, params, uv, wi, wo, nonspecular_only)
-    f_coat = _coat(params, wi, wo, "eval")
+    f_coat = _coat(ctx, params, uv, wi, wo, "eval")
     valid = (wi[..., 2] > 0.0) & (wo[..., 2] > 0.0)
     return jnp.where(valid[..., None], f_sub + f_coat[..., None], 0.0)
 
@@ -84,7 +86,7 @@ def eval(ctx, params, albedo, uv, wi, wo, nonspecular_only=False):
 def pdf(ctx, params, albedo, uv, wi, wo, nonspecular_only=False):
     _, _, _, _, spec_prob, _ = _setup(params, wi)
     _, p_sub = _substrate_eval_pdf(ctx, params, uv, wi, wo, nonspecular_only)
-    p_coat = _coat(params, wi, wo, "pdf")
+    p_coat = _coat(ctx, params, uv, wi, wo, "pdf")
     p = p_coat * spec_prob + p_sub * (1.0 - spec_prob)
     valid = (wi[..., 2] > 0.0) & (wo[..., 2] > 0.0)
     return jnp.where(valid, p, 0.0)
@@ -94,7 +96,9 @@ def sample(ctx, params, albedo, uv, wi, u2, u1, nonspecular_only=False):
     from .dispatch import bsdf_sample
 
     ior, eta, fi, cos_ti, spec_prob, sub_id = _setup(params, wi)
-    rough = params[..., 6]
+    from .common import resolve_roughness
+
+    rough = resolve_roughness(ctx, params[..., 6], uv)
     dist = params[..., 7].astype(jnp.int32)
     n = wi.shape[0]
     t = jnp.ones((n,), bool)

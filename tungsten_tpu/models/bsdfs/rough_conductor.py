@@ -10,7 +10,7 @@ import jax.numpy as jnp
 
 from ...math import vecops as vo
 from . import microfacet as mf
-from .common import BsdfSample, Lobes
+from .common import BsdfSample, Lobes, resolve_roughness
 from .complex_ior import lookup
 from .fresnel import conductor_reflectance
 
@@ -28,10 +28,9 @@ def pack(spec, params, tex_builder):
         eta, k = mat
     params[0:3] = np.asarray(eta, np.float32)
     params[3:6] = np.asarray(k, np.float32)
-    r = spec.get("roughness", 0.1)
-    if not isinstance(r, (int, float)):
-        raise NotImplementedError("textured roughness")
-    params[6] = r
+    from .common import pack_roughness
+
+    params[6] = pack_roughness(spec, "roughness", 0.1, tex_builder)
     params[7] = mf.dist_id(spec.get("distribution", "ggx"))
     return params
 
@@ -47,6 +46,7 @@ def _unpack(params):
 
 def eval(ctx, params, albedo, uv, wi, wo, nonspecular_only=False):
     eta, k, rough, dist = _unpack(params)
+    rough = resolve_roughness(ctx, rough, uv)
     alpha = mf.roughness_to_alpha(dist, rough)
     hr = vo.normalize(wi + wo, eps=1e-12)
     cos_m = vo.dot(wi, hr)
@@ -60,6 +60,7 @@ def eval(ctx, params, albedo, uv, wi, wo, nonspecular_only=False):
 
 def pdf(ctx, params, albedo, uv, wi, wo, nonspecular_only=False):
     _, _, rough, dist = _unpack(params)
+    rough = resolve_roughness(ctx, rough, uv)
     alpha = mf.roughness_to_alpha(dist, rough)
     hr = vo.normalize(wi + wo, eps=1e-12)
     p = mf.pdf(dist, alpha, hr) * 0.25 / jnp.maximum(jnp.abs(vo.dot(wi, hr)), 1e-20)
@@ -69,6 +70,7 @@ def pdf(ctx, params, albedo, uv, wi, wo, nonspecular_only=False):
 
 def sample(ctx, params, albedo, uv, wi, u2, u1, nonspecular_only=False):
     eta, k, rough, dist = _unpack(params)
+    rough = resolve_roughness(ctx, rough, uv)
     alpha = mf.roughness_to_alpha(dist, rough)
     m = mf.sample(dist, alpha, u2)
     wi_dot_m = vo.dot(wi, m)

@@ -24,10 +24,9 @@ def lobes_for(spec, sub_lobes):
 
 def pack(spec, params, tex_builder):
     params[0] = spec.get("ior", 1.5)
-    r = spec.get("roughness", 0.1)
-    if not isinstance(r, (int, float)):
-        raise NotImplementedError("textured roughness")
-    params[1] = r
+    from .common import pack_roughness
+
+    params[1] = pack_roughness(spec, "roughness", 0.1, tex_builder)
     params[2] = mf.dist_id(spec.get("distribution", "ggx"))
     params[3] = 1.0 if spec.get("enable_refraction", True) else 0.0
     return params
@@ -146,19 +145,28 @@ def _eta2(wi, wo, ior):
 def eval(ctx, params, albedo, uv, wi, wo, nonspecular_only=False):
     sr, st = _masks(params, wi, nonspecular_only)
     ior = params[..., 0]
-    f = eval_base(wi, wo, params[..., 1], ior, params[..., 2].astype(jnp.int32), sr, st)
+    from .common import resolve_roughness
+
+    rough = resolve_roughness(ctx, params[..., 1], uv)
+    f = eval_base(wi, wo, rough, ior, params[..., 2].astype(jnp.int32), sr, st)
     return albedo * (f * _eta2(wi, wo, ior))[..., None]
 
 
 def pdf(ctx, params, albedo, uv, wi, wo, nonspecular_only=False):
     sr, st = _masks(params, wi, nonspecular_only)
-    return pdf_base(wi, wo, params[..., 1], params[..., 0], params[..., 2].astype(jnp.int32), sr, st)
+    from .common import resolve_roughness
+
+    rough = resolve_roughness(ctx, params[..., 1], uv)
+    return pdf_base(wi, wo, rough, params[..., 0], params[..., 2].astype(jnp.int32), sr, st)
 
 
 def sample(ctx, params, albedo, uv, wi, u2, u1, nonspecular_only=False):
     sr, st = _masks(params, wi, nonspecular_only)
     ior = params[..., 0]
-    s = sample_base(wi, u2, u1, params[..., 1], ior, params[..., 2].astype(jnp.int32), sr, st)
+    from .common import resolve_roughness
+
+    rough = resolve_roughness(ctx, params[..., 1], uv)
+    s = sample_base(wi, u2, u1, rough, ior, params[..., 2].astype(jnp.int32), sr, st)
     return BsdfSample(
         wo=s.wo,
         weight=s.weight * albedo * _eta2(wi, s.wo, ior)[..., None],

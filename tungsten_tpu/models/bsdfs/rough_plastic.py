@@ -22,10 +22,9 @@ LOBES = Lobes.GLOSSY_R | Lobes.DIFFUSE_R
 def pack(spec, params, tex_builder):
     params = pack_coat_common(spec, params)
     params[5] = compute_diffuse_fresnel(float(params[0]))
-    r = spec.get("roughness", 0.1)
-    if not isinstance(r, (int, float)):
-        raise NotImplementedError("textured roughness")
-    params[6] = r
+    from .common import pack_roughness
+
+    params[6] = pack_roughness(spec, "roughness", 0.1, tex_builder)
     params[7] = mf.dist_id(spec.get("distribution", "ggx"))
     a = spec.get("albedo", 1.0)
     if isinstance(a, (int, float)):
@@ -49,6 +48,9 @@ def _tr(params):
 
 def eval(ctx, params, albedo, uv, wi, wo, nonspecular_only=False):
     rough, ior, dist = _tr(params)
+    from .common import resolve_roughness
+
+    rough = resolve_roughness(ctx, rough, uv)
     n = wi.shape[0]
     t = jnp.ones((n,), bool)
     f = jnp.zeros((n,), jnp.float32)
@@ -60,6 +62,9 @@ def eval(ctx, params, albedo, uv, wi, wo, nonspecular_only=False):
 
 def pdf(ctx, params, albedo, uv, wi, wo, nonspecular_only=False):
     rough, ior, dist = _tr(params)
+    from .common import resolve_roughness
+
+    rough = resolve_roughness(ctx, rough, uv)
     n = wi.shape[0]
     t = jnp.ones((n,), bool)
     fz = jnp.zeros((n,), bool)
@@ -73,6 +78,9 @@ def pdf(ctx, params, albedo, uv, wi, wo, nonspecular_only=False):
 
 def sample(ctx, params, albedo, uv, wi, u2, u1, nonspecular_only=False):
     rough, ior, dist = _tr(params)
+    from .common import resolve_roughness
+
+    rough = resolve_roughness(ctx, rough, uv)
     n = wi.shape[0]
     t = jnp.ones((n,), bool)
     fz = jnp.zeros((n,), bool)
