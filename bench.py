@@ -70,7 +70,11 @@ def main():
         return
 
     n_pix = scene.meta.res_x * scene.meta.res_y
-    spp_warm, spp_meas, m, ppb = 16, 64, 4, 4
+    # batch config from the measured sweep (COVERAGE.md perf state): the
+    # regen wavefront's per-iteration cost grows SUPER-linearly with lane
+    # count, so one sample per pixel per pass with deep pass fusion wins
+    # (0.237 vs 0.179 Mpaths/s at m=4/ppb=4 on materialtest)
+    spp_warm, spp_meas, m, ppb = 16, 64, 1, 32
     render_flat(scene, spp=spp_warm, samples_per_pass=m, passes_per_batch=ppb)
     rates = []
     for trial in range(TRIALS):

@@ -32,7 +32,10 @@ def scene():
 
 @pytest.fixture(scope="module")
 def single_img(scene):
-    return render_flat(scene, spp=4)
+    # pin the LOCKSTEP wavefront: multi-device renders use it (the regen
+    # wavefront is single-chip-only and draws a different — equally
+    # unbiased — stream), and the bitwise promise is per-wavefront
+    return render_flat(scene, spp=4, wavefront="lockstep")
 
 
 def test_has_virtual_devices():

@@ -76,7 +76,7 @@ def render_buffers(
     verbose: bool = False,
     mesh=None,
     samples_per_pass: int = 1,
-    passes_per_batch: int = 16,
+    passes_per_batch: int = 32,
     adaptive: bool = False,
     resume_file: str | None = None,
     scene_hash_value: str = "",
@@ -214,7 +214,7 @@ def render_flat(
     verbose: bool = False,
     mesh=None,
     samples_per_pass: int = 1,
-    passes_per_batch: int = 16,
+    passes_per_batch: int = 32,
     adaptive: bool = False,
     wavefront: str = "auto",
 ) -> np.ndarray:
