@@ -1012,26 +1012,24 @@ def _trace_pass_fast(scene: FlatScene, seed, lane_ids, px, py, table=None):
         alive = alive & (~do_rr | survive)
         cont_alive = alive & (bounce + 1 < meta.max_bounces)
 
-        # ---- ONE merged intersect: [shadow | mis | continuation] ----
+        # ---- merged [mis | continuation] closest hit + any-hit shadows ----
+        # (the shadow strategy needs only a boolean: the latching any-hit
+        # walk answers it cheaper than carrying it in the closest batch)
         o_new = vp
         near_cont = jnp.where(scattered, 0.0, DEFAULT_EPSILON)
         if do_nee:
             near_nee = jnp.where(scattered, 0.0, DEFAULT_EPSILON)
-            o3 = jnp.concatenate([vp, vp, o_new])
-            d3 = jnp.concatenate([nee["ls"].d, nee["wo_mis"], wo_w])
-            near3 = jnp.concatenate([near_nee, near_nee, near_cont])
-            far3 = jnp.concatenate(
-                [shadow_far, mis_far, jnp.where(cont_alive, INF, 0.0)]
+            shadow_blocked = _occluded_raw(
+                scene, vp, nee["ls"].d, near_nee, shadow_far
             )
+            o3 = jnp.concatenate([vp, o_new])
+            d3 = jnp.concatenate([nee["wo_mis"], wo_w])
+            near3 = jnp.concatenate([near_nee, near_cont])
+            far3 = jnp.concatenate([mis_far, jnp.where(cont_alive, INF, 0.0)])
             h3 = _intersect(scene, o3, d3, near3, far3)
-            h_shadow = isect.Hit(t=h3.t[:n], prim=h3.prim[:n], u=h3.u[:n], v=h3.v[:n])
-            h_mis = isect.Hit(
-                t=h3.t[n : 2 * n], prim=h3.prim[n : 2 * n],
-                u=h3.u[n : 2 * n], v=h3.v[n : 2 * n],
-            )
+            h_mis = isect.Hit(t=h3.t[:n], prim=h3.prim[:n], u=h3.u[:n], v=h3.v[:n])
             h_cont = isect.Hit(
-                t=h3.t[2 * n :], prim=h3.prim[2 * n :],
-                u=h3.u[2 * n :], v=h3.v[2 * n :],
+                t=h3.t[n:], prim=h3.prim[n:], u=h3.u[n:], v=h3.v[n:],
             )
             if meta.has_media:
                 med_l = _select_medium_dir(
@@ -1043,7 +1041,7 @@ def _trace_pass_fast(scene: FlatScene, seed, lane_ids, px, py, table=None):
             else:
                 med_l = med_b = medium_vertex
             contrib = _unified_nee_finish(
-                scene, nee, h_shadow.prim >= 0, h_mis, med_l, med_b, scattered
+                scene, nee, shadow_blocked, h_mis, med_l, med_b, scattered
             )
             emission = emission + jnp.where(
                 nee_gate[..., None], throughput_vertex * contrib, 0.0
