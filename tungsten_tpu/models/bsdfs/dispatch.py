@@ -34,7 +34,7 @@ from .common import BsdfSample, Lobes
 from . import lambert, null, mirror, rough_conductor, smooth_coat, oren_nayar, phong
 from . import dielectric, rough_dielectric, conductor, plastic, rough_plastic
 from . import thinsheet, transparency, forward, mixed, diffuse_transmission, rough_coat
-from . import hair
+from . import hair, lambertian_fiber, rough_wire
 
 N_PARAMS = 16
 
@@ -43,7 +43,7 @@ _MODULES = [
     lambert, null, mirror, rough_conductor, smooth_coat, oren_nayar, phong,
     dielectric, rough_dielectric, conductor, plastic, rough_plastic,
     thinsheet, transparency, forward, mixed, diffuse_transmission, rough_coat,
-    hair,
+    hair, lambertian_fiber, rough_wire,
 ]
 
 
@@ -86,24 +86,15 @@ def _albedo_tex_for(spec, tex_builder) -> int:
 def pack_materials(bsdf_specs: List[dict], tex_builder) -> MaterialTable:
     """bsdf_specs: resolved JSON dicts (one per material instance, in scene
     order; nested refs pre-resolved to "_substrate_index" etc. by load.py)."""
-    # fiber BCSDF stand-ins (round-1 approximations, documented): the
-    # reference shades analytic curves with dedicated BCSDFs
-    # (HairBcsdf.cpp, LambertianFiberBcsdf.cpp, RoughWireBcsdf.cpp); our
-    # curves are tessellated tubes, shaded with surface models:
-    #   lambertian_fiber -> lambert      (diffuse cylinder surface)
-    #   rough_wire       -> rough_conductor (glossy metal wire surface)
-    # hair uses the REAL R+TT+TRT BCSDF (models/bsdfs/hair.py) with its
-    # azimuthal tables precomputed here.
+    # all three fiber BCSDFs are the real far-field models (hair.py,
+    # lambertian_fiber.py, rough_wire.py), shading the tessellated tubes
+    # through the fiber-tangent frame (path_tracer._shading_frame). hair's
+    # azimuthal tables are precomputed here.
     bsdf_specs = [dict(b) for b in bsdf_specs]
     hair_tabs, hair_cdfs, hair_sums = [], [], []
     for b in bsdf_specs:
         t = b.get("type")
-        if t == "lambertian_fiber":
-            b["type"] = "lambert"
-        elif t == "rough_wire":
-            b["type"] = "rough_conductor"
-            b.setdefault("material", "Cu")
-        elif t == "hair":
+        if t == "hair":
             # melanin mixture -> sigma_a (HairBcsdf.cpp:433-440: lerp from
             # eumelanin to pheomelanin by melanin_ratio)
             if "sigma_a" in b:
