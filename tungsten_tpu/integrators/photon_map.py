@@ -47,8 +47,8 @@ def _hash_cell(ix, iy, iz):
     return (h % jnp.uint32(GRID_SIZE)).astype(jnp.uint32)
 
 
-@partial(jax.jit, static_argnames=("k_max",))
-def trace_photons(scene: FlatScene, seed, lane_ids, k_max=6):
+@partial(jax.jit, static_argnames=("k_max", "want_planes"))
+def trace_photons(scene: FlatScene, seed, lane_ids, k_max=6, want_planes=False):
     """Trace one photon path per lane; deposit a photon at every diffuse
     surface interaction and a VOLUME photon at every medium scatter
     (PhotonTracer.cpp:466-480: pos = scatter point, dir = propagation
@@ -96,6 +96,20 @@ def trace_photons(scene: FlatScene, seed, lane_ids, k_max=6):
             bmed=jnp.zeros((n, k_max), jnp.int32),
             bval=jnp.zeros((n, k_max), bool),
         )
+        if want_planes:
+            # photon PLANES (Photon.hpp:83-100 / PhotonMapIntegrator.cpp:
+            # 151-161): slot 0 = the plane for each medium-scatter vertex
+            # (base = the segment ENTERING it, extension = the continued
+            # free flight LEAVING it); slot 1 = the reference's virtual
+            # continuation vertex when a medium segment ends on a surface
+            # (PhotonTracer.cpp:503-512).
+            state.update(
+                pp0=jnp.zeros((n, k_max, 2, 3)), pp1=jnp.zeros((n, k_max, 2, 3)),
+                pd1=jnp.zeros((n, k_max, 2, 3)), pl1=jnp.zeros((n, k_max, 2)),
+                ppow=jnp.zeros((n, k_max, 2, 3)),
+                pval=jnp.zeros((n, k_max, 2), bool),
+                prev_pos=em.p, prev_med=jnp.zeros((n,), bool),
+            )
 
     def body(k, s):
         smp = Sampler(s["seed"], s["lane_id"], s["base_dim"] + k * DIMS_PER_BOUNCE)
@@ -113,7 +127,7 @@ def trace_photons(scene: FlatScene, seed, lane_ids, k_max=6):
             far = jnp.where(did_hit, hit.t, INF)
             ms = medium_sample_distance(
                 scene.media, s["medium"], o, d, far, s["first_scatter"],
-                s["med_bounce"], u_mc, u_md, u_mb,
+                s["med_bounce"], u_mc, u_md, u_mb, want_continued=want_planes,
             )
             # SHORT photon beam over this medium segment (PathPhoton,
             # Photon.hpp:50-56 / PhotonTracer.cpp:440-510): covers the
@@ -126,16 +140,46 @@ def trace_photons(scene: FlatScene, seed, lane_ids, k_max=6):
             seg_end = jnp.where(
                 ms.scattered & alive, ms.t, jnp.where(hit.prim >= 0, hit.t, INF)
             )
-            beam_ok = (
-                alive & (s["medium"] >= 0) & (seg_end < INF)
-                & (jnp.asarray(meta.low_order_scattering) | (s["since_surface"] > 0))
-            )
+            if want_planes:
+                # planes mode: beams cover ONLY single-scatter segments from
+                # surface/emitter vertices, and only with lowOrderScattering
+                # (PhotonMapIntegrator.cpp:263-265) — multi-scatter transport
+                # comes from the planes
+                beam_ok = (
+                    alive & (s["medium"] >= 0) & (seg_end < INF)
+                    & jnp.asarray(meta.low_order_scattering)
+                    & (s["since_surface"] == 0)
+                )
+            else:
+                beam_ok = (
+                    alive & (s["medium"] >= 0) & (seg_end < INF)
+                    & (jnp.asarray(meta.low_order_scattering) | (s["since_surface"] > 0))
+                )
             s["bo"] = s["bo"].at[:, k].set(o)
             s["bd"] = s["bd"].at[:, k].set(d)
             s["blen"] = s["blen"].at[:, k].set(jnp.where(beam_ok, seg_end, 0.0))
             s["bpow"] = s["bpow"].at[:, k].set(jnp.where(beam_ok[..., None], power, 0.0))
             s["bmed"] = s["bmed"].at[:, k].set(s["medium"])
             s["bval"] = s["bval"].at[:, k].set(beam_ok)
+            if want_planes:
+                # slot-0 plane: completes the PREVIOUS medium-scatter vertex
+                # (precomputePlane0D, PhotonMapIntegrator.cpp:150-161): base
+                # edge = prev_pos -> o (the segment that ENTERED the scatter),
+                # extension = this segment's CONTINUED free flight (d *
+                # continued_t), power = l0 * l1 * p2.power where p2.power is
+                # the throughput that would arrive at the continued endpoint
+                # (power_in * continuedWeight — tracePhotonPath's
+                # continuedThroughput, PhotonTracer.cpp:465-489)
+                in_med = alive & (s["medium"] >= 0)
+                dep0 = in_med & s["prev_med"] & (ms.continued_t > 0.0)
+                l0 = vo.length(o - s["prev_pos"])
+                pw0 = (l0 * ms.continued_t)[..., None] * power * ms.continued_weight
+                s["pp0"] = s["pp0"].at[:, k, 0].set(s["prev_pos"])
+                s["pp1"] = s["pp1"].at[:, k, 0].set(o)
+                s["pd1"] = s["pd1"].at[:, k, 0].set(d)
+                s["pl1"] = s["pl1"].at[:, k, 0].set(jnp.where(dep0, ms.continued_t, 0.0))
+                s["ppow"] = s["ppow"].at[:, k, 0].set(jnp.where(dep0[..., None], pw0, 0.0))
+                s["pval"] = s["pval"].at[:, k, 0].set(dep0)
             power = power * jnp.where(alive[..., None], ms.weight, 1.0)
             scattered = ms.scattered & alive
             did_hit = ms.exited & did_hit
@@ -154,6 +198,32 @@ def trace_photons(scene: FlatScene, seed, lane_ids, k_max=6):
             w_phase, _ = phase_sample(
                 scene.media.phase_type[mi], scene.media.phase_g[mi], d, u_ph
             )
+            if want_planes:
+                # slot-1 plane: a medium segment ending ON a surface still
+                # spawns a plane in the reference (PhotonTracer.cpp:492-512):
+                # phase-scatter AT the exit point, take an independent
+                # unbounded distance sample along the scattered direction,
+                # and build the plane from (o -> exit point) x that continued
+                # flight, power = l0 * l1 * throughput_realized *
+                # continuedWeight(second sample) (phase weight = 1)
+                u_mc2, smp = smp.next_1d()
+                u_md2, smp = smp.next_1d()
+                u_mb2, smp = smp.next_1d()
+                ms2 = medium_sample_distance(
+                    scene.media, s["medium"], ms.p, w_phase, jnp.full((n,), INF),
+                    s["first_scatter"], s["med_bounce"], u_mc2, u_md2, u_mb2,
+                    want_continued=True,
+                )
+                dep1 = (
+                    alive & (s["medium"] >= 0) & did_hit & (ms2.continued_t > 0.0)
+                )
+                pw1 = (ms.t * ms2.continued_t)[..., None] * power * ms2.continued_weight
+                s["pp0"] = s["pp0"].at[:, k, 1].set(o)
+                s["pp1"] = s["pp1"].at[:, k, 1].set(ms.p)
+                s["pd1"] = s["pd1"].at[:, k, 1].set(w_phase)
+                s["pl1"] = s["pl1"].at[:, k, 1].set(jnp.where(dep1, ms2.continued_t, 0.0))
+                s["ppow"] = s["ppow"].at[:, k, 1].set(jnp.where(dep1[..., None], pw1, 0.0))
+                s["pval"] = s["pval"].at[:, k, 1].set(dep1)
             s["med_bounce"] = jnp.where(scattered, s["med_bounce"] + 1, s["med_bounce"])
             s["first_scatter"] = jnp.where(scattered, False, s["first_scatter"])
             s["since_surface"] = since_surface
@@ -217,6 +287,9 @@ def trace_photons(scene: FlatScene, seed, lane_ids, k_max=6):
             s["first_scatter"] = jnp.where(did_hit, True, s["first_scatter"])
             s["med_bounce"] = jnp.where(did_hit, 0, s["med_bounce"])
             s["since_surface"] = jnp.where(did_hit, 0, s["since_surface"])
+            if want_planes:
+                s["prev_pos"] = o
+                s["prev_med"] = scattered
             s.update(o=o_new, d=d_new, power=power, alive=alive)
         else:
             s.update(o=p, d=wo_w, power=power, alive=alive)
@@ -253,7 +326,28 @@ def trace_photons(scene: FlatScene, seed, lane_ids, k_max=6):
     else:
         vol = None
         beams = None
-    return surf, vol, beams
+    if meta.has_media and want_planes:
+        # plane bounce = the bounce index of the scatter vertex p1 the gate
+        # uses (p1.bounce(), buildPlaneBvh PhotonMapIntegrator.cpp:266):
+        # slot 0 deposited at iter k belongs to the scatter at iter k-1
+        # (bounce k); slot 1's virtual vertex carries the segment's own
+        # bounce (k+1)
+        pb0 = jnp.broadcast_to(
+            jnp.arange(k_max, dtype=jnp.int32)[None, :], (n, k_max)
+        )
+        pbounce = jnp.stack([pb0, pb0 + 1], axis=-1)
+        planes = (
+            final["pp0"].reshape(-1, 3),
+            final["pp1"].reshape(-1, 3),
+            final["pd1"].reshape(-1, 3),
+            final["pl1"].reshape(-1),
+            final["ppow"].reshape(-1, 3),
+            final["pval"].reshape(-1),
+            pbounce.reshape(-1),
+        )
+    else:
+        planes = None
+    return surf, vol, beams, planes
 
 
 @jax.jit
@@ -463,6 +557,183 @@ def _beam1d_gather(scene, o, d, seg, medium, active, bpack, bstarts,
     return acc
 
 
+MAX_PLANES = 4096
+PLANE_CHUNK = 128
+
+
+@jax.jit
+def build_plane_list(pp0, pp1, pd1, pl1, ppow, pval, pbounce, seed=0):
+    """Compact valid photon planes into a fixed MAX_PLANES table. Planes are
+    EXACT (kernel-free) density estimators — each one covers an O(l0*l1)
+    swath of the medium, so a few thousand per pass carry the multi-scatter
+    transport (the reference likewise traces far fewer photons in plane
+    mode). When more than MAX_PLANES are valid, a UNIFORM RANDOM subset is
+    kept and each survivor's power is scaled by n_valid/MAX_PLANES — an
+    unbiased thinning, not a truncation (the extra variance averages out
+    over SPPM iterations). The number thinned away is returned for
+    reporting. Row layout: [p0(3) p1(3) d1(3) l1 power(3) bounce] = 14."""
+    nrec = pval.shape[0]
+    r = _hash_cell(
+        jnp.arange(nrec, dtype=jnp.uint32),
+        jnp.full((nrec,), jnp.uint32(seed)),
+        jnp.full((nrec,), jnp.uint32(0x9E3779B9)),
+    )
+    key = jnp.where(pval, r, jnp.uint32(0xFFFFFFFF))
+    take = jnp.argsort(key)[:MAX_PLANES]
+    n_valid = jnp.sum(pval)
+    scale = jnp.maximum(1.0, n_valid.astype(jnp.float32) / MAX_PLANES)
+    rows = jnp.concatenate(
+        [pp0, pp1, pd1, pl1[:, None], ppow * scale,
+         pbounce.astype(jnp.float32)[:, None]],
+        axis=1,
+    )[take]
+    vmask = pval[take]
+    thinned = jnp.maximum(n_valid - MAX_PLANES, 0)
+    return rows, vmask, thinned
+
+
+_LUM = jnp.asarray([0.2126, 0.7152, 0.0722])
+
+
+def _mix01(a, b, c):
+    """Counter-hash -> [0,1) uniform (visibility-RR stream, independent of
+    the Sobol/PCG path sampler dims)."""
+    h = a.astype(jnp.uint32) * jnp.uint32(0x85EBCA6B)
+    h = (h ^ b.astype(jnp.uint32)) * jnp.uint32(0xC2B2AE35)
+    h = (h ^ c.astype(jnp.uint32)) * jnp.uint32(0x27D4EB2F)
+    h = h ^ (h >> 15)
+    return (h >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+
+
+def _plane0d_gather(scene, o, d, seg, medium, active, prows, pmask, cam_bounce,
+                    seed_u=jnp.uint32(0)):
+    """Photon-plane 0D estimator (evalPlane0D, PhotonTracer.cpp:138-159 +
+    intersectPlane0D :67-94): intersect the camera ray against each photon
+    parallelogram (p0, p1, p1 + d1 l1, p0 + d1 l1); at a crossing with
+    bilinear coords (u, v) and camera distance t < seg contribute
+        sigma_t(x)^2 * |1/det| * phase(d1, -d) * Tr_cam(0->t) * power
+    IF the continued flight into the plane is unoccluded (shadow ray from
+    the crossing along -d1, length v*l1).
+
+    TPU form: a dense chunked sweep over the compacted plane table — the
+    reference's frustum grid / BVH trades poorly against the VPU, and
+    MAX_PLANES is small because planes are exact estimators. Visibility:
+    the reference casts one shadow ray PER crossing (hundreds per camera
+    ray with scene-sized planes); here a weighted reservoir keeps ONE
+    crossing per ray, chosen with probability proportional to its luminance
+    (streaming single-sample RIS), and its one any-hit walk estimates the
+    whole sum:  E[V_j * c_j/lum_j * W_total] = sum_i V_i c_i — equal in
+    expectation to the reference, at 1 shadow walk per ray per bounce."""
+    from ..models.media import medium_transmittance
+    from ..models.media.media import _hetero_density, _hetero_ray
+    from ..models.phase import phase_eval
+    from .path_tracer import _occluded
+
+    meta = scene.meta
+    n = o.shape[0]
+    C = PLANE_CHUNK
+    n_chunks = MAX_PLANES // C
+    mi = jnp.maximum(medium, 0)
+    ptype = scene.media.phase_type[mi]
+    g = scene.media.phase_g[mi]
+    seg = jnp.where(active, seg, 0.0)
+    lane = jnp.arange(n, dtype=jnp.uint32)
+    # per-(lane, chunk-slot) hetero line params for sigma_t(t) lookups
+    rep = lambda a: jnp.repeat(a, C, axis=0)
+    hp_c = _hetero_ray(scene.media, rep(mi), rep(o), rep(d))
+
+    def chunk_body(ci, st):
+        rx, rdir, rlen, rcon, rlum, W = st
+        rows = jax.lax.dynamic_slice_in_dim(prows, ci * C, C)
+        m_ok = jax.lax.dynamic_slice_in_dim(pmask, ci * C, C)
+        p0 = rows[:, 0:3]
+        p1 = rows[:, 3:6]
+        d1 = rows[:, 6:9]
+        l1 = rows[:, 9]
+        pw = rows[:, 10:13]
+        pb = rows[:, 13].astype(jnp.int32)
+        e1 = p1 - p0
+        e2 = d1 * l1[:, None]
+        P = jnp.cross(d[:, None, :], e2[None, :, :])  # (n, C, 3)
+        det = jnp.sum(e1[None] * P, axis=-1)
+        inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+        T = o[:, None, :] - p0[None]
+        u = jnp.sum(T * P, axis=-1) * inv_det
+        Q = jnp.cross(T, e1[None, :, :])
+        v = jnp.sum(d[:, None, :] * Q, axis=-1) * inv_det
+        t = jnp.sum(e2[None] * Q, axis=-1) * inv_det
+        full_b = cam_bounce + pb[None, :] - 1
+        ok = (
+            m_ok[None, :] & active[:, None]
+            & (jnp.abs(det) > 1e-7)
+            & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (v <= 1.0)
+            & (t > 1e-4) & (t < seg[:, None])
+            & (full_b >= meta.min_bounces) & (full_b < meta.max_bounces)
+        )
+        x = o[:, None, :] + d[:, None, :] * t[..., None]
+        dens = _hetero_density(hp_c, jnp.maximum(t, 0.0).reshape(-1)).reshape(t.shape)
+        sig = scene.media.sigma_t[mi][:, None, :] * dens[..., None]
+        fp = phase_eval(
+            jnp.broadcast_to(ptype[:, None], t.shape).reshape(-1),
+            jnp.broadcast_to(g[:, None], t.shape).reshape(-1),
+            jnp.broadcast_to(d1[None], (n, C, 3)).reshape(-1, 3),
+            jnp.broadcast_to(-d[:, None, :], (n, C, 3)).reshape(-1, 3),
+        ).reshape(t.shape)
+        tr = medium_transmittance(
+            scene.media,
+            jnp.broadcast_to(medium[:, None], t.shape).reshape(-1),
+            jnp.maximum(t, 0.0).reshape(-1),
+            jnp.ones((n * C,), bool),
+            jnp.zeros((n * C,), bool),
+            jnp.broadcast_to(o[:, None, :], (n, C, 3)).reshape(-1, 3),
+            jnp.broadcast_to(d[:, None, :], (n, C, 3)).reshape(-1, 3),
+        ).reshape(n, C, 3)
+        contrib = sig * sig * (jnp.abs(inv_det) * fp)[..., None] * tr * pw[None]
+        contrib = jnp.where(
+            ok[..., None] & jnp.isfinite(contrib), contrib, 0.0
+        )
+        lum = jnp.maximum(jnp.sum(contrib * _LUM, axis=-1), 0.0)  # (n, C)
+        w_chunk = jnp.sum(lum, axis=1)  # (n,)
+        # pick one crossing within the chunk ~ lum
+        cum = jnp.cumsum(lum, axis=1)
+        u1 = _mix01(lane, jnp.full((n,), jnp.uint32(ci)), seed_u)
+        jsel = jnp.minimum(
+            jnp.sum((cum < (u1 * w_chunk)[:, None]).astype(jnp.int32), axis=1),
+            C - 1,
+        )
+        c_sel = jnp.take_along_axis(contrib, jsel[:, None, None], axis=1)[:, 0]
+        x_sel = jnp.take_along_axis(x, jsel[:, None, None], axis=1)[:, 0]
+        d1_sel = d1[jsel]
+        vlen_sel = jnp.take_along_axis(v * l1[None], jsel[:, None], axis=1)[:, 0]
+        lum_sel = jnp.take_along_axis(lum, jsel[:, None], axis=1)[:, 0]
+        # merge the chunk winner into the running reservoir
+        W_new = W + w_chunk
+        u2 = _mix01(lane, jnp.full((n,), jnp.uint32(ci + 0x8000)), seed_u)
+        keep = (w_chunk > 0.0) & (u2 * W_new < w_chunk)
+        rx = vo.where3(keep, x_sel, rx)
+        rdir = vo.where3(keep, -d1_sel, rdir)
+        rlen = jnp.where(keep, vlen_sel, rlen)
+        rcon = vo.where3(keep, c_sel, rcon)
+        rlum = jnp.where(keep, lum_sel, rlum)
+        return (rx, rdir, rlen, rcon, rlum, W_new)
+
+    init = (
+        jnp.zeros((n, 3)), jnp.zeros((n, 3)), jnp.zeros((n,)),
+        jnp.zeros((n, 3)), jnp.zeros((n,)), jnp.zeros((n,)),
+    )
+    rx, rdir, rlen, rcon, rlum, W = jax.lax.fori_loop(
+        0, n_chunks, chunk_body, init
+    )
+    has = (W > 0.0) & (rlum > 0.0)
+    blocked = _occluded(scene, rx, rdir, jnp.where(has, rlen, 0.0))
+    est = jnp.where(
+        (has & ~blocked)[..., None],
+        rcon / jnp.maximum(rlum, 1e-30)[..., None] * W[..., None],
+        0.0,
+    )
+    return est
+
+
 def _volume_beam_gather(scene, o, d, seg, medium, active, vpack, vstarts,
                         vcounts, r_vol, cam_bounce):
     """Reference pointContribution (PhotonTracer.cpp:282-293): for every
@@ -566,12 +837,14 @@ def _volume_beam_gather(scene, o, d, seg, medium, active, vpack, vstarts,
 def gather_pass(scene: FlatScene, seed, lane_ids, px, py, pack, starts, counts,
                 radius, n_emitted, vpack=None, vstarts=None, vcounts=None,
                 v_radius=None, scene_far=None,
-                bpack=None, bstarts=None, bcounts=None, b_radius=None):
+                bpack=None, bstarts=None, bcounts=None, b_radius=None,
+                prows=None, pmask=None):
     """Camera pass: specular-chain walk + fixed-radius photon density estimate
     at the first non-specular hit (PhotonTracer::traceSensorPath). With a
     volume photon grid (vpack/...): per-bounce beam-query volume gather over
     each medium segment + deterministic transmittance to the surface
-    (PhotonTracer.cpp:279-347)."""
+    (PhotonTracer.cpp:279-347). With a plane table (prows/pmask) the exact
+    plane-0D estimator runs per bounce (reservoir-sampled visibility)."""
     meta = scene.meta
     n = px.shape[0]
     sampler = Sampler.create(seed, lane_ids)
@@ -580,6 +853,7 @@ def gather_pass(scene: FlatScene, seed, lane_ids, px, py, pack, starts, counts,
     o, d = camera_rays(scene.camera, meta, px, py, u_cam, u_lens)
     do_volume = meta.has_media and vpack is not None
     do_beams = meta.has_media and bpack is not None
+    do_planes = meta.has_media and prows is not None
 
     state = dict(
         o=o, d=d, throughput=jnp.ones((n, 3)), emission=jnp.zeros((n, 3)),
@@ -601,7 +875,7 @@ def gather_pass(scene: FlatScene, seed, lane_ids, px, py, pack, starts, counts,
         did_hit = (hit.prim >= 0) & alive
 
         # ---- volume gather over this segment + transmittance to it ----
-        if do_volume or do_beams:
+        if do_volume or do_beams or do_planes:
             from ..models.media import medium_transmittance
 
             seg = jnp.where(did_hit, hit.t, scene_far)
@@ -618,6 +892,13 @@ def gather_pass(scene: FlatScene, seed, lane_ids, px, py, pack, starts, counts,
                     bpack, bstarts, bcounts, b_radius, k + 1,
                 )
                 emission = emission + throughput * est_b / n_emitted
+            if do_planes:
+                est_p = _plane0d_gather(
+                    scene, o, d, seg, s["medium"], in_med,
+                    prows, pmask, k + 1,
+                    seed_u=seed[1] ^ (k.astype(jnp.uint32) * jnp.uint32(0x9E37)),
+                )
+                emission = emission + throughput * est_p / n_emitted
             tr = medium_transmittance(
                 scene.media, s["medium"], seg, jnp.ones((n,), bool),
                 jnp.ones((n,), bool), o, d,

@@ -333,13 +333,20 @@ class MediumSample:
     scattered: jnp.ndarray  # (N,) bool — scatter event inside the medium
     p: jnp.ndarray  # (N, 3)
     emission: jnp.ndarray = None  # (N, 3) grid emission at the scatter point
+    # continued free-flight (ignoring far_t), for photon planes
+    # (HomogeneousMedium.cpp:86-100 continuedT/continuedWeight)
+    continued_t: jnp.ndarray = None  # (N,)
+    continued_weight: jnp.ndarray = None  # (N, 3)
 
 
 def medium_sample_distance(
-    media: MediumTable, mid, o, d, far_t, first_scatter, med_bounce, u_comp, u_dist, u_b
+    media: MediumTable, mid, o, d, far_t, first_scatter, med_bounce, u_comp, u_dist, u_b,
+    want_continued=False,
 ):
     """HomogeneousMedium::sampleDistance, batched. mid (N,) medium ids (lanes
-    with mid < 0 are vacuum: exited with weight 1)."""
+    with mid < 0 are vacuum: exited with weight 1). With want_continued the
+    sample also carries the UNBOUNDED free flight (continuedT) and its
+    as-if-scattered weight (continuedWeight) for the photon-plane deposits."""
     i = jnp.maximum(mid, 0)
     sigma_t = media.sigma_t[i]
     sigma_s = media.sigma_s[i]
@@ -421,6 +428,31 @@ def medium_sample_distance(
             emission = jnp.where(
                 (scattered & (i == owner))[..., None], e, emission
             )
+    cont_t = None
+    cont_w = None
+    if want_continued:
+        # continuedT/continuedWeight (HomogeneousMedium.cpp:86-100): the
+        # unbounded free flight with its scatter weight
+        #   sigma_s * sigma_bar * Tr(tau_c) / mean(sigma_t * pdf_med(tau_c))
+        # using the REALIZED sample's exited flag in the transmittance eval,
+        # exactly as the reference does.
+        finite_c = (t_free < INF) & in_medium & ~abs_only & valid
+        t_c = jnp.where(finite_c, t_free, 0.0)
+        if media.has_hetero:
+            tau_c = _hetero_integral(hp, t_c)[..., None] * sigma_t
+            rho_c = _hetero_density(hp, t_c)
+        else:
+            tau_c = t_c[..., None] * sigma_t
+            rho_c = jnp.ones_like(t_c)
+        w_tc = trans_eval(ttype, tparams, tau_c, first_scatter, exited, present=media.trans_present)
+        pdf_c = rho_c * jnp.mean(
+            sigma_t * trans_medium_pdf(ttype, tparams, tau_c, first_scatter, present=media.trans_present),
+            axis=-1,
+        )
+        cw = w_tc * rho_c[..., None] * sigma_s * sbar[..., None] / jnp.maximum(pdf_c, 1e-30)[..., None]
+        cont_t = t_c
+        cont_w = jnp.where(finite_c[..., None], cw, 0.0)
+        cont_w = jnp.where(jnp.isfinite(cont_w), cont_w, 0.0)
     return MediumSample(
         t=t,
         weight=w_final,
@@ -429,6 +461,8 @@ def medium_sample_distance(
         scattered=scattered,
         p=p_end,
         emission=emission,
+        continued_t=cont_t,
+        continued_weight=cont_w,
     )
 
 

@@ -335,8 +335,10 @@ def render_sppm(
     (hash-grid build) + one camera gather pass; radius shrinks per
     ProgressivePhotonMapIntegrator.cpp:58-76 (r_{i+1}^2 = r_i^2 (i+a)/(i+1)).
 
-    volume_photon_type: "points" (3D kernel, beam query) or "beams"
-    (short photon beams, 1D kernel) — PhotonMapSettings volumePhotonType.
+    volume_photon_type: "points" (3D kernel, beam query), "beams" (short
+    photon beams, 1D kernel) or "planes" (exact photon-plane 0D estimator,
+    with beams covering the single-scatter tier) — PhotonMapSettings
+    volumePhotonType (points / beams / planes).
 
     mesh: optional device mesh — photon-trace lanes and camera-gather lanes
     shard over it (global lane ids keep the deposits identical); the photon
@@ -384,7 +386,10 @@ def render_sppm(
             from ..parallel.mesh import shard_lanes
 
             lane_ph = shard_lanes(mesh, lane_ph)
-        surf, vol, beams = trace_photons(scene, seed_ph, lane_ph, k_max=k_ph)
+        surf, vol, beams, planes = trace_photons(
+            scene, seed_ph, lane_ph, k_max=k_ph,
+            want_planes=volume_photon_type == "planes",
+        )
         radius = float(np.sqrt(r2))
         pack, starts, counts, ovf = build_photon_grid(
             surf[0], surf[1], surf[2], surf[3], radius, bounce=surf[4]
@@ -400,7 +405,7 @@ def render_sppm(
                 vpack=vpack, vstarts=vstarts, vcounts=vcounts,
                 v_radius=jnp.float32(r_vol), scene_far=jnp.float32(diag * 2.0),
             )
-        elif beams is not None and volume_photon_type == "beams":
+        elif beams is not None and volume_photon_type in ("beams", "planes"):
             from ..integrators.photon_map import build_beam_grid
 
             bpack, bstarts, bcounts, ovf_b, trunc = build_beam_grid(
@@ -412,6 +417,13 @@ def render_sppm(
                 bpack=bpack, bstarts=bstarts, bcounts=bcounts,
                 b_radius=jnp.float32(r_vol), scene_far=jnp.float32(diag * 2.0),
             )
+            if planes is not None and volume_photon_type == "planes":
+                from ..integrators.photon_map import build_plane_list
+
+                # beyond MAX_PLANES the list is randomly THINNED with power
+                # compensation (unbiased), so the count is not lost energy
+                prows, pmask, _thinned = build_plane_list(*planes, seed=it)
+                vargs.update(prows=prows, pmask=pmask)
         seed_cam = jnp.array([seed & 0xFFFFFFFF, 0x40000 + it], jnp.uint32)
         lane_cam = jnp.arange(n, dtype=jnp.uint32)
         if shard_cam:
@@ -430,7 +442,9 @@ def render_sppm(
         r2 = r2 * gamma_it
         # kernel-dimension exponents: surface 2D -> gamma on r^2; volume
         # points 3D -> cbrt; beams 1D -> gamma directly on r
-        if volume_photon_type == "beams":
+        if volume_photon_type in ("beams", "planes"):
+            # 1D kernel (the planes themselves are exact; r_vol only drives
+            # their single-scatter beam tier)
             r_vol = r_vol * gamma_it
         else:
             r_vol = r_vol * gamma_it ** (1.0 / 3.0)
