@@ -74,8 +74,11 @@ def main():
     # regen wavefront's per-iteration cost grows SUPER-linearly with lane
     # count, so one sample per pixel per pass with deep pass fusion wins
     # (0.237 vs 0.179 Mpaths/s at m=4/ppb=4 on materialtest)
-    spp_warm, spp_meas, m, ppb = 16, 64, 1, 32
-    render_flat(scene, spp=spp_warm, samples_per_pass=m, passes_per_batch=ppb)
+    spp_meas, m, ppb = 64, 1, 32
+    # warmup at the MEASURED config: a different spp/batch shape compiles a
+    # different program, so a 16-spp warmup left trial 1 paying a fresh
+    # compile (observed 0.128 vs 0.237 Mpaths/s steady state)
+    render_flat(scene, spp=spp_meas, samples_per_pass=m, passes_per_batch=ppb)
     rates = []
     for trial in range(TRIALS):
         t0 = time.time()
