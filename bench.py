@@ -74,7 +74,10 @@ def main():
     # regen wavefront's per-iteration cost grows SUPER-linearly with lane
     # count, so one sample per pixel per pass with deep pass fusion wins
     # (0.237 vs 0.179 Mpaths/s at m=4/ppb=4 on materialtest)
-    spp_meas, m, ppb = 64, 1, 32
+    # ppb=64: after the render driver's two single-pass probe batches the
+    # remaining 62 passes fuse into one dispatch (~8.4 s device time, under
+    # the watchdog budget) — deeper fusion than the old fixed 32+32 split
+    spp_meas, m, ppb = 64, 1, 64
     # warmup at the MEASURED config: a different spp/batch shape compiles a
     # different program, so a 16-spp warmup left trial 1 paying a fresh
     # compile (observed 0.128 vs 0.237 Mpaths/s steady state)

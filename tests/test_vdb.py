@@ -1,0 +1,353 @@
+"""OpenVDB .vdb reader tests: an independent writer synthesizes real
+5-4-3 archives (no OpenVDB library or .vdb asset exists in this image) and
+the decoder (models/grids/vdb.py) must reconstruct the dense voxels bit-
+exactly. Exercises the layout the reference consumes via VdbGrid.cpp:16-27:
+node masks (LSB-first words, x-major/z-minor offsets), internal tile
+values, active-mask + zlib value compression with the negative-length raw
+escape, half floats, vec3s grids, multi-grid archives, and both header
+framings (v224 uint32-compression/raw-uuid and v221 bool-compression/
+length-prefixed uuid)."""
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from tungsten_tpu.models.grids.vdb import (
+    COMPRESS_ACTIVE_MASK,
+    COMPRESS_ZIP,
+    MAGIC,
+    read_vdb,
+    read_vdb_grid,
+)
+
+LEAF, INT4, INT5 = 8, 16, 32
+
+
+# ---------------------------------------------------------------------------
+# independent writer
+
+
+class _W:
+    def __init__(self):
+        self.parts = []
+
+    def raw(self, b):
+        self.parts.append(b)
+
+    def u32(self, v):
+        self.raw(struct.pack("<I", v))
+
+    def i32(self, v):
+        self.raw(struct.pack("<i", v))
+
+    def i64(self, v):
+        self.raw(struct.pack("<q", v))
+
+    def u64(self, v):
+        self.raw(struct.pack("<Q", v))
+
+    def i8(self, v):
+        self.raw(struct.pack("<b", v))
+
+    def f32(self, v):
+        self.raw(struct.pack("<f", v))
+
+    def f64(self, v):
+        self.raw(struct.pack("<d", v))
+
+    def boolean(self, v):
+        self.raw(b"\x01" if v else b"\x00")
+
+    def name(self, s):
+        b = s.encode()
+        self.u32(len(b))
+        self.raw(b)
+
+    def bytes(self):
+        return b"".join(self.parts)
+
+
+def _write_mask(w, bits):
+    """LSB-first little-endian words (NodeMask::save)."""
+    w.raw(np.packbits(bits.astype(np.uint8), bitorder="little").tobytes())
+
+
+def _write_values(w, vals, zipped, half):
+    """readData framing: [int64 nbytes | payload]; nbytes<=0 = raw."""
+    dt = np.float16 if half else np.float32
+    raw = np.asarray(vals, np.float32).astype(dt).tobytes()
+    if zipped:
+        if len(raw) == 0:
+            w.i64(0)
+            return
+        z = zlib.compress(raw)
+        w.i64(len(z))
+        w.raw(z)
+    else:
+        w.raw(raw)
+
+
+def _write_compressed(w, dense, mask, zipped, half, ncomp):
+    """writeCompressedValues: for >=222 archives, MASK_AND_NO_INACTIVE_VALS
+    (code 3) — only active values stored, compacted by the value mask.
+    Older versions store all values with no per-node metadata byte."""
+    if getattr(w, "v222", True):
+        w.i8(3)
+        _write_values(w, dense.reshape(-1, ncomp)[mask], zipped, half)
+    else:
+        _write_values(w, dense.reshape(-1, ncomp), zipped, half)
+
+
+def _xyz_to_off(x, y, z, dim):
+    return (x * dim + y) * dim + z
+
+
+def _write_internal(w, dim, child_span, voxels, tiles, origin, child_writer,
+                    zipped, half, ncomp, leaf_order):
+    size = dim**3
+    child_mask = np.zeros(size, bool)
+    value_mask = np.zeros(size, bool)
+    vals = np.zeros((size, ncomp), np.float32)
+    kids = {}
+    for (vx, vy, vz), v in voxels.items():
+        cx = (vx - origin[0]) // child_span
+        cy = (vy - origin[1]) // child_span
+        cz = (vz - origin[2]) // child_span
+        off = _xyz_to_off(cx, cy, cz, dim)
+        child_mask[off] = True
+        kids.setdefault(off, {})[(vx, vy, vz)] = v
+    for (tx, ty, tz), span, v in tiles:
+        assert span == child_span, "tile must sit at this node's child level"
+        off = _xyz_to_off(
+            (tx - origin[0]) // child_span,
+            (ty - origin[1]) // child_span,
+            (tz - origin[2]) // child_span,
+            dim,
+        )
+        assert not child_mask[off]
+        value_mask[off] = True
+        vals[off] = v
+    _write_mask(w, child_mask)
+    _write_mask(w, value_mask)
+    _write_compressed(w, vals, value_mask, zipped, half, ncomp)
+    for off in np.where(child_mask)[0]:
+        cx, cy, cz = off // (dim * dim), (off // dim) % dim, off % dim
+        corigin = (
+            origin[0] + int(cx) * child_span,
+            origin[1] + int(cy) * child_span,
+            origin[2] + int(cz) * child_span,
+        )
+        child_writer(w, corigin, kids[off], zipped, half, ncomp, leaf_order)
+
+
+def _write_leaf_topology(w, origin, voxels, zipped, half, ncomp, leaf_order):
+    mask = np.zeros(LEAF**3, bool)
+    buf = np.zeros((LEAF**3, ncomp), np.float32)
+    for (vx, vy, vz), v in voxels.items():
+        off = _xyz_to_off(vx - origin[0], vy - origin[1], vz - origin[2], LEAF)
+        mask[off] = True
+        buf[off] = v
+    _write_mask(w, mask)
+    leaf_order.append((mask, buf))
+
+
+def _write_int4(w, origin, voxels, zipped, half, ncomp, leaf_order):
+    _write_internal(w, INT4, LEAF, voxels, [], origin, _write_leaf_topology,
+                    zipped, half, ncomp, leaf_order)
+
+
+def _write_int5(w, origin, voxels, tiles, zipped, half, ncomp, leaf_order):
+    def kid(w2, corigin, kv, z, h, nc, lo):
+        _write_int4(w2, corigin, kv, z, h, nc, lo)
+
+    _write_internal(w, INT5, INT4 * LEAF, voxels, tiles, origin, kid,
+                    zipped, half, ncomp, leaf_order)
+
+
+def write_vdb(path, grids, version=224, zipped=True):
+    """grids: list of dicts {name, type ('float'|'vec3s'), half, voxels
+    {(x,y,z): value}, tiles [((x,y,z), 128, value)], voxel_size}."""
+    w = _W()
+    w.u64(MAGIC)
+    w.u32(version)
+    w.u32(8)
+    w.u32(1)  # library version
+    w.boolean(True)  # has grid offsets
+    if version >= 222:
+        w.u32((COMPRESS_ZIP if zipped else 0) | COMPRESS_ACTIVE_MASK)
+        w.raw(b"0123456789ab-cdef-0123-456789abcdef0")  # raw 36-char uuid
+    else:
+        w.boolean(zipped)
+        w.name("0123456789ab-cdef-0123-456789abcdef0")  # prefixed uuid
+    w.u32(0)  # empty file metadata
+    w.u32(len(grids))
+    for g in grids:
+        ncomp = 3 if g["type"] == "vec3s" else 1
+        half = g.get("half", False)
+        gw = _W()  # grid payload built out-of-line to learn offsets
+        gw.v222 = version >= 222
+        if version >= 222:
+            gw.u32((COMPRESS_ZIP if zipped else 0) | COMPRESS_ACTIVE_MASK)
+        gw.u32(0)  # empty grid metadata
+        gw.name("UniformScaleMap")
+        vs = g.get("voxel_size", 1.0)
+        for val in ([vs] * 6 + [1.0 / vs] * 3 + [1.0 / vs**2] * 3
+                    + [0.5 / vs] * 3):
+            gw.f64(val)
+        # topology
+        gw.u32(1)  # tree buffer count
+        _write_values(gw, np.zeros((1, ncomp)), False, half)  # background
+        gw.u32(0)  # root tiles
+        roots = {}
+        for key, v in g["voxels"].items():
+            ro = tuple((c // 4096) * 4096 for c in key)
+            roots.setdefault(ro, ({}, []))[0][key] = v
+        for (to_, span, v) in g.get("tiles", []):
+            ro = tuple((c // 4096) * 4096 for c in to_)
+            roots.setdefault(ro, ({}, []))[1].append((to_, span, v))
+        gw.u32(len(roots))
+        leaf_order = []
+        for ro in sorted(roots):
+            vox, tiles = roots[ro]
+            for c in ro:
+                gw.i32(c)
+            _write_int5(gw, ro, vox, tiles, zipped, half, ncomp, leaf_order)
+        topo_end_marker = sum(len(p) for p in gw.parts)
+        for mask, buf in leaf_order:  # leaf buffers, DFS order
+            _write_mask(gw, mask)
+            _write_compressed(gw, buf, mask, zipped, half, ncomp)
+        payload = gw.bytes()
+
+        # descriptor (instance-parent variant) + offsets
+        dw = _W()
+        dw.name(g["name"])
+        dw.name(f"Tree_{g['type']}_5_4_3" + ("_HalfFloat" if half else ""))
+        dw.name("")  # no instance parent
+        head = b"".join(w.parts)
+        gridpos = len(head) + len(dw.bytes()) + 24
+        dw.i64(gridpos)
+        dw.i64(gridpos + topo_end_marker)  # blockPos = leaf buffers
+        dw.i64(gridpos + len(payload))  # endPos
+        w.raw(dw.bytes())
+        w.raw(payload)
+    with open(path, "wb") as f:
+        f.write(w.bytes())
+
+
+# ---------------------------------------------------------------------------
+# helpers
+
+
+def _scatter_voxels(rng, origins, ncomp=1):
+    """Random active voxels inside 8^3 leaves at the given leaf origins."""
+    voxels = {}
+    for o in origins:
+        k = rng.integers(5, 30)
+        for _ in range(k):
+            p = tuple(int(o[i] + rng.integers(0, 8)) for i in range(3))
+            voxels[p] = (rng.random(ncomp) + 0.1).astype(np.float32)
+    return voxels
+
+
+def _expect_dense(voxels, tiles, ncomp):
+    los = [k for k in voxels] + [t[0] for t in tiles]
+    his = [tuple(c // 8 * 8 + 8 for c in k) for k in voxels] + [
+        tuple(o + t[1] for o in t[0]) for t in tiles
+    ]
+    lo = np.min(np.array(los) // 8 * 8, axis=0)
+    hi = np.max(np.array(his), axis=0)
+    out = np.zeros((hi[2] - lo[2], hi[1] - lo[1], hi[0] - lo[0], ncomp), np.float32)
+    for (to_, span, v) in tiles:
+        x0, y0, z0 = np.array(to_) - lo
+        out[z0 : z0 + span, y0 : y0 + span, x0 : x0 + span] = v
+    for (x, y, z), v in voxels.items():
+        out[z - lo[2], y - lo[1], x - lo[0]] = v
+    return out if ncomp > 1 else out[..., 0]
+
+
+# ---------------------------------------------------------------------------
+# tests
+
+
+@pytest.mark.parametrize("version,zipped", [(224, True), (224, False), (221, True)])
+def test_roundtrip_float_grid(tmp_path, version, zipped):
+    rng = np.random.default_rng(7)
+    # leaves spanning two Internal4 nodes and two Internal5 roots
+    origins = [(0, 0, 0), (8, 16, 24), (128, 0, 64), (4096, 8, 0)]
+    voxels = _scatter_voxels(rng, origins)
+    path = str(tmp_path / "d.vdb")
+    write_vdb(path, [{"name": "density", "type": "float", "voxels": voxels,
+                      "voxel_size": 0.25}], version=version, zipped=zipped)
+    arr, info = read_vdb_grid(path, "density")
+    want = _expect_dense(voxels, [], 1)
+    assert arr.shape == want.shape
+    np.testing.assert_array_equal(arr, want)
+    np.testing.assert_allclose(info["voxel_size"], 0.25)
+    assert info["grids"] == ["density"]
+
+
+def test_roundtrip_internal_tile(tmp_path):
+    """An Internal5-level tile (128^3 constant region) + a leaf."""
+    voxels = {(130, 5, 7): np.array([2.5], np.float32)}
+    tiles = [((256, 0, 0), 128, np.array([0.75], np.float32))]
+    path = str(tmp_path / "t.vdb")
+    write_vdb(path, [{"name": "density", "type": "float", "voxels": voxels,
+                      "tiles": tiles}])
+    arr = read_vdb(path, "density")
+    want = _expect_dense(voxels, tiles, 1)
+    assert arr.shape == want.shape
+    np.testing.assert_array_equal(arr, want)
+
+
+def test_roundtrip_half_float(tmp_path):
+    rng = np.random.default_rng(3)
+    voxels = _scatter_voxels(rng, [(0, 0, 0), (8, 8, 8)])
+    path = str(tmp_path / "h.vdb")
+    write_vdb(path, [{"name": "density", "type": "float", "half": True,
+                      "voxels": voxels}])
+    arr = read_vdb(path, "density")
+    want = _expect_dense(voxels, [], 1)
+    np.testing.assert_allclose(arr, want, rtol=1e-3)  # half precision
+
+
+def test_multi_grid_vec3(tmp_path):
+    """density (float) + Cd (vec3s) in one archive — the voxel-medium
+    scene's layout (scene.json: density_name + emission_name)."""
+    rng = np.random.default_rng(11)
+    dvox = _scatter_voxels(rng, [(0, 0, 0), (16, 8, 0)])
+    evox = _scatter_voxels(rng, [(0, 0, 0), (16, 8, 0)], ncomp=3)
+    path = str(tmp_path / "fire.vdb")
+    write_vdb(path, [
+        {"name": "density", "type": "float", "voxels": dvox},
+        {"name": "Cd", "type": "vec3s", "voxels": evox},
+    ])
+    d, info = read_vdb_grid(path, "density")
+    e, _ = read_vdb_grid(path, "Cd")
+    assert info["grids"] == ["density"]  # found before reading Cd's descr
+    np.testing.assert_array_equal(d, _expect_dense(dvox, [], 1))
+    assert e.shape[-1] == 3
+    np.testing.assert_array_equal(e, _expect_dense(evox, [], 3))
+    with pytest.raises(KeyError):
+        read_vdb_grid(path, "temperature")
+
+
+def test_vdb_grid_spec_loads(tmp_path):
+    """End-to-end: a {'type':'vdb'} grid spec through load_grid_spec."""
+    from tungsten_tpu.models.grids import grid_density, load_grid_spec
+
+    voxels = {}
+    for x in range(8):
+        for y in range(8):
+            for z in range(8):
+                voxels[(x, y, z)] = np.array([float(x + 1)], np.float32)
+    path = str(tmp_path / "s.vdb")
+    write_vdb(path, [{"name": "density", "type": "float", "voxels": voxels}])
+    g = load_grid_spec({"type": "vdb", "file": path, "density_scale": 2.0,
+                        "normalize_size": True})
+    # world box: x,z centered, y bottom-aligned; sample mid-voxel x=3
+    import jax.numpy as jnp
+
+    p = jnp.array([[3.5 / 8 - 0.5, 0.5, 0.0]])
+    d = grid_density(g, p)
+    np.testing.assert_allclose(np.asarray(d), [2.0 * 4.0], rtol=0.15)

@@ -205,18 +205,29 @@ def load_grid_spec(spec: dict, resolve=None) -> DenseGrid:
         else:
             dens = np.asarray(np.load(path), np.float32)
     elif gtype == "vdb":
-        from .vdb import read_vdb
+        from .vdb import read_vdb_grid
 
         path = spec["file"]
         if resolve is not None:
             path = resolve(path)
-        dens = read_vdb(path, spec.get("density_name", "density"))
+        dens, vinfo = read_vdb_grid(path, spec.get("density_name", "density"))
         ename = spec.get("emission_name")
         if ename:
             try:
-                emission = read_vdb(path, ename)
+                emission, _ = read_vdb_grid(path, ename)
             except KeyError:
                 emission = None
+        # VdbGrid.cpp:241-243 normalize_size=false semantics: spacing = the
+        # file transform's voxel size, center = -densityCenter (grid center
+        # at the file's translation). Spec keys still override for repacks.
+        fs = float(np.mean(vinfo["voxel_size"]))
+        dn = np.array(dens.shape[:3][::-1], np.float64)  # (nx, ny, nz)
+        spec = dict(spec)
+        spec.setdefault("spacing", fs)
+        spec.setdefault(
+            "grid_center",
+            (np.asarray(vinfo["translate"]) - 0.5 * fs * dn).tolist(),
+        )
     else:
         raise NotImplementedError(f"grid type '{gtype}'")
 

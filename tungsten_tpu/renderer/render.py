@@ -128,7 +128,29 @@ def render_buffers(
     last_ckpt = t0
     rng = np.random.default_rng(seed ^ 0x5EED)
 
+    # Fused-pass dispatch governor (TPU only): one dispatch of nb fused
+    # passes is ~nb * per-pass seconds of uninterruptible device time, and
+    # past roughly 45 s the axon TPU runtime's watchdog kills the worker
+    # process outright (measured on a forward+voxel-media scene at ~13
+    # s/pass: 2 fused passes survive, 4 crash the worker). Start with a
+    # single pass, measure it, and raise the fusion depth only as far as
+    # the time budget allows. CPU keeps the static passes_per_batch so
+    # test renders split deterministically (bitwise-reproducibility tests).
+    govern = jax.default_backend() == "tpu"
+    max_dispatch_s = float(_os.environ.get("TUNGSTEN_MAX_DISPATCH_S", "20"))
+    # Probe-then-freeze: the first two batches run a single pass each (the
+    # first one's wall time is compile-dominated, the second is a clean
+    # execution measurement); the cap is then FROZEN from the second batch
+    # so the batch-size sequence is a deterministic function of one cached
+    # per-pass time — warmup renders compile exactly the program set later
+    # renders use (a per-batch adaptive cap made the sequence depend on
+    # compile noise and forced fresh compiles mid-measurement).
+    nb_cap = 1 if govern else passes_per_batch
+    batch_idx = 0
+
     while done < total_passes:
+        t_batch = time.time()
+        prev_done = done
         if adaptive and bufs.count.min() >= ADAPTIVE_THRESHOLD_SPP:
             # ---- adaptive step: allocate one pass of budget by tile error
             budget = n_pix * m
@@ -144,7 +166,7 @@ def render_buffers(
             bufs.add_batch_sparse(rad, pix_sel)
             done += 1
         elif use_regen:
-            nb = min(passes_per_batch, total_passes - done)
+            nb = min(nb_cap, passes_per_batch, total_passes - done)
             out = trace_regen_batch(
                 scene, seed_arr, px_arr, py_arr, pix_arr, jnp.uint32(done), n_passes=nb
             )
@@ -156,7 +178,7 @@ def render_buffers(
             bufs.add_pixel_sums(np.asarray(rad), nb * m, aux_np)
             done += nb
         else:
-            nb = min(passes_per_batch, total_passes - done)
+            nb = min(nb_cap, passes_per_batch, total_passes - done)
             out = trace_batch(
                 scene, seed_arr, lane_arr, px_arr, py_arr, jnp.uint32(done), n_passes=nb
             )
@@ -167,6 +189,10 @@ def render_buffers(
                 rad, aux_np = out, None
             bufs.add_batch(np.asarray(rad), nb, m, n_pix, aux_np, pix_map=pix_map)
             done += nb
+        if govern and batch_idx == 1:
+            per_pass = max((time.time() - t_batch) / max(done - prev_done, 1), 1e-4)
+            nb_cap = max(1, int(max_dispatch_s / per_pass))
+        batch_idx += 1
         if verbose:
             dt = time.time() - t0
             rate = n_pix * m * (done - start_pass) / dt / 1e6
