@@ -28,6 +28,36 @@ DEFAULT_SEED = 0xBA5EBA11
 ADAPTIVE_THRESHOLD_SPP = 16  # PathTraceIntegrator.hpp:27-29
 
 
+class DispatchGovernor:
+    """Probe-then-freeze fused-pass cap (TPU only). One dispatch of nb fused
+    passes is ~nb * per-pass seconds of uninterruptible device time; past
+    roughly 45 s the axon TPU runtime's watchdog kills the worker process
+    outright (measured on a forward+voxel-media scene at ~13 s/pass: 2
+    fused passes survive, 4 crash). The first two batches run a single pass
+    each — the first one's wall time is compile-dominated, the second is a
+    clean execution measurement — then the cap FREEZES so the batch-size
+    sequence is a deterministic function of one cached per-pass time
+    (warmup renders compile exactly the program set measured renders use).
+    CPU keeps the caller's static cap so test renders split
+    deterministically (bitwise-reproducibility tests)."""
+
+    def __init__(self, default_cap: int):
+        self.govern = jax.default_backend() == "tpu"
+        self.max_s = float(_os.environ.get("TUNGSTEN_MAX_DISPATCH_S", "20"))
+        self.default_cap = default_cap
+        self.cap = 1 if self.govern else default_cap
+        self.idx = 0
+
+    def nb(self, remaining: int) -> int:
+        return max(1, min(self.cap, self.default_cap, remaining))
+
+    def observe(self, dt: float, passes: int):
+        if self.govern and self.idx == 1:
+            per_pass = max(dt / max(passes, 1), 1e-4)
+            self.cap = max(1, int(self.max_s / per_pass))
+        self.idx += 1
+
+
 TILE = 16  # lanes ordered in 16x16 image tiles so Pallas ray-tiles are
 # coherent beams and per-chunk AABB culling fires (camera rays especially)
 import os as _os
@@ -128,25 +158,7 @@ def render_buffers(
     last_ckpt = t0
     rng = np.random.default_rng(seed ^ 0x5EED)
 
-    # Fused-pass dispatch governor (TPU only): one dispatch of nb fused
-    # passes is ~nb * per-pass seconds of uninterruptible device time, and
-    # past roughly 45 s the axon TPU runtime's watchdog kills the worker
-    # process outright (measured on a forward+voxel-media scene at ~13
-    # s/pass: 2 fused passes survive, 4 crash the worker). Start with a
-    # single pass, measure it, and raise the fusion depth only as far as
-    # the time budget allows. CPU keeps the static passes_per_batch so
-    # test renders split deterministically (bitwise-reproducibility tests).
-    govern = jax.default_backend() == "tpu"
-    max_dispatch_s = float(_os.environ.get("TUNGSTEN_MAX_DISPATCH_S", "20"))
-    # Probe-then-freeze: the first two batches run a single pass each (the
-    # first one's wall time is compile-dominated, the second is a clean
-    # execution measurement); the cap is then FROZEN from the second batch
-    # so the batch-size sequence is a deterministic function of one cached
-    # per-pass time — warmup renders compile exactly the program set later
-    # renders use (a per-batch adaptive cap made the sequence depend on
-    # compile noise and forced fresh compiles mid-measurement).
-    nb_cap = 1 if govern else passes_per_batch
-    batch_idx = 0
+    gov = DispatchGovernor(passes_per_batch)
 
     while done < total_passes:
         t_batch = time.time()
@@ -166,7 +178,7 @@ def render_buffers(
             bufs.add_batch_sparse(rad, pix_sel)
             done += 1
         elif use_regen:
-            nb = min(nb_cap, passes_per_batch, total_passes - done)
+            nb = gov.nb(total_passes - done)
             out = trace_regen_batch(
                 scene, seed_arr, px_arr, py_arr, pix_arr, jnp.uint32(done), n_passes=nb
             )
@@ -178,7 +190,7 @@ def render_buffers(
             bufs.add_pixel_sums(np.asarray(rad), nb * m, aux_np)
             done += nb
         else:
-            nb = min(nb_cap, passes_per_batch, total_passes - done)
+            nb = gov.nb(total_passes - done)
             out = trace_batch(
                 scene, seed_arr, lane_arr, px_arr, py_arr, jnp.uint32(done), n_passes=nb
             )
@@ -189,10 +201,7 @@ def render_buffers(
                 rad, aux_np = out, None
             bufs.add_batch(np.asarray(rad), nb, m, n_pix, aux_np, pix_map=pix_map)
             done += nb
-        if govern and batch_idx == 1:
-            per_pass = max((time.time() - t_batch) / max(done - prev_done, 1), 1e-4)
-            nb_cap = max(1, int(max_dispatch_s / per_pass))
-        batch_idx += 1
+        gov.observe(time.time() - t_batch, done - prev_done)
         if verbose:
             dt = time.time() - t0
             rate = n_pix * m * (done - start_pass) / dt / 1e6
@@ -293,10 +302,15 @@ def render_light_traced(scene: FlatScene, spp=None, seed=DEFAULT_SEED,
     seed_arr = jnp.array([seed & 0xFFFFFFFF, 0], jnp.uint32)
     acc = None
     done = 0
+    gov = DispatchGovernor(passes_per_batch)
     while done < spp:
-        nb = min(passes_per_batch, spp - done)
+        t_b = time.time()
+        nb = gov.nb(spp - done)
         buf = trace_light_batch(scene, seed_arr, lane_ids, jnp.uint32(done), n_passes=nb)
+        if gov.govern and gov.idx <= 1:
+            np.asarray(buf[0, 0])  # sync the probe batch (timing needs a D2H)
         acc = buf if acc is None else acc + buf
+        gov.observe(time.time() - t_b, nb)
         done += nb
         if verbose:
             print(f"  lt spp {done}/{spp}")
@@ -330,13 +344,18 @@ def render_bdpt(scene: FlatScene, spp=None, seed=DEFAULT_SEED, verbose=False,
     eye_acc = None
     splat_acc = None
     done = 0
+    gov = DispatchGovernor(passes_per_batch)
     while done < spp:
-        nb = min(passes_per_batch, spp - done)
+        t_b = time.time()
+        nb = gov.nb(spp - done)
         eye, splat = trace_bdpt_batch(
             scene, seed_arr, lane_ids, px, py, jnp.uint32(done), n_passes=nb
         )
+        if gov.govern and gov.idx <= 1:
+            np.asarray(splat[0, 0])  # sync the probe batch (timing needs a D2H)
         eye_acc = eye if eye_acc is None else eye_acc + eye
         splat_acc = splat if splat_acc is None else splat_acc + splat
+        gov.observe(time.time() - t_b, nb)
         done += nb
         if verbose:
             print(f"  bdpt spp {done}/{spp}")
