@@ -1,0 +1,431 @@
+"""Per-lane gather BVH traversal — the round-4 architecture.
+
+Fifth-generation intersector. The lockstep Pallas kernels (ops.pallas_bvh8)
+walk the UNION of a tile's node sets because every lane shares one program
+counter; measured on materialtest that union tax is ~6x on coherent camera
+tiles and ~59x on bounce tiles (COVERAGE.md round-3 MFU analysis), and the
+per-round cost is bounded by sparse-core scalar control flow, not vector
+work. This module instead gives every ray its OWN traversal cursor and runs
+the whole walk as dense XLA ops over (N,) lane vectors:
+
+  * ONE row gather per lane per round. Microbenchmarks on this chip
+    (tools/bench_gather*.py) show `table[idx]` costs ~2.7 ns/row for tables
+    up to 32k rows and the cost is INDEPENDENT of row width up to 128 f32 —
+    so the node row packs all 8 child boxes + child links + octant orders,
+    and the leaf row packs 8 whole triangles, and either is one gather.
+  * The tree is 8-ary (3 collapsed binary SAH levels, largest-area greedy,
+    same recipe as ops.pallas_bvh8._collapse8) over 8-triangle leaves, so a
+    full walk is ~8-16 rounds instead of ~30 binary steps.
+  * Per-lane traversal ORDER: children are box-tested 8-at-a-time from the
+    gathered row, reordered by a precomputed per-octant permutation
+    (nearest-first along the ray direction), the nearest hit child becomes
+    the cursor and the rest are pushed far-to-near onto a per-lane stack
+    held as D parallel (N,) registers (one-hot select push/pop, ~0.3 ns per
+    lane — measured). Entries carry their box tmin so stale entries
+    (>= best-t at pop time) are skipped without a gather.
+  * Leaf rounds run 8 exact-f32 Moller-Trumbore tests straight from the
+    gathered row. Node lanes and leaf lanes share every round's vector code
+    (masked); divergence costs flops, never gathers — and on this VPU the
+    flops are ~10x cheaper than the gather.
+
+Unlike the lockstep kernels, cost is per-ray-visit, not per-tile-union:
+incoherent bounce wavefronts pay the same ~ns/visit as camera rays. This is
+the standard GPU megakernel traversal shape [Aila & Laine 2009] recast with
+XLA gathers instead of per-thread loads, replacing embree's packet
+traversal (thirdparty/embree, Triangle4.hpp:13-54) as the production
+intersector.
+
+Pure jnp: runs on CPU for the test suite and on TPU for production.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax.struct import dataclass as pytree, field
+
+from .intersect import Hit, INF
+
+TRIS_PER_LEAF = 8
+K_ROW = 81  # unified row width (see layout below)
+COL_FLAG = 80
+
+# node row:  [0:8]=minx [8:16]=miny [16:24]=minz [24:32]=maxx [32:40]=maxy
+#            [40:48]=maxz [48:56]=child row ids (-1 none) [56:64]=octant
+#            perms (24-bit packed, exact in f32) [80]=0
+# leaf row:  [0:8]=v0x [8:16]=v0y [16:24]=v0z [24:32]=e1x [32:40]=e1y
+#            [40:48]=e1z [48:56]=e2x [56:64]=e2y [64:72]=e2z
+#            [72:80]=prim ids (-1 empty) [80]=1
+
+
+@pytree
+class GatherBvhPack:
+    rows: jnp.ndarray  # (M, K_ROW) f32 unified node/leaf rows
+    root: int = field(pytree_node=False, default=0)
+    n_rows: int = field(pytree_node=False, default=0)
+    depth: int = field(pytree_node=False, default=8)  # 8-ary depth (stack bound)
+    n_tris: int = field(pytree_node=False, default=0)
+
+
+def build_gather_pack(v0, e1, e2, leaf_size: int = TRIS_PER_LEAF):
+    """Host-side build: binary SAH (accel.bvh) -> 8-ary collapse -> rows."""
+    from ..accel.bvh import build_bvh_cached
+
+    v0 = np.asarray(v0, np.float32)
+    e1 = np.asarray(e1, np.float32)
+    e2 = np.asarray(e2, np.float32)
+    t = len(v0)
+    if t == 0:
+        return None
+    p1, p2 = v0 + e1, v0 + e2
+    lo = np.minimum(np.minimum(v0, p1), p2)
+    hi = np.maximum(np.maximum(v0, p1), p2)
+    bvh = build_bvh_cached(lo, hi, leaf_size=leaf_size)
+    count, skip = bvh.count, bvh.skip
+    nmin, nmax = bvh.node_min, bvh.node_max
+    area = np.prod(np.maximum(nmax - nmin, 0.0), axis=1)
+
+    leaf_mask = count > 0
+    n_leaves = int(leaf_mask.sum())
+
+    def children(b):
+        left = b + 1
+        return left, int(skip[left])
+
+    # --- collapse to 8-ary (greedy largest-area expansion of inner slots) ---
+    nodes8 = []  # binary ids per slot
+    memo = {}
+
+    def build8(b):
+        if b in memo:
+            return memo[b]
+        id8 = len(nodes8)
+        nodes8.append(None)
+        memo[b] = id8
+        if count[b] > 0:
+            slots = [b]
+        else:
+            slots = list(children(b))
+            while len(slots) < 8:
+                inner = [s for s in slots if count[s] == 0]
+                if not inner:
+                    break
+                s = max(inner, key=lambda x: area[x])
+                slots.remove(s)
+                slots.extend(children(s))
+        nodes8[id8] = slots
+        return id8
+
+    build8(0)
+    i = 0
+    while i < len(nodes8):
+        for s in list(nodes8[i]):
+            if count[s] == 0:
+                build8(s)
+        i += 1
+    m8 = len(nodes8)
+
+    # row ids: nodes first [0, m8), then leaf rows [m8, m8 + n_leaves)
+    leaf_row = np.cumsum(leaf_mask) - 1 + m8  # binary id -> leaf row id
+    M = m8 + n_leaves
+    assert M < (1 << 24) and t < (1 << 24)
+    rows = np.zeros((M, K_ROW), np.float32)
+
+    centers = 0.5 * (nmin + nmax)
+    sgn = np.array(
+        [
+            [1 if o & 4 else -1, 1 if o & 2 else -1, 1 if o & 1 else -1]
+            for o in range(8)
+        ],
+        np.float32,
+    )  # octant bit layout: (dx>=0)<<2 | (dy>=0)<<1 | (dz>=0)
+
+    depth8 = np.zeros(m8, np.int32)
+    for id8 in range(m8 - 1, -1, -1):
+        slots = nodes8[id8]
+        r = rows[id8]
+        r[0:8] = 3e38  # absent child: inverted box (never hits)
+        r[8:16] = 3e38
+        r[16:24] = 3e38
+        r[24:48] = -3e38
+        r[48:56] = -1.0
+        cs = []
+        dmax = 0
+        for c, s in enumerate(slots):
+            r[0 + c] = nmin[s][0]
+            r[8 + c] = nmin[s][1]
+            r[16 + c] = nmin[s][2]
+            r[24 + c] = nmax[s][0]
+            r[32 + c] = nmax[s][1]
+            r[40 + c] = nmax[s][2]
+            if count[s] > 0:
+                r[48 + c] = float(leaf_row[s])
+            else:
+                r[48 + c] = float(memo[s])
+                dmax = max(dmax, int(depth8[memo[s]]))
+            cs.append(centers[s])
+        depth8[id8] = 1 + dmax
+        cs = np.asarray(cs, np.float32)
+        for o in range(8):
+            key = cs @ sgn[o]
+            perm = list(np.argsort(key, kind="stable")) + list(
+                range(len(slots), 8)
+            )
+            packed = 0
+            for kk, c in enumerate(perm):
+                packed |= int(c) << (3 * kk)
+            r[56 + o] = float(packed)  # < 2^24, exact in f32
+        # flag stays 0
+
+    for b in np.where(leaf_mask)[0]:
+        rid = int(leaf_row[b])
+        r = rows[rid]
+        f, c = int(bvh.first[b]), int(count[b])
+        gid = bvh.prim_order[f : f + c]
+        r[72:80] = -1.0
+        for i2, g in enumerate(gid):
+            r[0 + i2] = v0[g][0]
+            r[8 + i2] = v0[g][1]
+            r[16 + i2] = v0[g][2]
+            r[24 + i2] = e1[g][0]
+            r[32 + i2] = e1[g][1]
+            r[40 + i2] = e1[g][2]
+            r[48 + i2] = e2[g][0]
+            r[56 + i2] = e2[g][1]
+            r[64 + i2] = e2[g][2]
+            r[72 + i2] = float(g)
+        r[COL_FLAG] = 1.0
+
+    return GatherBvhPack(
+        rows=jnp.asarray(rows),
+        root=0,
+        n_rows=M,
+        depth=max(1, int(depth8[0])),
+        n_tris=t,
+    )
+
+
+def _sel8(cols, idx):
+    """cols: list of 8 (N,) arrays; idx: (N,) i32 in [0,8) -> (N,) select."""
+    out = cols[0]
+    for j in range(1, 8):
+        out = jnp.where(idx == j, cols[j], out)
+    return out
+
+
+# lane states: cur >= 0 -> visiting row `cur`; POP_AGAIN -> stack pop pending
+# (stale tops exhausted the per-round pop budget); DEAD -> done
+DEAD = jnp.int32(-1)
+POP_AGAIN = jnp.int32(-2)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("root", "m", "depth", "any_hit", "max_rounds")
+)
+def _traverse(
+    rows, o, d, tnear, tfar, root, m, depth, any_hit=False, max_rounds=16384
+):
+    N = o.shape[0]
+    D = min(max(depth * 7, 8), 72)  # stack slots: <=7 pushes per level
+    ox, oy, oz = o[:, 0], o[:, 1], o[:, 2]
+    dx, dy, dz = d[:, 0], d[:, 1], d[:, 2]
+    idx = 1.0 / jnp.where(dx == 0.0, 1e-30, dx)
+    idy = 1.0 / jnp.where(dy == 0.0, 1e-30, dy)
+    idz = 1.0 / jnp.where(dz == 0.0, 1e-30, dz)
+    octant = (
+        jnp.where(dx >= 0.0, 4, 0)
+        + jnp.where(dy >= 0.0, 2, 0)
+        + jnp.where(dz >= 0.0, 1, 0)
+    ).astype(jnp.int32)
+
+    cur0 = jnp.where(tfar > tnear, jnp.int32(root), DEAD)
+    sp0 = jnp.zeros((N,), jnp.int32)
+    stack_c0 = tuple(jnp.zeros((N,), jnp.int32) for _ in range(D))
+    stack_t0 = tuple(jnp.zeros((N,), jnp.float32) for _ in range(D))
+    best_t0 = tfar
+    best_p0 = jnp.full((N,), -1, jnp.int32)
+    bu0 = jnp.zeros((N,), jnp.float32)
+    bv0 = jnp.zeros((N,), jnp.float32)
+
+    def body(state):
+        rounds, cur, sp, stack_c, stack_t, best_t, best_p, bu, bv = state
+        stack_c = list(stack_c)
+        stack_t = list(stack_t)
+        visiting = cur >= 0
+        row = rows[jnp.clip(cur, 0, m - 1)]  # (N, K) THE gather
+        is_leaf = row[:, COL_FLAG] > 0.5
+        node_on = visiting & ~is_leaf
+        leaf_on = visiting & is_leaf
+
+        # ---- node: 8 child box tests ----
+        hit_j, code_j, tmin_j = [], [], []
+        for j in range(8):
+            t0x = (row[:, j] - ox) * idx
+            t1x = (row[:, 24 + j] - ox) * idx
+            t0y = (row[:, 8 + j] - oy) * idy
+            t1y = (row[:, 32 + j] - oy) * idy
+            t0z = (row[:, 16 + j] - oz) * idz
+            t1z = (row[:, 40 + j] - oz) * idz
+            lo = jnp.maximum(
+                jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                jnp.minimum(t0z, t1z),
+            )
+            hi = jnp.minimum(
+                jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                jnp.maximum(t0z, t1z),
+            )
+            code = row[:, 48 + j].astype(jnp.int32)
+            h = (
+                node_on
+                & (code >= 0)
+                & (lo <= hi)
+                & (hi >= tnear)
+                & (lo < best_t)
+            )
+            hit_j.append(h)
+            code_j.append(code)
+            tmin_j.append(lo)
+
+        # ---- order children near-first by octant perm ----
+        perm = _sel8([row[:, 56 + oo] for oo in range(8)], octant).astype(
+            jnp.int32
+        )
+        hit_k, code_k, tmin_k, incl_k = [], [], [], []
+        run = jnp.zeros((N,), jnp.int32)
+        for k in range(8):
+            ck = (perm >> (3 * k)) & 7
+            hk = _sel8(hit_j, ck)
+            hit_k.append(hk)
+            code_k.append(_sel8(code_j, ck))
+            tmin_k.append(_sel8(tmin_j, ck))
+            run = run + hk.astype(jnp.int32)
+            incl_k.append(run)
+        ktot = run
+
+        first_code = jnp.full((N,), -1, jnp.int32)
+        for k in range(8):
+            first_code = jnp.where(
+                hit_k[k] & (incl_k[k] == 1), code_k[k], first_code
+            )
+
+        # ---- push ranks>=1 far-to-near at slots sp .. sp+ktot-2 ----
+        # child with inclusive rank r lands at slot sp + ktot - r
+        for dd in range(D):
+            for k in range(1, 8):
+                cond = hit_k[k] & (incl_k[k] >= 2) & (sp + ktot - incl_k[k] == dd)
+                stack_c[dd] = jnp.where(cond, code_k[k], stack_c[dd])
+                stack_t[dd] = jnp.where(cond, tmin_k[k], stack_t[dd])
+        descend = node_on & (ktot > 0)
+        sp = jnp.where(descend, sp + ktot - 1, sp)
+
+        # ---- leaf: 8 exact Moller-Trumbore tests from the row ----
+        for i in range(8):
+            av0x, av0y, av0z = row[:, i], row[:, 8 + i], row[:, 16 + i]
+            e1x, e1y, e1z = row[:, 24 + i], row[:, 32 + i], row[:, 40 + i]
+            e2x, e2y, e2z = row[:, 48 + i], row[:, 56 + i], row[:, 64 + i]
+            pid = row[:, 72 + i]
+            px = dy * e2z - dz * e2y
+            py = dz * e2x - dx * e2z
+            pz = dx * e2y - dy * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            inv_det = jnp.where(
+                jnp.abs(det) > 1e-12, 1.0 / jnp.where(det == 0, 1.0, det), 0.0
+            )
+            tx, ty, tz = ox - av0x, oy - av0y, oz - av0z
+            u = (tx * px + ty * py + tz * pz) * inv_det
+            qx = ty * e1z - tz * e1y
+            qy = tz * e1x - tx * e1z
+            qz = tx * e1y - ty * e1x
+            v = (dx * qx + dy * qy + dz * qz) * inv_det
+            tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+            ok = (
+                leaf_on
+                & (pid >= 0.0)
+                & (jnp.abs(det) > 1e-12)
+                & (u >= 0.0)
+                & (v >= 0.0)
+                & (u + v <= 1.0)
+                & (tt > tnear)
+                & (tt < best_t)
+            )
+            best_p = jnp.where(ok, pid.astype(jnp.int32), best_p)
+            bu = jnp.where(ok, u, bu)
+            bv = jnp.where(ok, v, bv)
+            best_t = jnp.where(ok, tt, best_t)
+
+        if any_hit:
+            # latch: a leaf hit ends the lane (best_p >= 0 is the answer)
+            found = leaf_on & (best_p >= 0)
+        else:
+            found = jnp.zeros((N,), bool)
+
+        # ---- pop (leaf lanes, no-hit node lanes, POP_AGAIN lanes) ----
+        need_pop = ((visiting & ~descend) | (cur == POP_AGAIN)) & ~found
+        cur = jnp.where(descend, first_code, cur)
+        resolved = descend | found | (cur == DEAD)
+        if any_hit:
+            cur = jnp.where(found, DEAD, cur)
+        for _ in range(4):  # pop budget per round; stale tops are skipped
+            can = need_pop & ~resolved & (sp > 0)
+            top_c = stack_c[0]
+            top_t = stack_t[0]
+            for dd in range(1, D):
+                sel = sp - 1 == dd
+                top_c = jnp.where(sel, stack_c[dd], top_c)
+                top_t = jnp.where(sel, stack_t[dd], top_t)
+            sp = jnp.where(can, sp - 1, sp)
+            fresh = can & (top_t < best_t)
+            cur = jnp.where(fresh, top_c, cur)
+            resolved = resolved | fresh
+        cur = jnp.where(
+            need_pop & ~resolved, jnp.where(sp > 0, POP_AGAIN, DEAD), cur
+        )
+        return (
+            rounds + 1,
+            cur,
+            sp,
+            tuple(stack_c),
+            tuple(stack_t),
+            best_t,
+            best_p,
+            bu,
+            bv,
+        )
+
+    def cond(state):
+        rounds, cur = state[0], state[1]
+        return jnp.any(cur != DEAD) & (rounds < max_rounds)
+
+    state = jax.lax.while_loop(
+        cond,
+        body,
+        (jnp.int32(0), cur0, sp0, stack_c0, stack_t0, best_t0, best_p0, bu0, bv0),
+    )
+    rounds, _, _, _, _, best_t, best_p, bu, bv = state
+    return best_t, best_p, bu, bv, rounds
+
+
+def intersect_bvh_gather(pack: GatherBvhPack, o, d, tnear, tfar) -> Hit:
+    """Closest-hit query; Hit.prim are scene triangle ids."""
+    best_t, best_p, bu, bv, _ = _traverse(
+        pack.rows, o, d, tnear, tfar, root=pack.root, m=pack.n_rows,
+        depth=pack.depth,
+    )
+    miss = best_p < 0
+    return Hit(
+        t=jnp.where(miss, INF, best_t),
+        prim=best_p,
+        u=jnp.where(miss, 0.0, bu),
+        v=jnp.where(miss, 0.0, bv),
+    )
+
+
+def occluded_bvh_gather(pack: GatherBvhPack, o, d, tnear, tfar) -> jnp.ndarray:
+    """Any-hit query -> bool per ray (lanes latch and die on first hit)."""
+    _, best_p, _, _, _ = _traverse(
+        pack.rows, o, d, tnear, tfar, root=pack.root, m=pack.n_rows,
+        depth=pack.depth, any_hit=True,
+    )
+    return best_p >= 0
