@@ -89,14 +89,33 @@ def _write_values(w, vals, zipped, half):
 
 
 def _write_compressed(w, dense, mask, zipped, half, ncomp):
-    """writeCompressedValues: for >=222 archives, MASK_AND_NO_INACTIVE_VALS
-    (code 3) — only active values stored, compacted by the value mask.
-    Older versions store all values with no per-node metadata byte."""
-    if getattr(w, "v222", True):
-        w.i8(3)
-        _write_values(w, dense.reshape(-1, ncomp)[mask], zipped, half)
+    """writeCompressedValues (openvdb/io/Compression.h write path): pick
+    the metadata code from the inactive values, store ONLY the active
+    values (compacted) for every code but NO_MASK_AND_ALL_VALS, and emit
+    the selection NodeMask for the two-inactive-value codes. The writer's
+    background is always 0 here, so all-zero inactive regions take code 0
+    (NO_MASK_OR_INACTIVE_VALS) — the layout real files use overwhelmingly.
+    Older (<222) versions store all values with no per-node metadata."""
+    flat = dense.reshape(-1, ncomp)
+    if not getattr(w, "v222", True):
+        _write_values(w, flat, zipped, half)
+        return
+    inactive = flat[~mask]
+    uniq = np.unique(inactive, axis=0) if len(inactive) else np.zeros((0, ncomp))
+    if len(uniq) <= 1 and (len(uniq) == 0 or np.all(uniq[0] == 0.0)):
+        w.i8(0)  # NO_MASK_OR_INACTIVE_VALS: inactive == +background (0)
+    elif len(uniq) == 1:
+        w.i8(2)  # NO_MASK_AND_ONE_INACTIVE_VAL
+        _write_values(w, uniq[0:1], False, half)
     else:
-        _write_values(w, dense.reshape(-1, ncomp), zipped, half)
+        assert len(uniq) == 2, "writer supports at most two inactive values"
+        w.i8(5)  # MASK_AND_TWO_INACTIVE_VALS
+        _write_values(w, uniq[0:1], False, half)
+        _write_values(w, uniq[1:2], False, half)
+        sel = np.zeros(len(flat), bool)
+        sel[~mask] = np.all(flat[~mask] == uniq[1], axis=1)
+        _write_mask(w, sel)
+    _write_values(w, flat[mask], zipped, half)
 
 
 def _xyz_to_off(x, y, z, dim):
@@ -175,7 +194,8 @@ def write_vdb(path, grids, version=224, zipped=True):
     w.u32(1)  # library version
     w.boolean(True)  # has grid offsets
     if version >= 222:
-        w.u32((COMPRESS_ZIP if zipped else 0) | COMPRESS_ACTIVE_MASK)
+        # real v222+ archives carry NO header compression field — it is
+        # per-grid (written below); the header goes straight to the uuid
         w.raw(b"0123456789ab-cdef-0123-456789abcdef0")  # raw 36-char uuid
     else:
         w.boolean(zipped)
@@ -251,11 +271,12 @@ def _scatter_voxels(rng, origins, ncomp=1):
 
 
 def _expect_dense(voxels, tiles, ncomp):
+    # voxel-exact active bbox (evalActiveVoxelBoundingBox semantics)
     los = [k for k in voxels] + [t[0] for t in tiles]
-    his = [tuple(c // 8 * 8 + 8 for c in k) for k in voxels] + [
+    his = [tuple(c + 1 for c in k) for k in voxels] + [
         tuple(o + t[1] for o in t[0]) for t in tiles
     ]
-    lo = np.min(np.array(los) // 8 * 8, axis=0)
+    lo = np.min(np.array(los), axis=0)
     hi = np.max(np.array(his), axis=0)
     out = np.zeros((hi[2] - lo[2], hi[1] - lo[1], hi[0] - lo[0], ncomp), np.float32)
     for (to_, span, v) in tiles:
@@ -330,6 +351,76 @@ def test_multi_grid_vec3(tmp_path):
     np.testing.assert_array_equal(e, _expect_dense(evox, [], 3))
     with pytest.raises(KeyError):
         read_vdb_grid(path, "temperature")
+
+
+def test_index_min_and_placement(tmp_path):
+    """normalize_size=false: dense index q must land at world
+    (q + index_min) * spacing + translate (VdbGrid.cpp:241-249)."""
+    from tungsten_tpu.models.grids import grid_density, load_grid_spec
+    import jax.numpy as jnp
+
+    voxels = {(x, 21, 35): np.array([float(x)], np.float32)
+              for x in range(10, 14)}
+    path = str(tmp_path / "p.vdb")
+    write_vdb(path, [{"name": "density", "type": "float", "voxels": voxels,
+                      "voxel_size": 0.5}])
+    arr, info = read_vdb_grid(path, "density")
+    np.testing.assert_array_equal(info["index_min"], [10, 21, 35])
+    assert arr.shape == (1, 1, 4)
+    g = load_grid_spec({"type": "vdb", "file": path,
+                        "normalize_size": False})
+    # center of file voxel (12, 21, 35) in world space
+    p = jnp.array([[12.5 * 0.5, 21.5 * 0.5, 35.5 * 0.5]])
+    np.testing.assert_allclose(np.asarray(grid_density(g, p)), [12.0],
+                               rtol=1e-5)
+
+
+@pytest.mark.parametrize("code", [0, 1, 2, 3, 4, 5, 6])
+def test_read_compressed_values_codes(code):
+    """Every io::readCompressedValues metadata code against hand-written
+    bytes with a nonzero background: compaction applies to codes 0-5, the
+    selection NodeMask picks between the two inactive values for 3/4/5."""
+    from tungsten_tpu.models.grids.vdb import _R, _read_compressed_values
+
+    rng = np.random.default_rng(code)
+    n = 64
+    mask = rng.random(n) < 0.4
+    bg = np.float32(2.0)
+    active = (rng.random(mask.sum()).astype(np.float32) + 0.1)
+    w = _W()
+    w.i8(code)
+    want = np.empty(n, np.float32)
+    want[mask] = active
+    if code == 0:
+        want[~mask] = bg
+    elif code == 1:
+        want[~mask] = -bg
+    elif code == 2:
+        w.f32(7.5)
+        want[~mask] = 7.5
+    elif code in (3, 4, 5):
+        if code == 4:
+            w.f32(7.5)
+            v0, v1 = 7.5, bg
+        elif code == 5:
+            w.f32(7.5)
+            w.f32(-3.25)
+            v0, v1 = 7.5, -3.25
+        else:
+            v0, v1 = -bg, bg
+        sel = np.zeros(n, bool)
+        sel[~mask] = rng.random((~mask).sum()) < 0.5
+        _write_mask(w, sel)
+        want[~mask & ~sel] = v0
+        want[~mask & sel] = v1
+    stored = want if code == 6 else active
+    w.i64(-(stored.size * 4))  # zlib framing, negative = raw escape
+    w.raw(np.asarray(stored, np.float32).tobytes())
+    got = _read_compressed_values(
+        _R(w.bytes()), n, 1, mask, np.array([bg]), 224,
+        COMPRESS_ZIP | COMPRESS_ACTIVE_MASK, False, "<mem>",
+    )
+    np.testing.assert_array_equal(got[:, 0], want)
 
 
 def test_vdb_grid_spec_loads(tmp_path):

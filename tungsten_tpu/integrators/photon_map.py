@@ -578,16 +578,26 @@ def build_plane_list(pp0, pp1, pd1, pl1, ppow, pval, pbounce, seed=0):
         jnp.full((nrec,), jnp.uint32(seed)),
         jnp.full((nrec,), jnp.uint32(0x9E3779B9)),
     )
-    key = jnp.where(pval, r, jnp.uint32(0xFFFFFFFF))
-    take = jnp.argsort(key)[:MAX_PLANES]
     n_valid = jnp.sum(pval)
     scale = jnp.maximum(1.0, n_valid.astype(jnp.float32) / MAX_PLANES)
     rows = jnp.concatenate(
         [pp0, pp1, pd1, pl1[:, None], ppow * scale,
          pbounce.astype(jnp.float32)[:, None]],
         axis=1,
-    )[take]
-    vmask = pval[take]
+    )
+    if nrec >= MAX_PLANES:
+        key = jnp.where(pval, r, jnp.uint32(0xFFFFFFFF))
+        take = jnp.argsort(key)[:MAX_PLANES]
+        rows, vmask = rows[take], pval[take]
+    else:
+        # pad up to MAX_PLANES (vmask False): _plane0d_gather's chunked
+        # dynamic_slice sweep assumes exactly MAX_PLANES rows — a short
+        # table would re-read (and re-count) its tail via slice clamping
+        pad = MAX_PLANES - nrec
+        rows = jnp.concatenate(
+            [rows, jnp.zeros((pad, rows.shape[1]), rows.dtype)], axis=0
+        )
+        vmask = jnp.concatenate([pval, jnp.zeros((pad,), bool)], axis=0)
     thinned = jnp.maximum(n_valid - MAX_PLANES, 0)
     return rows, vmask, thinned
 

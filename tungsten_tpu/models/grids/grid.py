@@ -217,16 +217,20 @@ def load_grid_spec(spec: dict, resolve=None) -> DenseGrid:
                 emission, _ = read_vdb_grid(path, ename)
             except KeyError:
                 emission = None
-        # VdbGrid.cpp:241-243 normalize_size=false semantics: spacing = the
-        # file transform's voxel size, center = -densityCenter (grid center
-        # at the file's translation). Spec keys still override for repacks.
-        fs = float(np.mean(vinfo["voxel_size"]))
-        dn = np.array(dens.shape[:3][::-1], np.float64)  # (nx, ny, nz)
+        # VdbGrid.cpp:241-249 normalize_size=false semantics: world =
+        # fileIndex * densitySpacing.min() + densityCenter, with the grid
+        # spanning file indices minP..maxP — so the dense array's origin
+        # (dense index 0 == file index index_min) sits at translate +
+        # index_min * spacing. Spec keys still override for repacks.
+        fs = float(np.min(vinfo["voxel_size"]))
         spec = dict(spec)
         spec.setdefault("spacing", fs)
         spec.setdefault(
             "grid_center",
-            (np.asarray(vinfo["translate"]) - 0.5 * fs * dn).tolist(),
+            (
+                np.asarray(vinfo["translate"])
+                + fs * np.asarray(vinfo["index_min"], np.float64)
+            ).tolist(),
         )
     else:
         raise NotImplementedError(f"grid type '{gtype}'")

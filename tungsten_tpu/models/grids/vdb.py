@@ -15,9 +15,10 @@ tiles, multi-inactive-value nodes, non-float value types).
 
 Supported subset
   header  : int64 magic | uint32 file version (>=220) | uint32+uint32 lib
-            version | bool hasGridOffsets | compression (1 byte <222,
-            uint32 >=222) | uuid (length-prefixed string OR raw 36 bytes)
-            | metadata map | uint32 grid count | descriptors
+            version | bool hasGridOffsets | [zlib bool, 220-221 ONLY —
+            from 222 compression is per-grid] | uuid (length-prefixed
+            string OR raw 36 bytes) | metadata map | uint32 grid count |
+            descriptors
   descr   : unique name | type string (optional "_HalfFloat" suffix) |
             [bool half | instance-parent string] | int64 gridPos,
             blockPos, endPos
@@ -152,12 +153,16 @@ def _parse_header(r: _R, path):
     r.u32()  # library major/minor
     has_offsets = r.boolean()
     if file_version >= 222:
-        compression = r.u32()
-    elif file_version >= 220:
-        compression = COMPRESS_ZIP if r.boolean() else COMPRESS_NONE
-        compression |= COMPRESS_ACTIVE_MASK
-    else:
+        # From 222 on the archive header carries NO compression field —
+        # compression moves to a per-grid uint32 (read in _read_grid).
+        # This default only covers grids written without the per-grid
+        # field (not observed in practice).
         compression = COMPRESS_ZIP | COMPRESS_ACTIVE_MASK
+    elif file_version >= 220:
+        # 220-221: a single header bool selects zlib on/off
+        compression = COMPRESS_ZIP if r.boolean() else COMPRESS_NONE
+    else:
+        compression = COMPRESS_ZIP
     # UUID variants
     save = r.o
     for variant in ("prefixed", "raw36", "raw16", "none"):
@@ -282,34 +287,42 @@ def _read_data(r: _R, count, ncomp, compression, half, path):
 def _read_compressed_values(r: _R, dest_count, ncomp, value_mask,
                             background, file_version, compression, half,
                             path):
-    """io::readCompressedValues: per-node int8 metadata, optional inactive
-    values, active-mask compaction, then readData. Returns a dense
+    """io::readCompressedValues (openvdb/io/Compression.h): per-node int8
+    metadata, up to two stored inactive values, a selection NodeMask for
+    the two-inactive-value codes, active-mask compaction for EVERY code
+    except NO_MASK_AND_ALL_VALS, then readData. Returns a dense
     (dest_count, ncomp) f32 array."""
     code = NO_MASK_AND_ALL_VALS
     if file_version >= 222:
         code = struct.unpack("<b", r.read(1))[0]
-    inactive1 = None
-    if code in (NO_MASK_AND_ONE_INACTIVE_VAL, MASK_AND_ONE_INACTIVE_VAL):
-        inactive1 = _read_data(r, 1, ncomp, COMPRESS_NONE, half, path)[0]
-    elif code == MASK_AND_TWO_INACTIVE_VALS:
-        raise NotImplementedError(
-            f"{path}: node with two distinct inactive values "
-            "(MASK_AND_TWO_INACTIVE_VALS) — repack to .npy"
-        )
-    masked = code in (MASK_AND_NO_INACTIVE_VALS, MASK_AND_ONE_INACTIVE_VAL)
-    if masked and not (compression & COMPRESS_ACTIVE_MASK):
-        raise ValueError(f"{path}: mask-compressed node without ACTIVE_MASK flag")
-    n_stored = int(value_mask.sum()) if masked else dest_count
+    bg = np.asarray(background, np.float32)
+    # inactive-value reconstruction defaults (mirrors the reference reader)
+    inactive1 = bg
+    inactive0 = bg if code == NO_MASK_OR_INACTIVE_VALS else -bg
+    if code in (NO_MASK_AND_ONE_INACTIVE_VAL, MASK_AND_ONE_INACTIVE_VAL,
+                MASK_AND_TWO_INACTIVE_VALS):
+        inactive0 = _read_data(r, 1, ncomp, COMPRESS_NONE, half, path)[0]
+        if code == MASK_AND_TWO_INACTIVE_VALS:
+            inactive1 = _read_data(r, 1, ncomp, COMPRESS_NONE, half, path)[0]
+    selection = None
+    if code in (MASK_AND_NO_INACTIVE_VALS, MASK_AND_ONE_INACTIVE_VAL,
+                MASK_AND_TWO_INACTIVE_VALS):
+        # bitmask selecting between the two distinct inactive values
+        selection = _load_mask(r, dest_count)
+    mask_compressed = bool(compression & COMPRESS_ACTIVE_MASK)
+    compacted = (
+        mask_compressed
+        and code != NO_MASK_AND_ALL_VALS
+        and file_version >= 222
+    )
+    n_stored = int(value_mask.sum()) if compacted else dest_count
     vals = _read_data(r, n_stored, ncomp, compression, half, path)
-    if not masked:
+    if not compacted or n_stored == dest_count:
         return vals
     out = np.empty((dest_count, ncomp), np.float32)
-    if code == MASK_AND_ONE_INACTIVE_VAL:
-        out[:] = inactive1
-    elif code == NO_MASK_AND_MINUS_BG:
-        out[:] = -np.asarray(background, np.float32)
-    else:
-        out[:] = np.asarray(background, np.float32)
+    out[:] = inactive0
+    if selection is not None:
+        out[selection] = inactive1
     out[value_mask] = vals
     return out
 
@@ -465,22 +478,33 @@ def _read_grid(data, gridpos, gtype, half, file_version, compression, path):
         _read_int5(r, o, leaves, tiles, ctx)
     _read_leaf_buffers(r, leaves, ctx)
 
-    return _densify(leaves, tiles, background, ncomp, path), voxel_size, translate
+    arr, index_min = _densify(leaves, tiles, background, ncomp, path)
+    return arr, voxel_size, translate, index_min
 
 
 def _densify(leaves, tiles, background, ncomp, path):
+    """Dense (nz, ny, nx, ncomp) array over the VOXEL-exact active bbox
+    (evalActiveVoxelBoundingBox semantics: min over active voxels/tiles,
+    not leaf-aligned), plus the bbox minimum in file index space — the
+    reference places the grid by file index (VdbGrid.cpp:231-249), so
+    dense index q corresponds to file index q + index_min."""
     if not leaves and not tiles:
-        return np.zeros((1, 1, 1, ncomp), np.float32)
-    los, his = [], []
+        return np.zeros((1, 1, 1, ncomp), np.float32), np.zeros(3, np.int64)
+    lx, ly, lz = _offsets_to_xyz(LEAF_DIM)
+    alos, ahis = [], []
     for lf in leaves:
-        o = lf["origin"]
-        los.append(o)
-        his.append((o[0] + LEAF_DIM, o[1] + LEAF_DIM, o[2] + LEAF_DIM))
+        m = lf["mask"]
+        if not m.any():
+            continue
+        o = np.asarray(lf["origin"])
+        xs, ys, zs = lx[m], ly[m], lz[m]
+        alos.append(o + (xs.min(), ys.min(), zs.min()))
+        ahis.append(o + (xs.max() + 1, ys.max() + 1, zs.max() + 1))
     for o, span, _ in tiles:
-        los.append(o)
-        his.append((o[0] + span, o[1] + span, o[2] + span))
-    lo = np.min(np.array(los), axis=0)
-    hi = np.max(np.array(his), axis=0)
+        alos.append(np.asarray(o))
+        ahis.append(np.asarray(o) + span)
+    lo = np.min(np.array(alos), axis=0)
+    hi = np.max(np.array(ahis), axis=0)
     nx, ny, nz = (hi - lo).tolist()
     if nx * ny * nz > MAX_DENSE_VOXELS:
         raise NotImplementedError(
@@ -491,13 +515,25 @@ def _densify(leaves, tiles, background, ncomp, path):
     out[:] = np.asarray(background, np.float32)
     for o, span, val in tiles:
         x0, y0, z0 = (np.array(o) - lo).tolist()
-        out[z0 : z0 + span, y0 : y0 + span, x0 : x0 + span] = val
-    lx, ly, lz = _offsets_to_xyz(LEAF_DIM)
+        out[max(z0, 0) : z0 + span, max(y0, 0) : y0 + span,
+            max(x0, 0) : x0 + span] = val
     for lf in leaves:
-        x0, y0, z0 = (np.array(lf["origin"]) - lo).tolist()
-        blk = lf["values"].reshape(LEAF_DIM, LEAF_DIM, LEAF_DIM, ncomp)
-        out[z0 : z0 + 8, y0 : y0 + 8, x0 : x0 + 8] = blk.transpose(2, 1, 0, 3)
-    return out
+        o = np.asarray(lf["origin"])
+        blk = lf["values"].reshape(
+            LEAF_DIM, LEAF_DIM, LEAF_DIM, ncomp
+        ).transpose(2, 1, 0, 3)  # -> (z, y, x, c)
+        # clip the leaf block to the cropped bbox
+        b0 = np.maximum(lo - o, 0)  # (x, y, z) start inside the block
+        b1 = np.minimum(hi - o, LEAF_DIM)
+        if np.any(b0 >= b1):
+            continue
+        d0 = np.maximum(o - lo, 0)
+        out[
+            d0[2] : d0[2] + (b1[2] - b0[2]),
+            d0[1] : d0[1] + (b1[1] - b0[1]),
+            d0[0] : d0[0] + (b1[0] - b0[0]),
+        ] = blk[b0[2] : b1[2], b0[1] : b1[1], b0[0] : b1[0]]
+    return out, lo
 
 
 # ---------------------------------------------------------------------------
@@ -531,7 +567,7 @@ def read_vdb_grid(path: str, grid_name: str = "density"):
         )
         names.append(gname)
         if gname == grid_name:
-            arr, voxel_size, translate = _read_grid(
+            arr, voxel_size, translate, index_min = _read_grid(
                 data, gpos, gtype, half, file_version, compression, path
             )
             if arr.shape[-1] == 1:
@@ -539,6 +575,7 @@ def read_vdb_grid(path: str, grid_name: str = "density"):
             return arr, {
                 "voxel_size": voxel_size,
                 "translate": translate,
+                "index_min": index_min,
                 "grids": names,
             }
         # archive layout interleaves [descriptor][grid data]: the next

@@ -207,60 +207,62 @@ def build_gather_pack(v0, e1, e2, leaf_size: int = TRIS_PER_LEAF):
     )
 
 
-def _sel8(cols, idx):
-    """cols: list of 8 (N,) arrays; idx: (N,) i32 in [0,8) -> (N,) select."""
-    out = cols[0]
-    for j in range(1, 8):
-        out = jnp.where(idx == j, cols[j], out)
-    return out
-
-
-# lane states: cur >= 0 -> visiting row `cur`; POP_AGAIN -> stack pop pending
-# (stale tops exhausted the per-round pop budget); DEAD -> done
+# lane state: cur >= 0 -> processing row `cur` next round; DEAD -> done
 DEAD = jnp.int32(-1)
-POP_AGAIN = jnp.int32(-2)
 
 
 @functools.partial(
     jax.jit, static_argnames=("root", "m", "depth", "any_hit", "max_rounds")
 )
 def _traverse(
-    rows, o, d, tnear, tfar, root, m, depth, any_hit=False, max_rounds=16384
+    rows, o, d, tnear, tfar, root, m, depth, any_hit=False, max_rounds=4096
 ):
+    """Bitstack per-lane traversal.
+
+    The first gather-traversal generation kept a full (code, tmin) entry
+    stack as D~56 parallel (N,) registers; rewriting ~112 arrays per round
+    made each round HBM-bound (~75 ns/lane measured). This version keeps a
+    BITSTACK instead: per tree level just (node row id, pending-children
+    bitmask) — <= 2*depth small int32 arrays. A pop re-gathers the parent
+    row and re-tests its boxes against the CURRENT best_t (gathers are
+    ~2.7 ns/lane; the re-test is free pruning), and the nearest pending
+    child is picked exactly by argmin of slab tmin — no octant permutation
+    tables. A node whose remaining hit set is empty descends tail-call
+    style without pushing, which removes most resume rounds.
+    """
     N = o.shape[0]
-    D = min(max(depth * 7, 8), 72)  # stack slots: <=7 pushes per level
+    L = depth + 2  # bitstack levels (one push max per visited level)
     ox, oy, oz = o[:, 0], o[:, 1], o[:, 2]
     dx, dy, dz = d[:, 0], d[:, 1], d[:, 2]
     idx = 1.0 / jnp.where(dx == 0.0, 1e-30, dx)
     idy = 1.0 / jnp.where(dy == 0.0, 1e-30, dy)
     idz = 1.0 / jnp.where(dz == 0.0, 1e-30, dz)
-    octant = (
-        jnp.where(dx >= 0.0, 4, 0)
-        + jnp.where(dy >= 0.0, 2, 0)
-        + jnp.where(dz >= 0.0, 1, 0)
-    ).astype(jnp.int32)
 
     cur0 = jnp.where(tfar > tnear, jnp.int32(root), DEAD)
-    sp0 = jnp.zeros((N,), jnp.int32)
-    stack_c0 = tuple(jnp.zeros((N,), jnp.int32) for _ in range(D))
-    stack_t0 = tuple(jnp.zeros((N,), jnp.float32) for _ in range(D))
+    pend0 = jnp.full((N,), 0xFF, jnp.int32)
+    lvl0 = jnp.zeros((N,), jnp.int32)
+    pid0 = tuple(jnp.zeros((N,), jnp.int32) for _ in range(L))
+    pmask0 = tuple(jnp.zeros((N,), jnp.int32) for _ in range(L))
     best_t0 = tfar
     best_p0 = jnp.full((N,), -1, jnp.int32)
     bu0 = jnp.zeros((N,), jnp.float32)
     bv0 = jnp.zeros((N,), jnp.float32)
 
     def body(state):
-        rounds, cur, sp, stack_c, stack_t, best_t, best_p, bu, bv = state
-        stack_c = list(stack_c)
-        stack_t = list(stack_t)
-        visiting = cur >= 0
+        rounds, cur, pend, lvl, pid, pmask, best_t, best_p, bu, bv = state
+        pid = list(pid)
+        pmask = list(pmask)
+        live = cur >= 0
         row = rows[jnp.clip(cur, 0, m - 1)]  # (N, K) THE gather
         is_leaf = row[:, COL_FLAG] > 0.5
-        node_on = visiting & ~is_leaf
-        leaf_on = visiting & is_leaf
+        node_on = live & ~is_leaf
+        leaf_on = live & is_leaf
 
-        # ---- node: 8 child box tests ----
-        hit_j, code_j, tmin_j = [], [], []
+        # ---- node: 8 pending child box tests; nearest by exact tmin ----
+        tsel = jnp.full((N,), jnp.inf, jnp.float32)
+        child = jnp.full((N,), -1, jnp.int32)
+        sel = jnp.zeros((N,), jnp.int32)
+        hitbits = jnp.zeros((N,), jnp.int32)
         for j in range(8):
             t0x = (row[:, j] - ox) * idx
             t1x = (row[:, 24 + j] - ox) * idx
@@ -279,53 +281,33 @@ def _traverse(
             code = row[:, 48 + j].astype(jnp.int32)
             h = (
                 node_on
+                & ((pend >> j) & 1 > 0)
                 & (code >= 0)
                 & (lo <= hi)
                 & (hi >= tnear)
                 & (lo < best_t)
             )
-            hit_j.append(h)
-            code_j.append(code)
-            tmin_j.append(lo)
-
-        # ---- order children near-first by octant perm ----
-        perm = _sel8([row[:, 56 + oo] for oo in range(8)], octant).astype(
-            jnp.int32
-        )
-        hit_k, code_k, tmin_k, incl_k = [], [], [], []
-        run = jnp.zeros((N,), jnp.int32)
-        for k in range(8):
-            ck = (perm >> (3 * k)) & 7
-            hk = _sel8(hit_j, ck)
-            hit_k.append(hk)
-            code_k.append(_sel8(code_j, ck))
-            tmin_k.append(_sel8(tmin_j, ck))
-            run = run + hk.astype(jnp.int32)
-            incl_k.append(run)
-        ktot = run
-
-        first_code = jnp.full((N,), -1, jnp.int32)
-        for k in range(8):
-            first_code = jnp.where(
-                hit_k[k] & (incl_k[k] == 1), code_k[k], first_code
-            )
-
-        # ---- push ranks>=1 far-to-near at slots sp .. sp+ktot-2 ----
-        # child with inclusive rank r lands at slot sp + ktot - r
-        for dd in range(D):
-            for k in range(1, 8):
-                cond = hit_k[k] & (incl_k[k] >= 2) & (sp + ktot - incl_k[k] == dd)
-                stack_c[dd] = jnp.where(cond, code_k[k], stack_c[dd])
-                stack_t[dd] = jnp.where(cond, tmin_k[k], stack_t[dd])
-        descend = node_on & (ktot > 0)
-        sp = jnp.where(descend, sp + ktot - 1, sp)
+            hitbits = hitbits | jnp.where(h, 1 << j, 0)
+            tj = jnp.where(h, lo, jnp.inf)
+            take = tj < tsel
+            child = jnp.where(take, code, child)
+            sel = jnp.where(take, j, sel)
+            tsel = jnp.minimum(tsel, tj)
+        descend = node_on & (child >= 0)
+        remaining = hitbits & ~jnp.left_shift(1, sel)
+        push = descend & (remaining != 0)
+        for dd in range(L):
+            w = push & (lvl == dd)
+            pid[dd] = jnp.where(w, cur, pid[dd])
+            pmask[dd] = jnp.where(w, remaining, pmask[dd])
+        lvl = jnp.where(push, lvl + 1, lvl)
 
         # ---- leaf: 8 exact Moller-Trumbore tests from the row ----
         for i in range(8):
             av0x, av0y, av0z = row[:, i], row[:, 8 + i], row[:, 16 + i]
             e1x, e1y, e1z = row[:, 24 + i], row[:, 32 + i], row[:, 40 + i]
             e2x, e2y, e2z = row[:, 48 + i], row[:, 56 + i], row[:, 64 + i]
-            pid = row[:, 72 + i]
+            tid = row[:, 72 + i]
             px = dy * e2z - dz * e2y
             py = dz * e2x - dx * e2z
             pz = dx * e2y - dy * e2x
@@ -342,7 +324,7 @@ def _traverse(
             tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
             ok = (
                 leaf_on
-                & (pid >= 0.0)
+                & (tid >= 0.0)
                 & (jnp.abs(det) > 1e-12)
                 & (u >= 0.0)
                 & (v >= 0.0)
@@ -350,44 +332,39 @@ def _traverse(
                 & (tt > tnear)
                 & (tt < best_t)
             )
-            best_p = jnp.where(ok, pid.astype(jnp.int32), best_p)
+            best_p = jnp.where(ok, tid.astype(jnp.int32), best_p)
             bu = jnp.where(ok, u, bu)
             bv = jnp.where(ok, v, bv)
             best_t = jnp.where(ok, tt, best_t)
 
         if any_hit:
-            # latch: a leaf hit ends the lane (best_p >= 0 is the answer)
-            found = leaf_on & (best_p >= 0)
+            found = leaf_on & (best_p >= 0)  # latch: first hit ends the lane
         else:
             found = jnp.zeros((N,), bool)
 
-        # ---- pop (leaf lanes, no-hit node lanes, POP_AGAIN lanes) ----
-        need_pop = ((visiting & ~descend) | (cur == POP_AGAIN)) & ~found
-        cur = jnp.where(descend, first_code, cur)
-        resolved = descend | found | (cur == DEAD)
+        # ---- advance: descend, else pop one bitstack level ----
+        cur = jnp.where(descend, child, cur)
+        pend = jnp.where(descend, 0xFF, pend)
+        need_pop = (leaf_on | (node_on & ~descend)) & ~found
+        can = need_pop & (lvl > 0)
+        top_c = pid[0]
+        top_m = pmask[0]
+        for dd in range(1, L):
+            s = (lvl - 1) == dd
+            top_c = jnp.where(s, pid[dd], top_c)
+            top_m = jnp.where(s, pmask[dd], top_m)
+        cur = jnp.where(need_pop, jnp.where(can, top_c, DEAD), cur)
+        pend = jnp.where(can, top_m, pend)
+        lvl = jnp.where(can, lvl - 1, lvl)
         if any_hit:
             cur = jnp.where(found, DEAD, cur)
-        for _ in range(4):  # pop budget per round; stale tops are skipped
-            can = need_pop & ~resolved & (sp > 0)
-            top_c = stack_c[0]
-            top_t = stack_t[0]
-            for dd in range(1, D):
-                sel = sp - 1 == dd
-                top_c = jnp.where(sel, stack_c[dd], top_c)
-                top_t = jnp.where(sel, stack_t[dd], top_t)
-            sp = jnp.where(can, sp - 1, sp)
-            fresh = can & (top_t < best_t)
-            cur = jnp.where(fresh, top_c, cur)
-            resolved = resolved | fresh
-        cur = jnp.where(
-            need_pop & ~resolved, jnp.where(sp > 0, POP_AGAIN, DEAD), cur
-        )
         return (
             rounds + 1,
             cur,
-            sp,
-            tuple(stack_c),
-            tuple(stack_t),
+            pend,
+            lvl,
+            tuple(pid),
+            tuple(pmask),
             best_t,
             best_p,
             bu,
@@ -401,9 +378,21 @@ def _traverse(
     state = jax.lax.while_loop(
         cond,
         body,
-        (jnp.int32(0), cur0, sp0, stack_c0, stack_t0, best_t0, best_p0, bu0, bv0),
+        (
+            jnp.int32(0),
+            cur0,
+            pend0,
+            lvl0,
+            pid0,
+            pmask0,
+            best_t0,
+            best_p0,
+            bu0,
+            bv0,
+        ),
     )
-    rounds, _, _, _, _, best_t, best_p, bu, bv = state
+    rounds = state[0]
+    best_t, best_p, bu, bv = state[6], state[7], state[8], state[9]
     return best_t, best_p, bu, bv, rounds
 
 
