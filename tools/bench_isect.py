@@ -109,6 +109,34 @@ def main():
                 packx = results["packx"]
                 fn = lambda pk, tr, o, d, nr, fr: intersect_bvh_pallasx(pk, tr, o, d, nr, fr).t
                 dt = chained_time(fn, (packx, tris, o, d, near, far), K=args.K)
+            elif kname == "gather":
+                from tungsten_tpu.ops.gather_bvh import (
+                    build_gather_pack, intersect_bvh_gather,
+                )
+
+                if "gpack" not in results:
+                    results["gpack"] = build_gather_pack(
+                        np.asarray(tris.v0), np.asarray(tris.e1), np.asarray(tris.e2)
+                    )
+                gp = results["gpack"]
+                fn = lambda rows, o, d, nr, fr: intersect_bvh_gather(
+                    gp.replace(rows=rows), o, d, nr, fr
+                ).t
+                dt = chained_time(fn, (gp.rows, o, d, near, far), K=args.K)
+            elif kname == "gatherany":
+                from tungsten_tpu.ops.gather_bvh import (
+                    build_gather_pack, occluded_bvh_gather,
+                )
+
+                if "gpack" not in results:
+                    results["gpack"] = build_gather_pack(
+                        np.asarray(tris.v0), np.asarray(tris.e1), np.asarray(tris.e2)
+                    )
+                gp = results["gpack"]
+                fn = lambda rows, o, d, nr, fr: occluded_bvh_gather(
+                    gp.replace(rows=rows), o, d, nr, fr
+                ).astype(jnp.float32)
+                dt = chained_time(fn, (gp.rows, o, d, near, far), K=args.K)
             else:
                 continue
             mrps = n / dt / 1e6
@@ -129,6 +157,10 @@ def main():
             from tungsten_tpu.ops.pallas_bvhx import intersect_bvh_pallasx
 
             h = intersect_bvh_pallasx(results["packx"], tris, o, d, near, far)
+        elif kname == "gather":
+            from tungsten_tpu.ops.gather_bvh import intersect_bvh_gather
+
+            h = intersect_bvh_gather(results["gpack"], o, d, near, far)
         else:
             continue
         pb, pk = np.asarray(hb.prim), np.asarray(h.prim)

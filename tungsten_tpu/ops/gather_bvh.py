@@ -62,7 +62,9 @@ COL_FLAG = 80
 
 @pytree
 class GatherBvhPack:
-    rows: jnp.ndarray  # (M, K_ROW) f32 unified node/leaf rows
+    rows: jnp.ndarray  # (K_ROW, M) f32 unified node/leaf rows, TRANSPOSED:
+    # slot dim lives in sublanes so one gather yields (K, N) tiles whose
+    # 8-row slices are full (8, 128) VPU tiles — no cross-lane extraction.
     root: int = field(pytree_node=False, default=0)
     n_rows: int = field(pytree_node=False, default=0)
     depth: int = field(pytree_node=False, default=8)  # 8-ary depth (stack bound)
@@ -199,7 +201,7 @@ def build_gather_pack(v0, e1, e2, leaf_size: int = TRIS_PER_LEAF):
         r[COL_FLAG] = 1.0
 
     return GatherBvhPack(
-        rows=jnp.asarray(rows),
+        rows=jnp.asarray(np.ascontiguousarray(rows.T)),
         root=0,
         n_rows=M,
         depth=max(1, int(depth8[0])),
@@ -226,9 +228,22 @@ def _traverse(
     bitmask) — <= 2*depth small int32 arrays. A pop re-gathers the parent
     row and re-tests its boxes against the CURRENT best_t (gathers are
     ~2.7 ns/lane; the re-test is free pruning), and the nearest pending
-    child is picked exactly by argmin of slab tmin — no octant permutation
-    tables. A node whose remaining hit set is empty descends tail-call
-    style without pushing, which removes most resume rounds.
+    child is picked exactly by min of slab tmin + equality one-hot — no
+    octant permutation tables. A node whose remaining hit set is empty
+    descends tail-call style without pushing, which removes most resume
+    rounds.
+
+    TPU layout notes (measured on the bench chip, tools/bench_gtrav3.py +
+    /tmp probe series round 4):
+      * the row gather itself is ~2.8 ns/lane/round and its cost is the
+        same whether it lands as (N, K) or (K, N);
+      * per-column extraction from an (N, K) gather costs ~0.5-1 ns per
+        column — the row is gathered TRANSPOSED (K, N) so every operand
+        is a contiguous (8, N) sublane tile and the whole box + MT math
+        adds only ~1 ns over the gather;
+      * `argmin` / `take_along_axis` across sublanes cost ~15 ns/lane
+        EACH on this chip — all selections below use min + equality
+        one-hot + masked sum instead, which is fused for free.
     """
     N = o.shape[0]
     L = depth + 2  # bitstack levels (one push max per visited level)
@@ -237,6 +252,7 @@ def _traverse(
     idx = 1.0 / jnp.where(dx == 0.0, 1e-30, dx)
     idy = 1.0 / jnp.where(dy == 0.0, 1e-30, dy)
     idz = 1.0 / jnp.where(dz == 0.0, 1e-30, dz)
+    j8 = jnp.arange(8, dtype=jnp.int32)[:, None]  # slot index column
 
     cur0 = jnp.where(tfar > tnear, jnp.int32(root), DEAD)
     pend0 = jnp.full((N,), 0xFF, jnp.int32)
@@ -253,47 +269,44 @@ def _traverse(
         pid = list(pid)
         pmask = list(pmask)
         live = cur >= 0
-        row = rows[jnp.clip(cur, 0, m - 1)]  # (N, K) THE gather
-        is_leaf = row[:, COL_FLAG] > 0.5
+        rT = rows[:, jnp.clip(cur, 0, m - 1)]  # (K, N) THE gather
+        is_leaf = rT[COL_FLAG] > 0.5
         node_on = live & ~is_leaf
         leaf_on = live & is_leaf
 
         # ---- node: 8 pending child box tests; nearest by exact tmin ----
-        tsel = jnp.full((N,), jnp.inf, jnp.float32)
-        child = jnp.full((N,), -1, jnp.int32)
-        sel = jnp.zeros((N,), jnp.int32)
-        hitbits = jnp.zeros((N,), jnp.int32)
-        for j in range(8):
-            t0x = (row[:, j] - ox) * idx
-            t1x = (row[:, 24 + j] - ox) * idx
-            t0y = (row[:, 8 + j] - oy) * idy
-            t1y = (row[:, 32 + j] - oy) * idy
-            t0z = (row[:, 16 + j] - oz) * idz
-            t1z = (row[:, 40 + j] - oz) * idz
-            lo = jnp.maximum(
-                jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
-                jnp.minimum(t0z, t1z),
-            )
-            hi = jnp.minimum(
-                jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
-                jnp.maximum(t0z, t1z),
-            )
-            code = row[:, 48 + j].astype(jnp.int32)
-            h = (
-                node_on
-                & ((pend >> j) & 1 > 0)
-                & (code >= 0)
-                & (lo <= hi)
-                & (hi >= tnear)
-                & (lo < best_t)
-            )
-            hitbits = hitbits | jnp.where(h, 1 << j, 0)
-            tj = jnp.where(h, lo, jnp.inf)
-            take = tj < tsel
-            child = jnp.where(take, code, child)
-            sel = jnp.where(take, j, sel)
-            tsel = jnp.minimum(tsel, tj)
-        descend = node_on & (child >= 0)
+        t0x = (rT[0:8] - ox) * idx
+        t1x = (rT[24:32] - ox) * idx
+        t0y = (rT[8:16] - oy) * idy
+        t1y = (rT[32:40] - oy) * idy
+        t0z = (rT[16:24] - oz) * idz
+        t1z = (rT[40:48] - oz) * idz
+        blo = jnp.maximum(
+            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+            jnp.minimum(t0z, t1z),
+        )
+        bhi = jnp.minimum(
+            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+            jnp.maximum(t0z, t1z),
+        )
+        code = rT[48:56].astype(jnp.int32)  # (8, N)
+        h = (
+            node_on
+            & ((pend >> j8) & 1 > 0)
+            & (code >= 0)
+            & (blo <= bhi)
+            & (bhi >= tnear)
+            & (blo < best_t)
+        )
+        hitbits = jnp.sum(
+            jnp.where(h, jnp.left_shift(1, j8), 0), axis=0
+        ).astype(jnp.int32)
+        tj = jnp.where(h, blo, jnp.inf)
+        tsel = jnp.min(tj, axis=0)  # (N,)
+        sel = jnp.min(jnp.where(h & (tj == tsel), j8, 8), axis=0)
+        one = j8 == sel  # one-hot column (all-false when sel == 8)
+        child = jnp.sum(jnp.where(one, code, 0), axis=0)
+        descend = node_on & (sel < 8)
         remaining = hitbits & ~jnp.left_shift(1, sel)
         push = descend & (remaining != 0)
         for dd in range(L):
@@ -303,39 +316,43 @@ def _traverse(
         lvl = jnp.where(push, lvl + 1, lvl)
 
         # ---- leaf: 8 exact Moller-Trumbore tests from the row ----
-        for i in range(8):
-            av0x, av0y, av0z = row[:, i], row[:, 8 + i], row[:, 16 + i]
-            e1x, e1y, e1z = row[:, 24 + i], row[:, 32 + i], row[:, 40 + i]
-            e2x, e2y, e2z = row[:, 48 + i], row[:, 56 + i], row[:, 64 + i]
-            tid = row[:, 72 + i]
-            px = dy * e2z - dz * e2y
-            py = dz * e2x - dx * e2z
-            pz = dx * e2y - dy * e2x
-            det = e1x * px + e1y * py + e1z * pz
-            inv_det = jnp.where(
-                jnp.abs(det) > 1e-12, 1.0 / jnp.where(det == 0, 1.0, det), 0.0
-            )
-            tx, ty, tz = ox - av0x, oy - av0y, oz - av0z
-            u = (tx * px + ty * py + tz * pz) * inv_det
-            qx = ty * e1z - tz * e1y
-            qy = tz * e1x - tx * e1z
-            qz = tx * e1y - ty * e1x
-            v = (dx * qx + dy * qy + dz * qz) * inv_det
-            tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-            ok = (
-                leaf_on
-                & (tid >= 0.0)
-                & (jnp.abs(det) > 1e-12)
-                & (u >= 0.0)
-                & (v >= 0.0)
-                & (u + v <= 1.0)
-                & (tt > tnear)
-                & (tt < best_t)
-            )
-            best_p = jnp.where(ok, tid.astype(jnp.int32), best_p)
-            bu = jnp.where(ok, u, bu)
-            bv = jnp.where(ok, v, bv)
-            best_t = jnp.where(ok, tt, best_t)
+        tid = rT[72:80]
+        px = dy * rT[64:72] - dz * rT[56:64]
+        py = dz * rT[48:56] - dx * rT[64:72]
+        pz = dx * rT[56:64] - dy * rT[48:56]
+        det = rT[24:32] * px + rT[32:40] * py + rT[40:48] * pz
+        inv_det = jnp.where(
+            jnp.abs(det) > 1e-12, 1.0 / jnp.where(det == 0, 1.0, det), 0.0
+        )
+        tx, ty, tz = ox - rT[0:8], oy - rT[8:16], oz - rT[16:24]
+        u = (tx * px + ty * py + tz * pz) * inv_det
+        qx = ty * rT[40:48] - tz * rT[32:40]
+        qy = tz * rT[24:32] - tx * rT[40:48]
+        qz = tx * rT[32:40] - ty * rT[24:32]
+        v = (dx * qx + dy * qy + dz * qz) * inv_det
+        tt = (rT[48:56] * qx + rT[56:64] * qy + rT[64:72] * qz) * inv_det
+        ok = (
+            leaf_on
+            & (tid >= 0.0)
+            & (jnp.abs(det) > 1e-12)
+            & (u >= 0.0)
+            & (v >= 0.0)
+            & (u + v <= 1.0)
+            & (tt > tnear)
+            & (tt < best_t)
+        )
+        ttm = jnp.where(ok, tt, jnp.inf)
+        tk = jnp.min(ttm, axis=0)  # (N,) — ok already enforces < best_t
+        ksel = jnp.min(jnp.where(ok & (ttm == tk), j8, 8), axis=0)
+        kone = j8 == ksel
+        lhit = ksel < 8
+        best_p = jnp.where(
+            lhit, jnp.sum(jnp.where(kone, tid, 0), axis=0).astype(jnp.int32),
+            best_p,
+        )
+        bu = jnp.where(lhit, jnp.sum(jnp.where(kone, u, 0), axis=0), bu)
+        bv = jnp.where(lhit, jnp.sum(jnp.where(kone, v, 0), axis=0), bv)
+        best_t = jnp.where(lhit, tk, best_t)
 
         if any_hit:
             found = leaf_on & (best_p >= 0)  # latch: first hit ends the lane
