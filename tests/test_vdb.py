@@ -15,6 +15,7 @@ import pytest
 
 from tungsten_tpu.models.grids.vdb import (
     COMPRESS_ACTIVE_MASK,
+    COMPRESS_BLOSC,
     COMPRESS_ZIP,
     MAGIC,
     read_vdb,
@@ -73,6 +74,25 @@ def _write_mask(w, bits):
     w.raw(np.packbits(bits.astype(np.uint8), bitorder="little").tobytes())
 
 
+def _blosc_compress(raw: bytes, typesize: int) -> bytes | None:
+    """LZ4+shuffle blosc frame via the system libblosc (None if absent)."""
+    import ctypes
+
+    from tungsten_tpu.models.grids.vdb import _blosc
+
+    lib = _blosc()
+    if lib is None:
+        return None
+    dest = ctypes.create_string_buffer(len(raw) + 16 + 32)
+    n = lib.blosc_compress_ctx(
+        ctypes.c_int(5), ctypes.c_int(1), ctypes.c_size_t(typesize),
+        ctypes.c_size_t(len(raw)), raw, dest, ctypes.c_size_t(len(dest)),
+        b"lz4", ctypes.c_size_t(0), ctypes.c_int(1),
+    )
+    assert n > 0, f"blosc_compress_ctx failed ({n})"
+    return dest.raw[:n]
+
+
 def _write_values(w, vals, zipped, half):
     """readData framing: [int64 nbytes | payload]; nbytes<=0 = raw."""
     dt = np.float16 if half else np.float32
@@ -81,7 +101,10 @@ def _write_values(w, vals, zipped, half):
         if len(raw) == 0:
             w.i64(0)
             return
-        z = zlib.compress(raw)
+        if zipped == "blosc":
+            z = _blosc_compress(raw, dt().itemsize)
+        else:
+            z = zlib.compress(raw)
         w.i64(len(z))
         w.raw(z)
     else:
@@ -208,7 +231,13 @@ def write_vdb(path, grids, version=224, zipped=True):
         gw = _W()  # grid payload built out-of-line to learn offsets
         gw.v222 = version >= 222
         if version >= 222:
-            gw.u32((COMPRESS_ZIP if zipped else 0) | COMPRESS_ACTIVE_MASK)
+            if zipped == "blosc":
+                flags = COMPRESS_BLOSC
+            elif zipped:
+                flags = COMPRESS_ZIP
+            else:
+                flags = 0
+            gw.u32(flags | COMPRESS_ACTIVE_MASK)
         gw.u32(0)  # empty grid metadata
         gw.name("UniformScaleMap")
         vs = g.get("voxel_size", 1.0)
@@ -291,8 +320,13 @@ def _expect_dense(voxels, tiles, ncomp):
 # tests
 
 
-@pytest.mark.parametrize("version,zipped", [(224, True), (224, False), (221, True)])
+@pytest.mark.parametrize(
+    "version,zipped",
+    [(224, True), (224, False), (221, True), (224, "blosc")],
+)
 def test_roundtrip_float_grid(tmp_path, version, zipped):
+    if zipped == "blosc" and _blosc_compress(b"\0" * 8, 4) is None:
+        pytest.skip("libblosc not available")
     rng = np.random.default_rng(7)
     # leaves spanning two Internal4 nodes and two Internal5 roots
     origins = [(0, 0, 0), (8, 16, 24), (128, 0, 64), (4096, 8, 0)]

@@ -56,10 +56,17 @@ _REGEN_UNEE = _os.environ.get("TUNGSTEN_REGEN_UNEE", "") == "1"
 SHADOW_FUDGE = 1.0 - 1e-3  # cf. attenuatedEmission's 1+1e-3 (TraceBase.cpp:155)
 
 
+_ISECT_KIND = _os.environ.get("TUNGSTEN_ISECT", "gather")
+
+
 def _intersect(scene: FlatScene, o, d, tnear, tfar, any_hit=False):
     n_tris = scene.tris.v0.shape[0]
     backend = jax.default_backend()
     if backend == "tpu" and n_tris > 64:
+        if _ISECT_KIND == "gather" and scene.gbvh is not None:
+            from ..ops.gather_bvh import intersect_bvh_gather
+
+            return intersect_bvh_gather(scene.gbvh, o, d, tnear, tfar)
         if scene.pbvh8 is not None:
             from ..ops.pallas_bvh8 import intersect_bvh_pallas8
 
@@ -1203,6 +1210,10 @@ def _occluded_raw(scene, p, d, near, far):
         h = _intersect(scene, p, d, near, far)
         return h.prim >= 0
     if jax.default_backend() == "tpu" and _os.environ.get("TUNGSTEN_NO_ANYHIT", "") != "1":
+        if _ISECT_KIND == "gather" and scene.gbvh is not None:
+            from ..ops.gather_bvh import occluded_bvh_gather
+
+            return occluded_bvh_gather(scene.gbvh, p, d, near, far)
         if (scene.pbvh8 is not None
                 and _os.environ.get("TUNGSTEN_SHADOW_BVH2", "") != "1"):
             from ..ops.pallas_bvh8 import occluded_bvh_pallas8

@@ -264,15 +264,60 @@ def _value_dtype(gtype, half):
     )
 
 
+def _blosc():
+    """System libblosc via ctypes (OpenVDB's default value compressor;
+    VdbGrid.cpp reads it through the full OpenVDB lib — we bind the same
+    C library directly). Returns None when the library is unavailable."""
+    global _BLOSC_LIB
+    if _BLOSC_LIB is not _UNSET:
+        return _BLOSC_LIB
+    import ctypes
+
+    try:
+        lib = ctypes.CDLL("libblosc.so.1")
+        lib.blosc_decompress_ctx.restype = ctypes.c_int
+        lib.blosc_decompress_ctx.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t, ctypes.c_int,
+        ]
+        lib.blosc_compress_ctx.restype = ctypes.c_int
+        _BLOSC_LIB = lib
+    except OSError:
+        _BLOSC_LIB = None
+    return _BLOSC_LIB
+
+
+_UNSET = object()
+_BLOSC_LIB = _UNSET
+
+
+def _blosc_decompress(raw: bytes, nbytes: int, path: str) -> bytes:
+    import ctypes
+
+    lib = _blosc()
+    if lib is None:
+        raise NotImplementedError(
+            f"{path}: blosc-compressed .vdb values and libblosc is not "
+            "available — repack to .npy"
+        )
+    dest = ctypes.create_string_buffer(nbytes)
+    n = lib.blosc_decompress_ctx(raw, dest, nbytes, 1)
+    if n < 0:
+        raise ValueError(f"{path}: blosc_decompress failed (code {n})")
+    return dest.raw[:n]
+
+
 def _read_data(r: _R, count, ncomp, compression, half, path):
-    """readData: `count` values of `ncomp` components, honoring zlib
+    """readData: `count` values of `ncomp` components, honoring blosc/zlib
     framing (int64 byte count; <=0 means stored raw) and half floats."""
     dt = np.float16 if half else np.float32
     nbytes = count * ncomp * dt().itemsize
     if compression & COMPRESS_BLOSC:
-        raise NotImplementedError(
-            f"{path}: blosc-compressed .vdb values — repack to .npy"
-        )
+        zn = r.i64()
+        raw = r.read(-zn if zn <= 0 else zn)
+        if zn > 0:
+            raw = _blosc_decompress(raw, nbytes, path)
+        vals = np.frombuffer(raw, dt, count * ncomp).astype(np.float32)
+        return vals.reshape(count, ncomp)
     if compression & COMPRESS_ZIP:
         zn = r.i64()
         raw = r.read(-zn if zn <= 0 else zn)
@@ -445,11 +490,6 @@ def _read_grid(data, gridpos, gtype, half, file_version, compression, path):
     r.o = gridpos
     if file_version >= 222:
         compression = r.u32()  # per-grid compression override
-        if compression & COMPRESS_BLOSC:
-            raise NotImplementedError(
-                f"{path}: blosc-compressed .vdb — repack to .npy with "
-                "OpenVDB offline and use a {'type': 'dense'} grid spec"
-            )
     gmeta = _read_metadata(r)
     half = half or bool(gmeta.get("is_saved_as_half_float", False))
     dt, ncomp = _value_dtype(gtype, half)
@@ -550,11 +590,6 @@ def read_vdb_grid(path: str, grid_name: str = "density"):
         data = f.read()
     r = _R(data)
     file_version, compression, has_offsets = _parse_header(r, path)
-    if compression & COMPRESS_BLOSC:
-        raise NotImplementedError(
-            f"{path}: blosc-compressed .vdb — repack to .npy with OpenVDB "
-            "offline and use a {'type': 'dense'} grid spec"
-        )
     _read_metadata(r)
     if not has_offsets:
         raise NotImplementedError(f"{path}: streamed .vdb without grid offsets")

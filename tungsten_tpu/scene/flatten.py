@@ -165,6 +165,7 @@ class FlatScene:
     pbvh: "PallasBvhPack | None"
     pbvh8: "PallasBvhPack8 | None"  # 8-wide ordered closest-hit kernel
     pbvh3: "PallasBvhPack3 | None"  # skip-walk any-hit (occlusion) kernel
+    gbvh: "GatherBvhPack | None"  # gen-5 per-lane gather traversal (default)
     materials: MaterialTable
     media: MediumTable
     textures: TextureTable
@@ -654,6 +655,11 @@ def flatten_scene(doc: SceneDocument) -> FlatScene:
         tris_soa,
     )
     _pb8, _pb3 = _maybe_bvh_packs_v2(p0, p1 - p0, p2 - p0)
+    _gb = None
+    if len(p0) > 64:
+        from ..ops.gather_bvh import build_gather_pack
+
+        _gb = build_gather_pack(p0, p1 - p0, p2 - p0)
     return FlatScene(
         tris=tris_soa,
         tri_ng=jnp.asarray(tri_ng),
@@ -674,6 +680,7 @@ def flatten_scene(doc: SceneDocument) -> FlatScene:
         pbvh=_maybe_bvh_pack(p0, p1 - p0, p2 - p0),
         pbvh8=_pb8,
         pbvh3=_pb3,
+        gbvh=_gb,
         materials=materials,
         media=media,
         textures=tex_builder.build(),
