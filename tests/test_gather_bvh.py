@@ -76,6 +76,16 @@ def test_gather_single_leaf(rng):
     _check_match(v0, e1, e2, o, d, jnp.full((n,), 1e-4), jnp.full((n,), INF))
 
 
+def test_gather_compaction_phases(rng):
+    """N >= 2*MIN_PHASE takes the 3-phase compacting driver: straggler
+    lanes restart from the root in smaller buffers. Must be bit-identical
+    in hit/prim to the brute force reference."""
+    v0, e1, e2 = random_scene(rng, 900)
+    o, d = random_rays(rng, 16384)
+    n = o.shape[0]
+    _check_match(v0, e1, e2, o, d, jnp.full((n,), 1e-4), jnp.full((n,), INF))
+
+
 def test_gather_disabled_rays(rng):
     v0, e1, e2 = random_scene(rng, 100)
     o, d = random_rays(rng, 256)

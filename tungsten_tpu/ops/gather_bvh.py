@@ -213,11 +213,9 @@ def build_gather_pack(v0, e1, e2, leaf_size: int = TRIS_PER_LEAF):
 DEAD = jnp.int32(-1)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("root", "m", "depth", "any_hit", "max_rounds")
-)
-def _traverse(
-    rows, o, d, tnear, tfar, root, m, depth, any_hit=False, max_rounds=4096
+def _phase(
+    rows, o, d, tnear, best_t, best_p, bu, bv, active,
+    root, m, depth, any_hit, stop_n, max_rounds,
 ):
     """Bitstack per-lane traversal.
 
@@ -244,6 +242,13 @@ def _traverse(
       * `argmin` / `take_along_axis` across sublanes cost ~15 ns/lane
         EACH on this chip — all selections below use min + equality
         one-hot + masked sum instead, which is fused for free.
+
+    Runs rounds on ALL lanes until the LIVE count drops to `stop_n` (0 =
+    drain completely) or `max_rounds` is hit. `active` selects the lanes
+    that traverse at all; best_t/p/u/v carry partial results in and out
+    (restart semantics: a lane re-entering a later phase walks from the
+    root again, pruned by its carried best_t). Returns
+    (best_t, best_p, bu, bv, live_mask, rounds).
     """
     N = o.shape[0]
     L = depth + 2  # bitstack levels (one push max per visited level)
@@ -254,15 +259,15 @@ def _traverse(
     idz = 1.0 / jnp.where(dz == 0.0, 1e-30, dz)
     j8 = jnp.arange(8, dtype=jnp.int32)[:, None]  # slot index column
 
-    cur0 = jnp.where(tfar > tnear, jnp.int32(root), DEAD)
+    cur0 = jnp.where(active, jnp.int32(root), DEAD)
     pend0 = jnp.full((N,), 0xFF, jnp.int32)
     lvl0 = jnp.zeros((N,), jnp.int32)
     pid0 = tuple(jnp.zeros((N,), jnp.int32) for _ in range(L))
     pmask0 = tuple(jnp.zeros((N,), jnp.int32) for _ in range(L))
-    best_t0 = tfar
-    best_p0 = jnp.full((N,), -1, jnp.int32)
-    bu0 = jnp.zeros((N,), jnp.float32)
-    bv0 = jnp.zeros((N,), jnp.float32)
+    best_t0 = best_t
+    best_p0 = best_p
+    bu0 = bu
+    bv0 = bv
 
     def body(state):
         rounds, cur, pend, lvl, pid, pmask, best_t, best_p, bu, bv = state
@@ -390,7 +395,7 @@ def _traverse(
 
     def cond(state):
         rounds, cur = state[0], state[1]
-        return jnp.any(cur != DEAD) & (rounds < max_rounds)
+        return (jnp.sum(cur != DEAD) > stop_n) & (rounds < max_rounds)
 
     state = jax.lax.while_loop(
         cond,
@@ -409,8 +414,95 @@ def _traverse(
         ),
     )
     rounds = state[0]
+    live = state[1] != DEAD
     best_t, best_p, bu, bv = state[6], state[7], state[8], state[9]
-    return best_t, best_p, bu, bv, rounds
+    return best_t, best_p, bu, bv, live, rounds
+
+
+def _compact_indices(live, n_out):
+    """Indices of live lanes packed to the front of an (n_out,) buffer,
+    -1 padded. The caller guarantees live_count <= n_out (phase stop_n)."""
+    n = live.shape[0]
+    pos = jnp.cumsum(live.astype(jnp.int32)) - 1
+    pos = jnp.where(live, jnp.minimum(pos, n_out), n_out)  # dump slot n_out
+    lidx = jnp.full((n_out + 1,), -1, jnp.int32)
+    lidx = lidx.at[pos].set(jnp.arange(n, dtype=jnp.int32))
+    return lidx[:n_out]
+
+
+# straggler compaction: a phase stops once live lanes fall under 1/PHASE_DIV
+# of its width; survivors re-gather into a width/PHASE_DIV buffer and RESTART
+# from the root pruned by their carried best_t. Two compactions, then drain.
+PHASE_DIV = 8
+MIN_PHASE = 4096
+
+
+@functools.partial(
+    jax.jit, static_argnames=("root", "m", "depth", "any_hit", "max_rounds")
+)
+def _traverse(
+    rows, o, d, tnear, tfar, root, m, depth, any_hit=False, max_rounds=16384
+):
+    """Compacting traversal driver. The while_loop in `_phase` runs every
+    lane through every round, so its cost is N x max-straggler-rounds; on
+    measured materialtest wavefronts the straggler tail is ~88 rounds vs a
+    ~hand-count mean of 10-20. Phases cut the tail: run all N lanes until
+    only 1/8 are live, compact those into an N/8 buffer (one cumsum+scatter
+    at N + seven cheap gathers at N/8), and continue; repeat once more at
+    N/64, then drain. Restarting a compacted lane from the root re-does a
+    few rounds of descent but its carried best_t prunes the re-walk."""
+    N = o.shape[0]
+    best_t = tfar
+    best_p = jnp.full((N,), -1, jnp.int32)
+    bu = jnp.zeros((N,), jnp.float32)
+    bv = jnp.zeros((N,), jnp.float32)
+    active = tfar > tnear
+
+    args = dict(root=root, m=m, depth=depth, any_hit=any_hit,
+                max_rounds=max_rounds)
+    if N < 2 * MIN_PHASE:
+        best_t, best_p, bu, bv, _, rounds = _phase(
+            rows, o, d, tnear, best_t, best_p, bu, bv, active,
+            stop_n=0, **args)
+        return best_t, best_p, bu, bv, rounds
+
+    n1 = max(N // PHASE_DIV, MIN_PHASE)
+    n2 = max(n1 // PHASE_DIV, MIN_PHASE // 8)
+
+    # phase 1: all lanes, stop when <= n1 stragglers remain
+    best_t, best_p, bu, bv, live, r1 = _phase(
+        rows, o, d, tnear, best_t, best_p, bu, bv, active,
+        stop_n=n1, **args)
+
+    # compact 1 -> (n1,) buffers, stop when <= n2 stragglers remain
+    l1 = _compact_indices(live, n1)  # original lane id per slot, -1 pad
+    s1 = jnp.maximum(l1, 0)
+    o1, d1, tn1 = o[s1], d[s1], tnear[s1]
+    bt1, bp1, bu1, bv1, live1, r2 = _phase(
+        rows, o1, d1, tn1, best_t[s1], best_p[s1], bu[s1], bv[s1],
+        l1 >= 0, stop_n=n2, **args)
+    # NB: negative scatter indices WRAP numpy-style before the bounds check,
+    # so -1 pads must be remapped to a non-negative OOB sentinel to drop
+    w1 = jnp.where(l1 >= 0, l1, N)
+    best_t = best_t.at[w1].set(bt1, mode="drop")
+    best_p = best_p.at[w1].set(bp1, mode="drop")
+    bu = bu.at[w1].set(bu1, mode="drop")
+    bv = bv.at[w1].set(bv1, mode="drop")
+
+    # compact 2 -> (n2,) buffers, drain completely
+    c2 = _compact_indices(live1, n2)  # slot in the n1 buffer, -1 pad
+    s2 = jnp.maximum(c2, 0)
+    l2 = jnp.where(c2 >= 0, l1[s2], -1)  # compose to original lane ids
+    o2, d2, tn2 = o1[s2], d1[s2], tn1[s2]
+    bt2, bp2, bu2, bv2, _, r3 = _phase(
+        rows, o2, d2, tn2, bt1[s2], bp1[s2], bu1[s2], bv1[s2],
+        l2 >= 0, stop_n=0, **args)
+    w2 = jnp.where(l2 >= 0, l2, N)
+    best_t = best_t.at[w2].set(bt2, mode="drop")
+    best_p = best_p.at[w2].set(bp2, mode="drop")
+    bu = bu.at[w2].set(bu2, mode="drop")
+    bv = bv.at[w2].set(bv2, mode="drop")
+    return best_t, best_p, bu, bv, r1 + r2 + r3
 
 
 def intersect_bvh_gather(pack: GatherBvhPack, o, d, tnear, tfar) -> Hit:
