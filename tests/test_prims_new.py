@@ -93,7 +93,10 @@ def test_cylinder_renders():
         {"name": "lamp", "transform": {"position": [1.5, 2.0, 1.0]},
          "power": 100, "type": "point"},
     ], spp=8, mb=2, res=(48, 36))
-    assert scene.tris.v0.shape[0] > 200  # tessellated tube + caps present
+    # cylinders are analytic since round 4 (Cylinder.cpp:55-116 semantics);
+    # only the floor quad is triangulated
+    assert scene.ana is not None and scene.ana.n == 1
+    assert int(np.asarray(scene.ana.ptype)[0]) == 2  # CYLINDER
     img = render_buffers(scene, spp=8, samples_per_pass=1).color()
     assert img.max() > 0.01 and np.isfinite(img).all()
 

@@ -671,7 +671,8 @@ def _bdpt_sample(scene: FlatScene, seed, lane_ids, px, py, table=None,
                 # medium on THAT side (a.selectMedium(edge.d),
                 # LightPath.cpp:358, PathVertex.cpp:379-388)
                 med = _select_medium_dir(
-                    scene, C["medium"], C["tri"], dn, C["kind"] == V_SURFACE
+                    scene, C["medium"], C["tri"], dn, C["kind"] == V_SURFACE,
+                    p=C["p"],
                 )
             else:
                 med = jnp.full((n,), -1, jnp.int32)
@@ -759,7 +760,8 @@ def _bdpt_sample(scene: FlatScene, seed, lane_ids, px, py, table=None,
             # splat walk leaves Lv toward the camera (b.selectMedium(-d),
             # LightPath.cpp:344)
             med = _select_medium_dir(
-                scene, Lv["medium"], Lv["tri"], dc, Lv["kind"] == V_SURFACE
+                scene, Lv["medium"], Lv["tri"], dc, Lv["kind"] == V_SURFACE,
+                p=Lv["p"],
             )
         else:
             med = jnp.full((n,), -1, jnp.int32)

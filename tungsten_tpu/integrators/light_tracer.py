@@ -107,7 +107,7 @@ def _connect_to_camera(scene, buf, p, ng, frame, wi, mat_id, uv, throughput,
         from .path_tracer import _select_medium_dir
 
         pr = prim if prim is not None else jnp.full((n,), -1, jnp.int32)
-        med = _select_medium_dir(scene, medium, pr, d, active)
+        med = _select_medium_dir(scene, medium, pr, d, active, p=p)
     else:
         med = jnp.full((n,), -1, jnp.int32)
     w_sh, h_sh, _ = _trace_transparent(

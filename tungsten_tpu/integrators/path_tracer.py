@@ -35,6 +35,7 @@ from ..math import vecops as vo
 from ..models.bsdfs import bsdf_eval, bsdf_pdf, bsdf_sample
 from ..models.bsdfs.common import Lobes
 from ..models.cameras import camera_rays
+from ..models.primitives import analytic as A
 from ..models.primitives import lights as L
 from ..models.textures import eval_texture
 from ..ops import intersect as isect
@@ -60,6 +61,26 @@ _ISECT_KIND = _os.environ.get("TUNGSTEN_ISECT", "gather")
 
 
 def _intersect(scene: FlatScene, o, d, tnear, tfar, any_hit=False):
+    """Closest hit over triangles (BVH) + analytic prims. Analytic prims are
+    intersected first — their t clips the BVH walk's tfar (pruning) — and the
+    winner carries a virtual id >= T with (u, v) = the analytic uv."""
+    if scene.ana is not None:
+        from ..models.primitives.analytic import intersect_analytic
+
+        ah = intersect_analytic(scene.ana, o, d, tnear, tfar)
+        h = _intersect_tris(scene, o, d, tnear, jnp.minimum(tfar, ah.t), any_hit)
+        n_tris = scene.tris.v0.shape[0]
+        pick_a = (ah.k >= 0) & (ah.t < h.t)
+        return isect.Hit(
+            t=jnp.where(pick_a, ah.t, h.t),
+            prim=jnp.where(pick_a, n_tris + ah.k, h.prim),
+            u=jnp.where(pick_a, ah.uv[..., 0], h.u),
+            v=jnp.where(pick_a, ah.uv[..., 1], h.v),
+        )
+    return _intersect_tris(scene, o, d, tnear, tfar, any_hit)
+
+
+def _intersect_tris(scene: FlatScene, o, d, tnear, tfar, any_hit=False):
     n_tris = scene.tris.v0.shape[0]
     backend = jax.default_backend()
     if backend == "tpu" and n_tris > 64:
@@ -84,7 +105,10 @@ def _intersect(scene: FlatScene, o, d, tnear, tfar, any_hit=False):
 
 
 def _shading_data(scene: FlatScene, hit: isect.Hit, o, d):
-    """Gather surface info for hit lanes (garbage where prim < 0, masked out)."""
+    """Gather surface info for hit lanes (garbage where prim < 0, masked out).
+    Analytic prims (virtual ids >= T) carry their intersectionInfo uv in
+    (hit.u, hit.v) and recompute Ng from the hit point; Ns = Ng for all
+    analytic types (Sphere/Disk/Cylinder intersectionInfo)."""
     tri = jnp.maximum(hit.prim, 0)
     p = o + d * hit.t[..., None]
     ng = scene.tri_ng[tri]
@@ -97,6 +121,15 @@ def _shading_data(scene: FlatScene, hit: isect.Hit, o, d):
     uv = scene.tri_uv0[tri] * w0 + scene.tri_uv1[tri] * u + scene.tri_uv2[tri] * v
     mat = scene.tri_mat[tri]
     light = scene.tri_light[tri]
+    if scene.meta.has_analytic:
+        from ..models.primitives.analytic import normal_at
+
+        n_tris = scene.tris.v0.shape[0]
+        is_a = (hit.prim >= n_tris)[..., None]
+        ng_a = normal_at(scene.ana, hit.prim - n_tris, p)
+        ng = jnp.where(is_a, ng_a, ng)
+        ns = jnp.where(is_a, ng_a, ns)
+        uv = jnp.where(is_a, jnp.concatenate([u, v], -1), uv)
     return p, ng, ns, uv, mat, light
 
 
@@ -173,16 +206,12 @@ def _trace_transparent(scene, o, d, far, medium, start_on_surface, end_on_surfac
             weight = jnp.where(done[..., None], weight, weight * tr)
 
         tri = jnp.maximum(h.prim, 0)
-        uvh = (
-            scene.tri_uv0[tri] * (1.0 - h.u - h.v)[..., None]
-            + scene.tri_uv1[tri] * h.u[..., None]
-            + scene.tri_uv2[tri] * h.v[..., None]
-        )
+        ng_h, uvh = A.hit_geom(scene, h.prim, cur_o + d * h.t[..., None], h.u, h.v)
         mat_id = scene.tri_mat[tri]
         if meta.has_forward:
             lobes = scene.materials.lobes[mat_id]
-            t_ax, b_ax = vo.tangent_frame(scene.tri_ng[tri])
-            wi_loc = vo.to_local(t_ax, b_ax, scene.tri_ng[tri], -d)
+            t_ax, b_ax = vo.tangent_frame(ng_h)
+            wi_loc = vo.to_local(t_ax, b_ax, ng_h, -d)
             trans = _forward_transparency(scene, mat_id, uvh, wi_loc)
             can_cross = Lobes.has_forward(lobes) & jnp.any(trans > 0.0, axis=-1)
         else:
@@ -198,7 +227,7 @@ def _trace_transparent(scene, o, d, far, medium, start_on_surface, end_on_surfac
         crossing = did_hit & can_cross
         weight = jnp.where(crossing[..., None], weight * trans, weight)
         if meta.has_media:
-            backside = vo.dot(d, scene.tri_ng[tri]) < 0.0
+            backside = vo.dot(d, ng_h) < 0.0
             override = scene.tri_med_override[tri]
             new_med = jnp.where(
                 backside, scene.tri_med_int[tri], scene.tri_med_ext[tri]
@@ -218,15 +247,24 @@ def _trace_transparent(scene, o, d, far, medium, start_on_surface, end_on_surfac
     return weight, isect.Hit(t=fin_t, prim=fin_prim, u=fin_u, v=fin_v), cur_med
 
 
-def _select_medium_dir(scene, medium, prim, d_dir, on_surface):
+def _select_medium_dir(scene, medium, prim, d_dir, on_surface, p=None):
     """Primitive::selectMedium for a ray LEAVING a surface vertex along
     d_dir (Primitive.hpp:177-183; used by every reference shadow/connection
     ray: TraceBase.cpp:223-224/261-262/303-304, PathVertex.cpp:379-388):
     pick int/ext medium by the side of the geometric normal d_dir exits
     through, but only when the primitive overrides media; medium-scatter
-    (non-surface) lanes keep the current medium."""
+    (non-surface) lanes keep the current medium. Pass the vertex position p
+    when analytic prims may occur (their normal is position-dependent)."""
     tri = jnp.maximum(prim, 0)
-    backside = vo.dot(d_dir, scene.tri_ng[tri]) < 0.0
+    ng = scene.tri_ng[tri]
+    if scene.meta.has_analytic and p is not None:
+        from ..models.primitives.analytic import normal_at
+
+        n_tris = scene.tris.v0.shape[0]
+        ng = jnp.where(
+            (prim >= n_tris)[..., None],
+            normal_at(scene.ana, prim - n_tris, p), ng)
+    backside = vo.dot(d_dir, ng) < 0.0
     override = scene.tri_med_override[tri] & on_surface & (prim >= 0)
     sel = jnp.where(backside, scene.tri_med_int[tri], scene.tri_med_ext[tri])
     return jnp.where(override, sel, medium)
@@ -242,8 +280,7 @@ def _nee(scene, sampler, p, ng, frame, wi, mat_id, uv, lobes, medium=None,
     t, b, nrm = frame
 
     u_choose, sampler = sampler.next_1d()
-    li = jnp.minimum((u_choose * meta.n_lights).astype(jnp.int32), meta.n_lights - 1)
-    choice_weight = jnp.float32(meta.n_lights)
+    li, choice_weight = L.choose_light(scene, u_choose, p)
     is_env_choice = scene.lights.is_env[li]
 
     u_point, sampler = sampler.next_2d()
@@ -326,8 +363,8 @@ def _nee(scene, sampler, p, ng, frame, wi, mat_id, uv, lobes, medium=None,
             # geometric normal (TraceBase.cpp:261-262, 303-304)
             on_surf = jnp.ones((n,), bool)
             pr = prim if prim is not None else jnp.full((n,), -1, jnp.int32)
-            med_l = _select_medium_dir(scene, medium, pr, ls.d, on_surf)
-            med_b = _select_medium_dir(scene, medium, pr, wo_w, on_surf)
+            med_l = _select_medium_dir(scene, medium, pr, ls.d, on_surf, p=p)
+            med_b = _select_medium_dir(scene, medium, pr, wo_w, on_surf, p=p)
             med2 = jnp.concatenate([med_l, med_b])
         else:
             med2 = jnp.full((2 * n,), -1, jnp.int32)
@@ -345,16 +382,11 @@ def _nee(scene, sampler, p, ng, frame, wi, mat_id, uv, lobes, medium=None,
     hit_light = jnp.where(h.prim >= 0, scene.tri_light[jnp.maximum(h.prim, 0)], -1)
     # area-light hit: must be the chosen light & front side
     hp = p + wo_w * h.t[..., None]
-    ng_hit = scene.tri_ng[jnp.maximum(h.prim, 0)]
+    tri_hit = jnp.maximum(h.prim, 0)
+    ng_hit, uvh = A.hit_geom(scene, tri_hit, hp, h.u, h.v)
     front = -vo.dot(wo_w, ng_hit) > jnp.maximum(
         scene.lights.cone_cos[jnp.maximum(hit_light, 0)], 0.0
     )  # emission cone (disk cone_angle); 0 = plain front test
-    tri_hit = jnp.maximum(h.prim, 0)
-    uvh = (
-        scene.tri_uv0[tri_hit] * (1.0 - h.u - h.v)[..., None]
-        + scene.tri_uv1[tri_hit] * h.u[..., None]
-        + scene.tri_uv2[tri_hit] * h.v[..., None]
-    )
     e_area = eval_texture(scene.textures, scene.lights.tex[li], uvh)
     match_area = (~is_env_choice) & (hit_light == li) & front & (h.prim >= 0)
     pdf_area = L.area_direct_pdf(scene, tri_hit, p, hp, wo_w)
@@ -394,7 +426,7 @@ def _nee(scene, sampler, p, ng, frame, wi, mat_id, uv, lobes, medium=None,
 
     # pure-specular / forward materials skip NEE entirely (sampleDirect)
     skip = Lobes.is_pure_specular(lobes) | (lobes == Lobes.FORWARD) | (lobes == 0)
-    total = (contrib_l + contrib_b) * choice_weight
+    total = (contrib_l + contrib_b) * choice_weight[..., None]
     return jnp.where(skip[..., None], 0.0, total), sampler
 
 
@@ -412,8 +444,7 @@ def _volume_nee(scene, sampler, p, d_in, medium, ptype, g):
     n = p.shape[0]
 
     u_choose, sampler = sampler.next_1d()
-    li = jnp.minimum((u_choose * meta.n_lights).astype(jnp.int32), meta.n_lights - 1)
-    choice_weight = jnp.float32(meta.n_lights)
+    li, choice_weight = L.choose_light(scene, u_choose, p)
     is_env_choice = scene.lights.is_env[li]
 
     u_point, sampler = sampler.next_2d()
@@ -486,15 +517,10 @@ def _volume_nee(scene, sampler, p, d_in, medium, ptype, g):
     tri_hit = jnp.maximum(h.prim, 0)
     hit_light = jnp.where(h.prim >= 0, scene.tri_light[tri_hit], -1)
     hp = p + w_ph * h.t[..., None]
-    ng_hit = scene.tri_ng[tri_hit]
+    ng_hit, uvh = A.hit_geom(scene, tri_hit, hp, h.u, h.v)
     front = -vo.dot(w_ph, ng_hit) > jnp.maximum(
         scene.lights.cone_cos[jnp.maximum(hit_light, 0)], 0.0
     )  # emission cone (disk cone_angle); 0 = plain front test
-    uvh = (
-        scene.tri_uv0[tri_hit] * (1.0 - h.u - h.v)[..., None]
-        + scene.tri_uv1[tri_hit] * h.u[..., None]
-        + scene.tri_uv2[tri_hit] * h.v[..., None]
-    )
     e_area = eval_texture(scene.textures, scene.lights.tex[li], uvh)
     match_area = (~is_env_choice) & (hit_light == li) & front & (h.prim >= 0)
     pdf_area = L.area_direct_pdf(scene, tri_hit, p, hp, w_ph)
@@ -531,7 +557,7 @@ def _volume_nee(scene, sampler, p, d_in, medium, ptype, g):
     contrib_b = e * w2[n:] * mis_b[..., None]
     contrib_b = jnp.where(match[..., None], contrib_b, 0.0)
 
-    return (contrib_l + contrib_b) * choice_weight, sampler
+    return (contrib_l + contrib_b) * choice_weight[..., None], sampler
 
 
 
@@ -588,7 +614,7 @@ def _unified_nee_prepare(scene, sampler, vp, ng, frame, wi, mat_id, uv, lobes,
     t, b, nrm = frame
 
     u_choose, sampler = sampler.next_1d()
-    li = jnp.minimum((u_choose * meta.n_lights).astype(jnp.int32), meta.n_lights - 1)
+    li, choice_weight = L.choose_light(scene, u_choose, vp)
     is_env_choice = scene.lights.is_env[li]
     is_cap_choice = jnp.zeros_like(is_env_choice)
 
@@ -671,6 +697,7 @@ def _unified_nee_prepare(scene, sampler, vp, ng, frame, wi, mat_id, uv, lobes,
         ls=ls, f_l=f_l, mis_l=mis_l, cand=cand,
         wo_mis=wo_mis, w_mis=w_mis, pdf_mis=pdf_mis, mis_cand=mis_cand,
         skip=skip, shadow_far=shadow_far, mis_far=mis_far, vp=vp,
+        choice_weight=choice_weight,
     )
 
 
@@ -687,7 +714,7 @@ def _unified_nee_finish(scene, data, blocked, h_mis, medium_l, medium_b,
     li = data["li"]
     is_env_choice = data["is_env"]
     is_cap_choice = data["is_cap"]
-    choice_weight = jnp.float32(meta.n_lights)
+    choice_weight = data["choice_weight"]
     contrib_l = data["f_l"] * ls.radiance * (
         data["mis_l"] / jnp.maximum(ls.pdf, 1e-30)
     )[..., None]
@@ -707,14 +734,10 @@ def _unified_nee_finish(scene, data, blocked, h_mis, medium_l, medium_b,
     vp = data["vp"]
     wo_mis = data["wo_mis"]
     hp = vp + wo_mis * h.t[..., None]
-    front = -vo.dot(wo_mis, scene.tri_ng[tri_hit]) > jnp.maximum(
+    ng_mis, uvh = A.hit_geom(scene, tri_hit, hp, h.u, h.v)
+    front = -vo.dot(wo_mis, ng_mis) > jnp.maximum(
         scene.lights.cone_cos[jnp.maximum(hit_light, 0)], 0.0
     )  # emission cone (disk cone_angle); 0 = plain front test
-    uvh = (
-        scene.tri_uv0[tri_hit] * (1.0 - h.u - h.v)[..., None]
-        + scene.tri_uv1[tri_hit] * h.u[..., None]
-        + scene.tri_uv2[tri_hit] * h.v[..., None]
-    )
     e_area = eval_texture(scene.textures, scene.lights.tex[li], uvh)
     match_area = (~is_env_choice) & (hit_light == li) & front & (h.prim >= 0)
     pdf_area = L.area_direct_pdf(scene, tri_hit, vp, hp, wo_mis)
@@ -763,7 +786,7 @@ def _unified_nee_finish(scene, data, blocked, h_mis, medium_l, medium_b,
         contrib_l = jnp.zeros_like(contrib_l)
     elif _DBG_MIS_HALF == "light":
         contrib_b = jnp.zeros_like(contrib_b)
-    total = (contrib_l + contrib_b) * choice_weight
+    total = (contrib_l + contrib_b) * choice_weight[..., None]
     return jnp.where(data["skip"][..., None], 0.0, total)
 
 
@@ -1040,10 +1063,12 @@ def _trace_pass_fast(scene: FlatScene, seed, lane_ids, px, py, table=None):
             )
             if meta.has_media:
                 med_l = _select_medium_dir(
-                    scene, medium_vertex, hit.prim, nee["ls"].d, hit_surface_lane
+                    scene, medium_vertex, hit.prim, nee["ls"].d,
+                    hit_surface_lane, p=nee["vp"],
                 )
                 med_b = _select_medium_dir(
-                    scene, medium_vertex, hit.prim, nee["wo_mis"], hit_surface_lane
+                    scene, medium_vertex, hit.prim, nee["wo_mis"],
+                    hit_surface_lane, p=nee["vp"],
                 )
             else:
                 med_l = med_b = medium_vertex
@@ -1158,12 +1183,15 @@ def _shading_frame(scene, tri, ns, flip):
 
 
 def _choose_and_sample_light(scene, sampler, p):
-    """Uniform light choice + sampleDirect composition over the light kinds
-    (area / env / cap / point). Consumes 4 sampler dims. Returns
-    (li, is_env, is_cap, is_point, LightSample, sampler)."""
+    """Radiance-weighted light choice (TraceBase::chooseLight) + sampleDirect
+    composition over the light kinds (area / env / cap / point). Consumes 4
+    sampler dims. Returns (li, is_env, is_cap, is_point, LightSample,
+    choice_pdf, sampler) — LightSample.pdf excludes the choice pdf."""
     meta = scene.meta
     u_choose, sampler = sampler.next_1d()
-    li = jnp.minimum((u_choose * meta.n_lights).astype(jnp.int32), meta.n_lights - 1)
+    li, choice_weight = L.choose_light(scene, u_choose, p)
+    choice_pdf = jnp.where(choice_weight > 0.0,
+                           1.0 / jnp.maximum(choice_weight, 1e-30), 0.0)
     is_env_choice = scene.lights.is_env[li]
     is_cap_choice = jnp.zeros_like(is_env_choice)
 
@@ -1201,13 +1229,25 @@ def _choose_and_sample_light(scene, sampler, p):
         )
     else:
         is_point_choice = jnp.zeros_like(is_env_choice)
-    return li, is_env_choice, is_cap_choice, is_point_choice, ls, sampler
+    return (li, is_env_choice, is_cap_choice, is_point_choice, ls,
+            choice_pdf, sampler)
 
 
 def _occluded_raw(scene, p, d, near, far):
     """Any-hit boolean for explicit [near, far] segments (shadow strategy)."""
+    if scene.ana is not None:
+        from ..models.primitives.analytic import occluded_analytic
+
+        blocked_a = occluded_analytic(scene.ana, p, d, near, far)
+        # analytically-blocked lanes skip the triangle walk (far = 0)
+        far2 = jnp.where(blocked_a, 0.0, far)
+        return blocked_a | _occluded_raw_tris(scene, p, d, near, far2)
+    return _occluded_raw_tris(scene, p, d, near, far)
+
+
+def _occluded_raw_tris(scene, p, d, near, far):
     if _os.environ.get("TUNGSTEN_SHADOW_CLOSEST", "") == "1":
-        h = _intersect(scene, p, d, near, far)
+        h = _intersect_tris(scene, p, d, near, far)
         return h.prim >= 0
     if jax.default_backend() == "tpu" and _os.environ.get("TUNGSTEN_NO_ANYHIT", "") != "1":
         if _ISECT_KIND == "gather" and scene.gbvh is not None:
@@ -1223,7 +1263,7 @@ def _occluded_raw(scene, p, d, near, far):
             from ..ops.pallas_bvh2 import occluded_bvh_pallas3
 
             return occluded_bvh_pallas3(scene.pbvh3, p, d, near, far)
-    h = _intersect(scene, p, d, near, far, any_hit=True)
+    h = _intersect_tris(scene, p, d, near, far, any_hit=True)
     return h.prim >= 0
 
 
@@ -1425,11 +1465,11 @@ def trace_regen_batch(scene: FlatScene, seed, px_cycle, py_cycle, pix_cycle,
         # handleInfiniteLights gate) ----
         miss = s["alive"] & (hit.prim < 0) & ~scattered
         do_nee = meta.enable_light_sampling and meta.n_lights > 0
-        inv_nl = 1.0 / max(meta.n_lights, 1)
         mis_applies = ~was_specular & s["nee_active"] if do_nee else jnp.zeros((n,), bool)
         if meta.has_env or meta.has_cap:
             if do_nee:
-                lp_inf = L.infinite_winner_pdf(scene, d) * inv_nl
+                lp_inf = (L.infinite_winner_pdf(scene, d)
+                          * L.infinite_winner_choice_pdf(scene, d, o))
                 w_env = jnp.where(
                     mis_applies, warps.power_heuristic(s["pdf_cont"], lp_inf), 1.0
                 )
@@ -1456,7 +1496,9 @@ def trace_regen_batch(scene: FlatScene, seed, px_cycle, py_cycle, pix_cycle,
         )
         if do_nee:
             tri_e = jnp.maximum(hit.prim, 0)
-            lp_hit = L.area_direct_pdf(scene, tri_e, o, p, d) * inv_nl
+            hl_e = scene.tri_light[tri_e]
+            lp_hit = (L.area_direct_pdf(scene, tri_e, o, p, d)
+                      * L.light_choice_pdf(scene, jnp.maximum(hl_e, 0), o))
             w_emit = jnp.where(
                 mis_applies, warps.power_heuristic(s["pdf_cont"], lp_hit), 1.0
             )
@@ -1511,10 +1553,12 @@ def trace_regen_batch(scene: FlatScene, seed, px_cycle, py_cycle, pix_cycle,
             )
             if meta.has_media:
                 med_l = _select_medium_dir(
-                    scene, medium, hit.prim, nee["ls"].d, hit_surface_lane
+                    scene, medium, hit.prim, nee["ls"].d, hit_surface_lane,
+                    p=nee["vp"],
                 )
                 med_b = _select_medium_dir(
-                    scene, medium, hit.prim, nee["wo_mis"], hit_surface_lane
+                    scene, medium, hit.prim, nee["wo_mis"], hit_surface_lane,
+                    p=nee["vp"],
                 )
             else:
                 med_l = med_b = medium
@@ -1527,9 +1571,8 @@ def trace_regen_batch(scene: FlatScene, seed, px_cycle, py_cycle, pix_cycle,
         elif do_nee:
             from ..models.phase import phase_eval
 
-            li, is_env_c, is_cap_c, is_point_c, ls, smp = _choose_and_sample_light(
-                scene, smp, vp
-            )
+            (li, is_env_c, is_cap_c, is_point_c, ls, cp_pick,
+             smp) = _choose_and_sample_light(scene, smp, vp)
             wo_l = vo.to_local(*frame, ls.d)
             ctx2 = (scene.materials, scene.textures)
             f_l = bsdf_eval(ctx2, mat_id, uv, wi, wo_l, nonspecular_only=True)
@@ -1540,7 +1583,7 @@ def trace_regen_batch(scene: FlatScene, seed, px_cycle, py_cycle, pix_cycle,
                 fp = phase_eval(ptype, g, d, ls.d)
                 f_l = jnp.where(scattered[..., None], fp[..., None], f_l)
                 pdf_b = jnp.where(scattered, fp, pdf_b)
-            w_light = warps.power_heuristic(ls.pdf * inv_nl, pdf_b)
+            w_light = warps.power_heuristic(ls.pdf * cp_pick, pdf_b)
             w_light = jnp.where(is_point_c, 1.0, w_light)  # dirac light
             skip_l = (
                 Lobes.is_pure_specular(lobes) | (lobes == Lobes.FORWARD) | (lobes == 0)
@@ -1561,13 +1604,13 @@ def trace_regen_batch(scene: FlatScene, seed, px_cycle, py_cycle, pix_cycle,
             near_nee = jnp.where(scattered, 0.0, DEFAULT_EPSILON)
             blocked = _occluded_raw(scene, vp, ls.d, near_nee, shadow_far)
             contrib_l = f_l * ls.radiance * (
-                w_light / jnp.maximum(ls.pdf * inv_nl, 1e-30)
+                w_light / jnp.maximum(ls.pdf * cp_pick, 1e-30)
             )[..., None]
             if meta.has_media:
                 from ..models.media import medium_transmittance
 
                 med_l = _select_medium_dir(
-                    scene, medium, hit.prim, ls.d, hit_surface_lane
+                    scene, medium, hit.prim, ls.d, hit_surface_lane, p=vp
                 )
                 tr_l = medium_transmittance(
                     scene.media, med_l, ls.dist, ~scattered,

@@ -168,6 +168,11 @@ def _invert_emitter_root(scene, vert, mu):
         jnp.clip(lam, 0.0, 1.0)
     )
     u_li = (li.astype(jnp.float32) + mu) / jnp.float32(scene.meta.n_lights)
+    if scene.meta.has_analytic:
+        # analytic-emitter position inversion not implemented: the proposal
+        # fails and is rejected, exactly the reference's invertPosition()
+        # == false path (Sphere.cpp:193-197 CAN invert; TODO implement)
+        ok = ok & (lights.ana_prim[li] < 0)
     return u_li, u_tri, jnp.clip(u_pos, 0.0, 1.0), ok
 
 

@@ -191,8 +191,135 @@ def infinite_winner_pdf(scene, d):
     return pdf
 
 
+def _quad_solid_angle(p, base, e0, e1):
+    """Solid angle of the (base, e0, e1) parallelogram seen from p via the
+    spherical-excess formula (Quad.cpp:256-281 / Disk.cpp:268-295 inner Q)."""
+    R0 = base - p
+    R1 = R0 + e0
+    R2 = R1 + e1
+    R3 = R0 + e1
+    def nrm(a, b):
+        c = jnp.cross(a, b)
+        return c / jnp.sqrt(jnp.maximum(vo.length_sq(c), 1e-30))[..., None]
+    n0, n1, n2, n3 = nrm(R0, R1), nrm(R1, R2), nrm(R2, R3), nrm(R3, R0)
+    acos = lambda a, b: jnp.arccos(jnp.clip(vo.dot(a, b), -1.0, 1.0))
+    Q = acos(n0, n1) + acos(n1, n2) + acos(n2, n3) + acos(n3, n0)
+    return 2.0 * jnp.pi - jnp.abs(Q)
+
+
+def _light_weights(scene, p):
+    """Per-light approximateRadiance at p (TraceBase.cpp:416-459): rows of
+    (L, N); 'none' lights get the reference's uniform replacement (the mean
+    of the known weights). Returns (w, total)."""
+    lights = scene.lights
+    n = p.shape[0]
+    rows = []
+    for i, kind in enumerate(lights.apx_kind):
+        avg = lights.apx_avg[i]
+        if kind == "const":
+            rows.append(jnp.full((n,), avg))
+        elif kind == "point":
+            r_sq = vo.length_sq(lights.apx_base[i] - p)
+            rows.append(avg / jnp.maximum(r_sq, 1e-30))
+        elif kind == "sphere":
+            Lv = lights.apx_base[i] - p
+            d = jnp.sqrt(jnp.maximum(vo.length_sq(Lv), 1e-30))
+            r = lights.apx_e0[i][0]
+            cos_t = jnp.sqrt(jnp.maximum(d * d - r * r, 0.0)) / d
+            rows.append(2.0 * jnp.pi * (1.0 - cos_t) * avg)
+        elif kind == "quad":
+            R0 = lights.apx_base[i] - p
+            behind = vo.dot(R0, jnp.broadcast_to(lights.apx_n[i], p.shape)) >= 0.0
+            sa = _quad_solid_angle(p, lights.apx_base[i], lights.apx_e0[i],
+                                   lights.apx_e1[i])
+            rows.append(jnp.where(behind, 0.0, sa * avg))
+        elif kind == "disk":
+            cone_d = p - lights.apx_cbase[i]
+            dl = jnp.sqrt(jnp.maximum(vo.length_sq(cone_d), 1e-30))
+            gate = vo.dot(cone_d, jnp.broadcast_to(lights.apx_n[i], p.shape)) / dl
+            base = (lights.apx_base[i] - lights.apx_e0[i] - lights.apx_e1[i])
+            sa = _quad_solid_angle(p, base, 2.0 * lights.apx_e0[i],
+                                   2.0 * lights.apx_e1[i])
+            rows.append(jnp.where(gate < scene.lights.cone_cos[i], 0.0, sa * avg))
+        else:  # "none" -> -1 (unknown; TriangleMesh/Cube/Curves/Cylinder)
+            rows.append(jnp.full((n,), -1.0))
+    w = jnp.stack(rows, 0)  # (L, N)
+    known = w >= 0.0
+    total_k = jnp.sum(jnp.where(known, w, 0.0), 0)
+    n_k = jnp.sum(known, 0)
+    uniform_w = jnp.where(total_k == 0.0, 1.0, total_k) / jnp.maximum(n_k, 1)
+    uniform_w = jnp.where(n_k == 0, 1.0, uniform_w)
+    w = jnp.where(known, w, uniform_w[None])
+    return w, jnp.sum(w, 0)
+
+
+def choose_light(scene, u, p):
+    """TraceBase::chooseLight: pick a light by approximate received
+    radiance; returns (li (N,), weight = total/pdf_i (N,)). weight = 0 when
+    total = 0 (no reachable light -> contribution cancels)."""
+    meta = scene.meta
+    nl = meta.n_lights
+    if nl <= 1 or all(k == "none" for k in scene.lights.apx_kind):
+        li = jnp.minimum((u * nl).astype(jnp.int32), nl - 1)
+        return li, jnp.full(p.shape[:-1], jnp.float32(nl))
+    w, total = _light_weights(scene, p)
+    cum = jnp.cumsum(w, 0)
+    li = jnp.sum((u * total)[None] >= cum, 0).astype(jnp.int32)
+    li = jnp.clip(li, 0, nl - 1)
+    wi = jnp.take_along_axis(w, li[None], 0)[0]
+    return li, jnp.where(total > 0.0, total / jnp.maximum(wi, 1e-30), 0.0)
+
+
+def light_choice_pdf(scene, li, p):
+    """Probability chooseLight(p) picks light li — the factor folded into
+    MIS light pdfs by integrators that pair NEE with the continuation ray."""
+    meta = scene.meta
+    nl = meta.n_lights
+    if nl <= 1 or all(k == "none" for k in scene.lights.apx_kind):
+        return jnp.full(p.shape[:-1], 1.0 / max(nl, 1))
+    w, total = _light_weights(scene, p)
+    wi = jnp.take_along_axis(w, jnp.clip(li, 0, nl - 1)[None], 0)[0]
+    return jnp.where(total > 0.0, wi / jnp.maximum(total, 1e-30), 0.0)
+
+
+def infinite_winner_choice_pdf(scene, d, p):
+    """chooseLight(p) probability of the WINNING infinite light for escape
+    direction d (pairs with infinite_winner_pdf for MIS)."""
+    meta = scene.meta
+    nl = max(meta.n_lights, 1)
+    env_i = max(meta.env_light_index, 0)
+    cap_i = max(meta.cap_light_index, 0)
+    wid = jnp.full(d.shape[:-1], env_i, jnp.int32)
+    if meta.has_cap and (meta.cap_after_env or not meta.has_env):
+        wid = jnp.where(cap_in_cone(scene, d), cap_i, wid)
+    return light_choice_pdf(scene, wid, p)
+
+
 def sample_area_direct(scene, li, p, u_tri, u2) -> LightSample:
-    """Sample a point on area light li (N,) as seen from p (N, 3)."""
+    """Sample a point on area light li (N,) as seen from p (N, 3).
+    Analytic lights (sphere/disk/cylinder) dispatch to their exact direct
+    samplers (spherical cap / uniform disk / uniform position) — see
+    models/primitives/analytic.py."""
+    ls = _sample_area_direct_tris(scene, li, p, u_tri, u2)
+    if scene.meta.has_analytic:
+        from . import analytic as ana_mod
+
+        k = scene.lights.ana_prim[li]
+        d_a, dist_a, pdf_a, uv_a, valid_a = ana_mod.sample_direct(
+            scene.ana, k, p, u2, u_tri)
+        rad_a = eval_texture(scene.textures, scene.lights.tex[li], uv_a)
+        is_a = k >= 0
+        ls = LightSample(
+            d=vo.where3(is_a, d_a, ls.d),
+            dist=jnp.where(is_a, dist_a, ls.dist),
+            pdf=jnp.where(is_a, pdf_a, ls.pdf),
+            radiance=vo.where3(is_a, rad_a, ls.radiance),
+            valid=jnp.where(is_a, valid_a, ls.valid),
+        )
+    return ls
+
+
+def _sample_area_direct_tris(scene, li, p, u_tri, u2) -> LightSample:
     lights = scene.lights
     count = lights.count[li]
     cdf_off = lights.cdf_offset[li]
@@ -235,14 +362,23 @@ def sample_area_direct(scene, li, p, u_tri, u2) -> LightSample:
 
 
 def area_direct_pdf(scene, tri, p, hit_p, d):
-    """directPdf of the area light owning triangle tri, for a hit at hit_p
-    reached from p along d (TriangleMesh::directPdf)."""
+    """directPdf of the area light owning prim `tri` (a triangle id or an
+    analytic virtual id >= T), for a hit at hit_p reached from p along d
+    (TriangleMesh::directPdf; Sphere.cpp:222-227 spherical-cap pdf)."""
     li = scene.tri_light[tri]
     area = scene.lights.area[jnp.maximum(li, 0)]
     ng = scene.tri_ng[tri]
     cos_theta = jnp.abs(vo.dot(d, ng))
     r_sq = vo.length_sq(hit_p - p)
-    return jnp.where(li >= 0, r_sq / jnp.maximum(cos_theta * area, 1e-30), 0.0)
+    pdf = r_sq / jnp.maximum(cos_theta * area, 1e-30)
+    if scene.meta.has_analytic:
+        from . import analytic as ana_mod
+
+        n_tris = scene.tris.v0.shape[0]
+        is_a = tri >= n_tris
+        pdf_a = ana_mod.direct_pdf(scene.ana, tri - n_tris, p, hit_p, d)
+        pdf = jnp.where(is_a, pdf_a, pdf)
+    return jnp.where(li >= 0, pdf, 0.0)
 
 
 def sample_point_direct(scene, p) -> LightSample:
@@ -278,7 +414,33 @@ class EmitterSample:
 
 def sample_emitter_position(scene, li, u_tri, u2) -> EmitterSample:
     """Primitive::samplePosition for area lights (TriangleMesh.cpp / Quad.cpp:
-    area-weighted triangle + uniform barycentric; weight = pi*area*emission)."""
+    area-weighted triangle + uniform barycentric; weight = pi*area*emission).
+    Analytic lights use their exact samplePosition (uniform sphere / disk /
+    cylinder surface) and report tri = virtual id T+k."""
+    es = _sample_emitter_position_tris(scene, li, u_tri, u2)
+    if scene.meta.has_analytic:
+        from . import analytic as ana_mod
+
+        lights = scene.lights
+        k = lights.ana_prim[li]
+        p_a, ng_a, uv_a, _ = ana_mod.sample_position(scene.ana, k, u2, u_tri)
+        rad_a = eval_texture(scene.textures, lights.tex[li], uv_a)
+        is_a = k >= 0
+        n_tris = scene.tris.v0.shape[0]
+        es = EmitterSample(
+            p=vo.where3(is_a, p_a, es.p),
+            ng=vo.where3(is_a, ng_a, es.ng),
+            uv=jnp.where(is_a[..., None], uv_a, es.uv),
+            weight=vo.where3(
+                is_a, (jnp.pi * lights.area[li])[..., None] * rad_a, es.weight),
+            radiance=vo.where3(is_a, rad_a, es.radiance),
+            valid=jnp.where(is_a, True, es.valid),
+            tri=jnp.where(is_a, n_tris + jnp.maximum(k, 0), es.tri),
+        )
+    return es
+
+
+def _sample_emitter_position_tris(scene, li, u_tri, u2) -> EmitterSample:
     lights = scene.lights
     count = lights.count[li]
     cdf_off = lights.cdf_offset[li]
