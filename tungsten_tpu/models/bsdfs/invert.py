@@ -63,7 +63,10 @@ def _inv_lambert(ctx, params, albedo, uv, wi, wo, mu):
 
 
 def _inv_oren_nayar(ctx, params, albedo, uv, wi, wo, mu):
-    ratio = jnp.clip(params[..., 0], 0.01, 1.0)
+    from . import oren_nayar
+
+    # roughness is a texture id (ordinary Texture, OrenNayarBsdf.hpp)
+    ratio = jnp.clip(oren_nayar._rough(ctx, params, uv), 0.01, 1.0)
     ok = (wi[..., 2] > 0.0) & (wo[..., 2] > 0.0)
     pdf_u = warps.uniform_hemisphere_pdf(wo) * ratio
     pdf_c = warps.cosine_hemisphere_pdf(wo) * (1.0 - ratio)

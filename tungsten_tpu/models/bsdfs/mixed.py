@@ -20,10 +20,10 @@ def pack(spec, params, tex_builder):
     params[1] = spec.get("_bsdf1_index", -1)
     if params[0] < 0 or params[1] < 0:
         raise ValueError("mixed requires bsdf0 and bsdf1")
-    ratio = spec.get("ratio", 0.5)
-    if isinstance(ratio, dict) or isinstance(ratio, str):
-        raise NotImplementedError("textured mix ratio")
-    params[2] = tex_builder.add_constant(ratio)
+    from ..textures import texture_from_spec
+
+    params[2] = texture_from_spec(
+        spec.get("ratio", 0.5), tex_builder, spec.get("_resolve_path"))
     return params
 
 

@@ -13,15 +13,23 @@ LOBES = Lobes.DIFFUSE_R
 
 
 def pack(spec, params, tex_builder):
-    r = spec.get("roughness", 0.5)
-    if not isinstance(r, (int, float)):
-        raise NotImplementedError("textured roughness")
-    params[0] = r
+    from ..textures import texture_from_spec
+
+    # roughness is an ordinary Texture in the reference (OrenNayarBsdf.hpp);
+    # pack a texture id and evaluate per hit
+    params[0] = texture_from_spec(
+        spec.get("roughness", 0.5), tex_builder, spec.get("_resolve_path"))
     return params
 
 
-def _f(params, albedo, wi, wo):
-    rough = params[..., 0]
+def _rough(ctx, params, uv):
+    from ..textures import eval_texture
+
+    _, texs = ctx
+    return eval_texture(texs, params[..., 0].astype(jnp.int32), uv)[..., 0]
+
+
+def _f(rough, albedo, wi, wo):
     wiz = wi[..., 2]
     woz = wo[..., 2]
     theta_r = jnp.arccos(jnp.clip(woz, -1.0, 1.0))
@@ -57,11 +65,11 @@ def _f(params, albedo, wi, wo):
 
 def eval(ctx, params, albedo, uv, wi, wo, nonspecular_only=False):
     valid = (wi[..., 2] > 0.0) & (wo[..., 2] > 0.0)
-    return jnp.where(valid[..., None], _f(params, albedo, wi, wo), 0.0)
+    return jnp.where(valid[..., None], _f(_rough(ctx, params, uv), albedo, wi, wo), 0.0)
 
 
 def pdf(ctx, params, albedo, uv, wi, wo, nonspecular_only=False):
-    ratio = jnp.clip(params[..., 0], 0.01, 1.0)
+    ratio = jnp.clip(_rough(ctx, params, uv), 0.01, 1.0)
     p = warps.uniform_hemisphere_pdf(wo) * ratio + warps.cosine_hemisphere_pdf(wo) * (
         1.0 - ratio
     )
@@ -70,7 +78,7 @@ def pdf(ctx, params, albedo, uv, wi, wo, nonspecular_only=False):
 
 
 def sample(ctx, params, albedo, uv, wi, u2, u1, nonspecular_only=False):
-    ratio = jnp.clip(params[..., 0], 0.01, 1.0)
+    ratio = jnp.clip(_rough(ctx, params, uv), 0.01, 1.0)
     uniform = u1 < ratio
     wo = jnp.where(
         uniform[..., None], warps.uniform_hemisphere(u2), warps.cosine_hemisphere(u2)
@@ -79,7 +87,7 @@ def sample(ctx, params, albedo, uv, wi, u2, u1, nonspecular_only=False):
         1.0 - ratio
     )
     valid = (wi[..., 2] > 0.0) & (wo[..., 2] > 0.0) & (p > 0.0)
-    w = _f(params, albedo, wi, wo) / jnp.maximum(p, 1e-30)[..., None]
+    w = _f(ratio, albedo, wi, wo) / jnp.maximum(p, 1e-30)[..., None]
     return BsdfSample(
         wo=wo,
         weight=jnp.where(valid[..., None], w, 0.0),

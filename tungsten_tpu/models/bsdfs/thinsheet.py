@@ -23,10 +23,11 @@ def pack(spec, params, tex_builder):
     params[5] = 1.0 if spec.get("enable_interference", False) else 0.0
     sa = np.asarray(spec.get("sigma_a", 0.0), np.float32).ravel()
     params[1:4] = np.repeat(sa, 3) if sa.size == 1 else sa
-    th = spec.get("thickness", 0.5)
-    if not isinstance(th, (int, float)):
-        raise NotImplementedError("textured thickness")
-    params[4] = th
+    # thickness is an ordinary Texture in the reference (ThinSheetBsdf.hpp)
+    from ..textures import texture_from_spec
+
+    params[4] = texture_from_spec(
+        spec.get("thickness", 0.5), tex_builder, spec.get("_resolve_path"))
     return params
 
 
@@ -67,18 +68,21 @@ def _thin_film_interference(eta, cos_i, thickness_nm):
     return jnp.where(tir[..., None], 1.0, r), jnp.where(tir, 0.0, cos_t)
 
 
-def _transmittance(params, wi):
+def _transmittance(ctx, params, uv, wi):
     """-> (R (N, 3), trans (N, 3)); R colored only under interference."""
     eta = 1.0 / params[..., 0]
     cos_i = jnp.abs(wi[..., 2])
     r_p, cos_t_p = _thin_film_reflectance(eta, cos_i)
-    thickness = params[..., 4]
+    from ..textures import eval_texture
+
+    _, texs = ctx
+    thickness = eval_texture(texs, params[..., 4].astype(jnp.int32), uv)[..., 0]
     r_i, cos_t_i = _thin_film_interference(eta, cos_i, thickness * 500.0)
     interf = params[..., 5] > 0.5
     r3 = jnp.where(interf[..., None], r_i, r_p[..., None] * jnp.ones((1, 3)))
     cos_t = jnp.where(interf, cos_t_i, cos_t_p)
     trans = 1.0 - r3
-    sigma = params[..., 1:4] * params[..., 4:5]
+    sigma = params[..., 1:4] * thickness[..., None]
     att = jnp.exp(-sigma * (2.0 / jnp.maximum(cos_t, 1e-6))[..., None])
     trans = jnp.where(
         (jnp.any(sigma > 0, axis=-1) & (cos_t > 0.0))[..., None], trans * att, trans
@@ -91,7 +95,7 @@ def eval(ctx, params, albedo, uv, wi, wo, nonspecular_only=False):
 
 
 def forward_transparency(ctx, params, albedo, uv, wi):
-    _, trans = _transmittance(params, wi)
+    _, trans = _transmittance(ctx, params, uv, wi)
     return trans
 
 
@@ -102,7 +106,7 @@ def pdf(ctx, params, albedo, uv, wi, wo, nonspecular_only=False):
 def sample(ctx, params, albedo, uv, wi, u2, u1, nonspecular_only=False):
     if nonspecular_only:
         return BsdfSample.invalid(wi.shape[0])
-    r3, trans = _transmittance(params, wi)
+    r3, trans = _transmittance(ctx, params, uv, wi)
     # reflection weight normalized by the forward-lottery complement
     # (ThinSheetBsdf::sample: weight = R / (1 - avg(trans)))
     w = r3 / jnp.maximum(1.0 - vo.avg3(trans), 1e-6)[..., None]

@@ -19,18 +19,10 @@ def pack(spec, params, tex_builder):
     params[0] = spec.get("_base_index", -1)
     if params[0] < 0:
         raise ValueError("transparency requires a base bsdf")
-    alpha = spec.get("alpha", 1.0)
-    if isinstance(alpha, str):
-        from ...io.imageio import load_image
+    from ..textures import texture_from_spec
 
-        tex = tex_builder.add_bitmap(
-            load_image(spec["_resolve_path"](alpha)), path_key=alpha
-        )
-    elif isinstance(alpha, dict):
-        raise NotImplementedError("structured alpha texture")
-    else:
-        tex = tex_builder.add_constant(alpha)
-    params[1] = tex
+    params[1] = texture_from_spec(
+        spec.get("alpha", 1.0), tex_builder, spec.get("_resolve_path"))
     return params
 
 
