@@ -256,6 +256,37 @@ def test_sppm_photon_planes_match_points():
     np.testing.assert_allclose(np.median(r, axis=0), 1.0, atol=0.2)
 
 
+def test_sppm_photon_planes_1d_match_points():
+    """Volume photon PLANES_1D (extruded 1D planes with control-variate
+    visibility, evalPlane1D PhotonTracer.cpp:160-198) vs POINTS: the 4th
+    reference volumePhotonType (PhotonMapSettings.hpp:16-23). Same
+    volumetric transport at matched budget; the CV form can go negative
+    per-sample, so compare the masked median ratio like the 0D test."""
+    import json
+
+    from tungsten_tpu.renderer.render import render_sppm
+
+    with open("/root/reference/data/example-scenes/cornell-box/scene.json") as f:
+        raw = json.load(f)
+    raw["camera"]["resolution"] = [16, 12]
+    raw["integrator"]["max_bounces"] = 4
+    raw["media"] = [{"name": "fog", "type": "homogeneous", "sigma_a": 0.02,
+                     "sigma_s": 0.25, "phase_function": {"type": "isotropic"}}]
+    raw["camera"]["medium"] = "fog"
+    for prim in raw["primitives"]:
+        prim["ext_medium"] = "fog"
+        prim["int_medium"] = "fog"
+
+    doc = parse_scene(raw, path="/root/reference/data/example-scenes/cornell-box/scene.json")
+    scene = flatten_scene(doc)
+    kw = dict(spp=10, seed=13, photons_per_iter=1 << 14)
+    img_p = render_sppm(scene, volume_photon_type="points", **kw)
+    img_1d = render_sppm(scene, volume_photon_type="planes_1d", **kw)
+    mask = img_p.max(-1) > 0.01
+    r = img_1d[mask] / np.maximum(img_p[mask], 1e-9)
+    np.testing.assert_allclose(np.median(r, axis=0), 1.0, atol=0.2)
+
+
 def test_kelemen_mlt_matches_path_tracer():
     """PSSMLT (parallel Kelemen chains, expected-value splatting) converges
     to the PT image. The luminance-scale estimate makes the global scale

@@ -1,0 +1,44 @@
+"""Photon cell-overflow compensation (VERDICT r3 weak #5): photons beyond
+MAX_PER_CELL used to be silently invisible to the bundled gather; the grid
+now folds their power into the kept photons so per-cell energy is preserved
+exactly."""
+import numpy as np
+import jax.numpy as jnp
+
+from tungsten_tpu.integrators.photon_map import (
+    MAX_PER_CELL, build_photon_grid, _hash_cell)
+
+
+def test_overflow_energy_preserved():
+    rng = np.random.default_rng(11)
+    n = 4 * MAX_PER_CELL
+    # all photons inside ONE cell (cell_size 1, positions in [0.1, 0.9))
+    pos = rng.random((n, 3)).astype(np.float32) * 0.8 + 0.1
+    power = rng.random((n, 3)).astype(np.float32)
+    wi = np.tile([0.0, 0.0, 1.0], (n, 1)).astype(np.float32)
+    valid = np.ones(n, bool)
+    pack, starts, counts, ovf = build_photon_grid(
+        jnp.asarray(pos), jnp.asarray(power), jnp.asarray(wi),
+        jnp.asarray(valid), cell_size=1.0)
+    assert int(ovf) == n - MAX_PER_CELL
+    # energy of the first MAX_PER_CELL sorted photons (what the gather sees)
+    # equals the total injected energy
+    key = int(np.asarray(_hash_cell(jnp.int32(0), jnp.int32(0), jnp.int32(0))))
+    s = int(np.asarray(starts)[key])
+    kept = np.asarray(pack)[s : s + MAX_PER_CELL, 3:6]
+    assert np.allclose(kept.sum(), power.sum(), rtol=2e-3)
+
+
+def test_no_overflow_unchanged():
+    rng = np.random.default_rng(3)
+    n = MAX_PER_CELL // 2
+    pos = rng.random((n, 3)).astype(np.float32) * 0.8 + 0.1
+    power = rng.random((n, 3)).astype(np.float32)
+    wi = np.tile([0.0, 0.0, 1.0], (n, 1)).astype(np.float32)
+    pack, starts, counts, ovf = build_photon_grid(
+        jnp.asarray(pos), jnp.asarray(power), jnp.asarray(wi),
+        jnp.ones(n, bool), cell_size=1.0)
+    assert int(ovf) == 0
+    # powers pass through exactly (no compensation applied)
+    assert np.allclose(np.sort(np.asarray(pack)[:n, 3].ravel()),
+                       np.sort(power[:, 0]))

@@ -33,7 +33,7 @@ from ..sampling import Sampler, warps
 from ..scene.flatten import DEFAULT_EPSILON, FlatScene
 from .path_tracer import DIMS_PER_BOUNCE, INF, _intersect, _shading_data
 
-MAX_PER_CELL = 32
+MAX_PER_CELL = int(__import__("os").environ.get("TUNGSTEN_PHOTON_CELL_CAP", "32"))
 GRID_SIZE = 1 << 20  # hash table size (cells)
 
 
@@ -372,6 +372,26 @@ def build_photon_grid(pos, power, wi, valid, cell_size, bounce=None):
     ends = jnp.searchsorted(key_s, jnp.arange(GRID_SIZE, dtype=jnp.uint32), side="right")
     counts = (ends - starts).astype(jnp.int32)
     overflow = jnp.sum(jnp.maximum(counts - MAX_PER_CELL, 0))
+    # overflow compensation (VERDICT r3 weak #5): the gather reads only the
+    # first MAX_PER_CELL photons of a cell; rescale those photons' power by
+    # the cell's (total power / kept power) so per-cell energy is preserved
+    # EXACTLY every iteration. argsort is stable, so the kept subset is the
+    # (position-uncorrelated) emission order — the spatial distribution
+    # within the cell is reservoir-approximated, the flux is not.
+    ks = jnp.minimum(key_s, GRID_SIZE - 1).astype(jnp.int32)
+    cnt_of = counts[ks]
+    st_of = starts[ks].astype(jnp.int32)
+    en_of = st_of + cnt_of
+    rank = jnp.arange(pack.shape[0], dtype=jnp.int32) - st_of
+    cs = jnp.concatenate(
+        [jnp.zeros((1, 3), pack.dtype), jnp.cumsum(pack[:, 3:6], axis=0)], 0)
+    tot_c = cs[en_of] - cs[st_of]
+    kept_c = cs[jnp.minimum(st_of + MAX_PER_CELL, en_of)] - cs[st_of]
+    scale = jnp.where(
+        ((rank < MAX_PER_CELL) & (cnt_of > MAX_PER_CELL)
+         & (key_s < GRID_SIZE))[:, None],
+        tot_c / jnp.maximum(kept_c, 1e-30), 1.0)
+    pack = pack.at[:, 3:6].multiply(scale)
     return pack, starts.astype(jnp.int32), counts, overflow
 
 
@@ -744,6 +764,177 @@ def _plane0d_gather(scene, o, d, seg, medium, active, prows, pmask, cam_bounce,
     return est
 
 
+def _plane1d_gather(scene, o, d, seg, medium, active, prows, pmask, r_pl,
+                    cam_bounce, seed_u=jnp.uint32(0)):
+    """Photon-plane 1D estimator (evalPlane1D, PhotonTracer.cpp:160-198 +
+    intersectPlane1D :95-118 + precomputePlane1D, PhotonMapIntegrator.cpp:
+    163-196): each photon plane is EXTRUDED to thickness 2*r_pl along
+    c = 2 r normalize(a x d1) (a = p1 - p0, b = d1 l1), giving a
+    parallelepiped. The camera ray's overlap [tmin, tmax] with the unit
+    uvw box is slab-clipped; ONE point t ~ U[tmin, tmax] is sampled and the
+    contribution uses the reference's control-variate form:
+
+        k = sigma_t(v2)^2 * phase(d1, -d) * power * |1/det|
+        estimate = k * [ expInt(sigma_t(v2), tmin, tmax)
+                         - occluded * Tr_cam(0->t) * (tmax - tmin) ]
+
+    where expInt(s, t0, t1) = (e^{-s t0} - e^{-s t1})/s is the analytic
+    homogeneous transmittance integral (PhotonTracer.cpp:30-33) and
+    `occluded` tests the continued flight v1 -> v1 + uvw.y l1 d1 at 0.99
+    of its length (the reference's shadow-cache query, :182-187).
+
+    TPU form mirrors _plane0d_gather's chunked sweep. The positive CV term
+    needs no visibility and is summed EXACTLY over every crossed plane; the
+    subtractive occlusion-correction term is reservoir-sampled (one any-hit
+    walk per camera ray per bounce, chosen ~ its luminance) — unbiased for
+    the sum by the same single-sample RIS identity. The plane table rows
+    are the SAME compaction build_plane_list emits for 0D (geometry is
+    (p0, p1, d1, l1); thickness/det fold in here because r_pl shrinks per
+    SPPM iteration)."""
+    from ..models.media import medium_transmittance
+    from ..models.media.media import _hetero_density, _hetero_ray
+    from ..models.phase import phase_eval
+    from .path_tracer import _occluded
+
+    meta = scene.meta
+    n = o.shape[0]
+    C = PLANE_CHUNK
+    n_chunks = MAX_PLANES // C
+    mi = jnp.maximum(medium, 0)
+    ptype = scene.media.phase_type[mi]
+    g = scene.media.phase_g[mi]
+    seg = jnp.where(active, seg, 0.0)
+    lane = jnp.arange(n, dtype=jnp.uint32)
+    sig_base = scene.media.sigma_t[mi]  # (n, 3)
+
+    def chunk_body(ci, st):
+        est_add, rx, rdir, rlen, rcon, rlum, W = st
+        rows = jax.lax.dynamic_slice_in_dim(prows, ci * C, C)
+        m_ok = jax.lax.dynamic_slice_in_dim(pmask, ci * C, C)
+        p0 = rows[:, 0:3]
+        p1 = rows[:, 3:6]
+        d1 = rows[:, 6:9]
+        l1 = rows[:, 9]
+        pw = rows[:, 10:13]
+        pb = rows[:, 13].astype(jnp.int32)
+        # extruded-plane frame (precomputePlane1D)
+        a = p1 - p0  # (C, 3)
+        b = d1 * l1[:, None]
+        axd = jnp.cross(a, d1)
+        c = axd * (2.0 * r_pl / jnp.sqrt(
+            jnp.maximum(vo.length_sq(axd), 1e-30))[:, None])
+        det = jnp.abs(jnp.sum(a * jnp.cross(b, c), axis=-1))
+        geom_ok = m_ok & (det > 1e-8) & jnp.isfinite(det)
+        inv_det = 1.0 / jnp.maximum(det, 1e-30)
+        U = jnp.cross(b, c) * inv_det[:, None]
+        V = jnp.cross(c, a) * inv_det[:, None]
+        Wx = jnp.cross(a, b) * inv_det[:, None]
+        P = p0 - 0.5 * c
+        # ray in uvw coords: o_l, d_l (n, C, 3)
+        ro = o[:, None, :] - P[None]
+        o_l = jnp.stack([
+            jnp.sum(ro * U[None], -1), jnp.sum(ro * V[None], -1),
+            jnp.sum(ro * Wx[None], -1)], -1)
+        d_l = jnp.stack([
+            jnp.sum(d[:, None, :] * U[None], -1),
+            jnp.sum(d[:, None, :] * V[None], -1),
+            jnp.sum(d[:, None, :] * Wx[None], -1)], -1)
+        inv_dl = 1.0 / jnp.where(jnp.abs(d_l) < 1e-12, 1e-12, d_l)
+        t0 = -o_l * inv_dl
+        t1 = t0 + inv_dl
+        tmin = jnp.maximum(jnp.max(jnp.minimum(t0, t1), -1), 1e-4)
+        tmax = jnp.minimum(jnp.min(jnp.maximum(t0, t1), -1), seg[:, None])
+        u_t = _mix01(
+            lane[:, None] * jnp.uint32(MAX_PLANES)
+            + jnp.uint32(ci * C) + jnp.arange(C, dtype=jnp.uint32)[None],
+            jnp.full((n, C), jnp.uint32(0x51D0)), seed_u)
+        t = tmin + (tmax - tmin) * u_t
+        uvw = o_l + d_l * t[..., None]
+        full_b = cam_bounce + pb[None, :] - 1
+        ok = (
+            geom_ok[None, :] & active[:, None] & (tmin < tmax)
+            & jnp.all((uvw >= 0.0) & (uvw <= 1.0), -1)
+            & (full_b >= meta.min_bounces) & (full_b < meta.max_bounces)
+        )
+        v1 = p0[None] + uvw[..., 0:1] * a[None]
+        v2 = v1 + uvw[..., 1:2] * b[None]
+        # sigma_t at v2 (heterogeneous: density is a point lookup)
+        rep = lambda ar: jnp.repeat(ar, C, axis=0)
+        hp_v2 = _hetero_ray(scene.media, rep(mi), v2.reshape(-1, 3),
+                            jnp.zeros((n * C, 3)))
+        dens = _hetero_density(hp_v2, jnp.zeros((n * C,))).reshape(n, C)
+        sigT = sig_base[:, None, :] * dens[..., None]  # (n, C, 3)
+        fp = phase_eval(
+            jnp.broadcast_to(ptype[:, None], t.shape).reshape(-1),
+            jnp.broadcast_to(g[:, None], t.shape).reshape(-1),
+            jnp.broadcast_to(d1[None], (n, C, 3)).reshape(-1, 3),
+            jnp.broadcast_to(-d[:, None, :], (n, C, 3)).reshape(-1, 3),
+        ).reshape(t.shape)
+        k_coef = sigT * sigT * (fp * inv_det[None])[..., None] * pw[None]
+        k_coef = jnp.where(ok[..., None] & jnp.isfinite(k_coef), k_coef, 0.0)
+        # positive CV term: exact, no visibility. Clamp the slab bounds on
+        # rejected lanes BEFORE exponentiating — unclipped parallel-ray
+        # slabs reach +-1e12 and exp() overflows to inf, whose 0-weight
+        # product would still poison the sum with NaN.
+        tm0 = jnp.where(ok, tmin, 0.0)[..., None]
+        tm1 = jnp.where(ok, tmax, 0.0)[..., None]
+        s_safe = jnp.maximum(sigT, 1e-12)
+        cv = (jnp.exp(-s_safe * tm0) - jnp.exp(-s_safe * tm1)) / s_safe
+        cv = jnp.where(sigT > 1e-12, cv, tm1 - tm0)
+        est_add = est_add + jnp.sum(k_coef * cv, axis=1)
+        # subtractive occlusion-correction candidates
+        tr = medium_transmittance(
+            scene.media,
+            jnp.broadcast_to(medium[:, None], t.shape).reshape(-1),
+            jnp.where(ok, jnp.maximum(t, 0.0), 0.0).reshape(-1),
+            jnp.ones((n * C,), bool),
+            jnp.zeros((n * C,), bool),
+            jnp.broadcast_to(o[:, None, :], (n, C, 3)).reshape(-1, 3),
+            jnp.broadcast_to(d[:, None, :], (n, C, 3)).reshape(-1, 3),
+        ).reshape(n, C, 3)
+        Bc = k_coef * tr * (tm1 - tm0)
+        Bc = jnp.where(jnp.isfinite(Bc), Bc, 0.0)
+        lum = jnp.maximum(jnp.sum(Bc * _LUM, axis=-1), 0.0)
+        w_chunk = jnp.sum(lum, axis=1)
+        cum = jnp.cumsum(lum, axis=1)
+        u1 = _mix01(lane, jnp.full((n,), jnp.uint32(ci + 0x4444)), seed_u)
+        jsel = jnp.minimum(
+            jnp.sum((cum < (u1 * w_chunk)[:, None]).astype(jnp.int32), axis=1),
+            C - 1,
+        )
+        B_sel = jnp.take_along_axis(Bc, jsel[:, None, None], axis=1)[:, 0]
+        v1_sel = jnp.take_along_axis(v1, jsel[:, None, None], axis=1)[:, 0]
+        d1_sel = d1[jsel]
+        len_sel = (jnp.take_along_axis(uvw[..., 1], jsel[:, None], axis=1)[:, 0]
+                   * l1[jsel] * 0.99)
+        lum_sel = jnp.take_along_axis(lum, jsel[:, None], axis=1)[:, 0]
+        W_new = W + w_chunk
+        u2 = _mix01(lane, jnp.full((n,), jnp.uint32(ci + 0xC444)), seed_u)
+        keep = (w_chunk > 0.0) & (u2 * W_new < w_chunk)
+        rx = vo.where3(keep, v1_sel, rx)
+        rdir = vo.where3(keep, d1_sel, rdir)
+        rlen = jnp.where(keep, len_sel, rlen)
+        rcon = vo.where3(keep, B_sel, rcon)
+        rlum = jnp.where(keep, lum_sel, rlum)
+        return (est_add, rx, rdir, rlen, rcon, rlum, W_new)
+
+    init = (
+        jnp.zeros((n, 3)), jnp.zeros((n, 3)), jnp.zeros((n, 3)),
+        jnp.zeros((n,)), jnp.zeros((n, 3)), jnp.zeros((n,)), jnp.zeros((n,)),
+    )
+    est_add, rx, rdir, rlen, rcon, rlum, W = jax.lax.fori_loop(
+        0, n_chunks, chunk_body, init
+    )
+    has = (W > 0.0) & (rlum > 0.0)
+    blocked = _occluded(scene, rx, rdir, jnp.where(has, rlen, 0.0))
+    est_sub = jnp.where(
+        (has & blocked)[..., None],
+        rcon / jnp.maximum(rlum, 1e-30)[..., None] * W[..., None],
+        0.0,
+    )
+    return est_add - est_sub
+
+
 def _volume_beam_gather(scene, o, d, seg, medium, active, vpack, vstarts,
                         vcounts, r_vol, cam_bounce):
     """Reference pointContribution (PhotonTracer.cpp:282-293): for every
@@ -848,7 +1039,7 @@ def gather_pass(scene: FlatScene, seed, lane_ids, px, py, pack, starts, counts,
                 radius, n_emitted, vpack=None, vstarts=None, vcounts=None,
                 v_radius=None, scene_far=None,
                 bpack=None, bstarts=None, bcounts=None, b_radius=None,
-                prows=None, pmask=None):
+                prows=None, pmask=None, p1d_radius=None):
     """Camera pass: specular-chain walk + fixed-radius photon density estimate
     at the first non-specular hit (PhotonTracer::traceSensorPath). With a
     volume photon grid (vpack/...): per-bounce beam-query volume gather over
@@ -903,11 +1094,17 @@ def gather_pass(scene: FlatScene, seed, lane_ids, px, py, pack, starts, counts,
                 )
                 emission = emission + throughput * est_b / n_emitted
             if do_planes:
-                est_p = _plane0d_gather(
-                    scene, o, d, seg, s["medium"], in_med,
-                    prows, pmask, k + 1,
-                    seed_u=seed[1] ^ (k.astype(jnp.uint32) * jnp.uint32(0x9E37)),
-                )
+                su = seed[1] ^ (k.astype(jnp.uint32) * jnp.uint32(0x9E37))
+                if p1d_radius is not None:
+                    est_p = _plane1d_gather(
+                        scene, o, d, seg, s["medium"], in_med,
+                        prows, pmask, p1d_radius, k + 1, seed_u=su,
+                    )
+                else:
+                    est_p = _plane0d_gather(
+                        scene, o, d, seg, s["medium"], in_med,
+                        prows, pmask, k + 1, seed_u=su,
+                    )
                 emission = emission + throughput * est_p / n_emitted
             tr = medium_transmittance(
                 scene.media, s["medium"], seg, jnp.ones((n,), bool),

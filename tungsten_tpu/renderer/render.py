@@ -381,9 +381,11 @@ def render_sppm(
     ProgressivePhotonMapIntegrator.cpp:58-76 (r_{i+1}^2 = r_i^2 (i+a)/(i+1)).
 
     volume_photon_type: "points" (3D kernel, beam query), "beams" (short
-    photon beams, 1D kernel) or "planes" (exact photon-plane 0D estimator,
-    with beams covering the single-scatter tier) — PhotonMapSettings
-    volumePhotonType (points / beams / planes).
+    photon beams, 1D kernel), "planes" (exact photon-plane 0D estimator,
+    with beams covering the single-scatter tier) or "planes_1d" (extruded
+    1D planes with control-variate visibility) — PhotonMapSettings
+    volumePhotonType (points / beams / planes / planes_1d,
+    PhotonMapSettings.hpp:16-23).
 
     mesh: optional device mesh — photon-trace lanes and camera-gather lanes
     shard over it (global lane ids keep the deposits identical); the photon
@@ -433,7 +435,7 @@ def render_sppm(
             lane_ph = shard_lanes(mesh, lane_ph)
         surf, vol, beams, planes = trace_photons(
             scene, seed_ph, lane_ph, k_max=k_ph,
-            want_planes=volume_photon_type == "planes",
+            want_planes=volume_photon_type in ("planes", "planes_1d"),
         )
         radius = float(np.sqrt(r2))
         pack, starts, counts, ovf = build_photon_grid(
@@ -450,7 +452,7 @@ def render_sppm(
                 vpack=vpack, vstarts=vstarts, vcounts=vcounts,
                 v_radius=jnp.float32(r_vol), scene_far=jnp.float32(diag * 2.0),
             )
-        elif beams is not None and volume_photon_type in ("beams", "planes"):
+        elif beams is not None and volume_photon_type in ("beams", "planes", "planes_1d"):
             from ..integrators.photon_map import build_beam_grid
 
             bpack, bstarts, bcounts, ovf_b, trunc = build_beam_grid(
@@ -462,13 +464,17 @@ def render_sppm(
                 bpack=bpack, bstarts=bstarts, bcounts=bcounts,
                 b_radius=jnp.float32(r_vol), scene_far=jnp.float32(diag * 2.0),
             )
-            if planes is not None and volume_photon_type == "planes":
+            if planes is not None and volume_photon_type in ("planes", "planes_1d"):
                 from ..integrators.photon_map import build_plane_list
 
                 # beyond MAX_PLANES the list is randomly THINNED with power
                 # compensation (unbiased), so the count is not lost energy
                 prows, pmask, _thinned = build_plane_list(*planes, seed=it)
                 vargs.update(prows=prows, pmask=pmask)
+                if volume_photon_type == "planes_1d":
+                    # 1D extruded planes: thickness = the shrinking volume
+                    # radius (evalPlane1D's `radius`)
+                    vargs.update(p1d_radius=jnp.float32(r_vol))
         seed_cam = jnp.array([seed & 0xFFFFFFFF, 0x40000 + it], jnp.uint32)
         lane_cam = jnp.arange(n, dtype=jnp.uint32)
         if shard_cam:
@@ -487,15 +493,19 @@ def render_sppm(
         r2 = r2 * gamma_it
         # kernel-dimension exponents: surface 2D -> gamma on r^2; volume
         # points 3D -> cbrt; beams 1D -> gamma directly on r
-        if volume_photon_type in ("beams", "planes"):
-            # 1D kernel (the planes themselves are exact; r_vol only drives
-            # their single-scatter beam tier)
+        if volume_photon_type in ("beams", "planes", "planes_1d"):
+            # 1D kernel (0D planes are exact — r_vol only drives their
+            # single-scatter beam tier; 1D planes shrink their thickness)
             r_vol = r_vol * gamma_it
         else:
             r_vol = r_vol * gamma_it ** (1.0 / 3.0)
         if verbose:
             print(f"  sppm iter {it + 1}/{iters} r={radius:.4f} r_vol={r_vol:.4f}")
     if ovf_total and verbose:
-        print(f"  WARNING: {ovf_total} photons beyond MAX_PER_CELL were "
-              f"invisible to the gather (raise radius or photon granularity)")
-    return np.asarray(acc).reshape(h, w, 3) / iters
+        print(f"  note: {ovf_total} photons beyond MAX_PER_CELL were folded "
+              f"into their cell's kept photons (energy-preserving "
+              f"compensation; raise TUNGSTEN_PHOTON_CELL_CAP to gather them "
+              f"individually)")
+    img = np.asarray(acc).reshape(h, w, 3) / iters
+    render_sppm.last_overflow = int(ovf_total)  # surfaced for callers
+    return img
