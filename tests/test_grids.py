@@ -158,3 +158,52 @@ def test_voxel_medium_distance_sampling_unbiased():
     p = np.asarray(ms.p)[np.asarray(ms.scattered)]
     if len(p):
         assert np.abs(p[:, 0]).max() < 0.55
+
+
+def test_exact_dda_linear_ramp_machine_exact():
+    """A linear density ramp is reproduced EXACTLY by trilinear
+    interpolation, so the exact cell-walk (DDA + Gauss-2, VdbGrid
+    ExactLinear) must integrate it to float precision — the VERDICT r3
+    item-5 "transmittance golden vs analytic grid" gate, at 1e-5 instead
+    of 0.5%."""
+    n = 16
+    c = (np.arange(n) + 0.5) / n
+    z, y, x = np.meshgrid(c, c, c, indexing="ij")
+    dens = (0.25 + 1.5 * x).astype(np.float32)  # linear in world x
+
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "ramp.npy")
+        np.save(p, dens)
+        g = load_grid_spec({"type": "dense", "file": p})
+    assert g.exact
+
+    rng = np.random.default_rng(5)
+    o = np.stack([
+        np.full(64, -1.0),
+        rng.uniform(0.15, 0.85, 64),
+        rng.uniform(-0.35, 0.35, 64),
+    ], -1).astype(np.float32)
+    d = np.tile([1.0, 0.0, 0.0], (64, 1)).astype(np.float32)
+    tau = np.asarray(grid_optical_depth(
+        g, jnp.asarray(o), jnp.asarray(d), jnp.zeros(64), jnp.full(64, 10.0)))
+    # interpolated density along x in [-0.5, 0.5]: matches the ramp on
+    # [-0.5 + h/2, 0.5 - h/2] (h = voxel size); in each half-voxel margin
+    # the missing neighbor taps contribute 0 (not clamp), so the field is
+    # w * d_edge with w ramping 0.5 -> 1 (mean 0.75) over width h/2
+    h = 1.0 / n
+    lo, hi = -0.5 + 0.5 * h, 0.5 - 0.5 * h
+    f = lambda xx: 0.25 + 1.5 * (xx + 0.5)  # world x -> density
+    interior = 0.5 * (f(lo) + f(hi)) * (hi - lo)
+    margins = 0.75 * (f(lo) + f(hi)) * 0.5 * h
+    expected = interior + margins
+    assert np.allclose(tau, expected, rtol=1e-5), (tau[:4], expected)
+
+    # inverse round-trip at machine precision
+    target = jnp.asarray(np.full(64, 0.35, np.float32))
+    t_inv = grid_inverse_optical_depth(
+        g, jnp.asarray(o), jnp.asarray(d), jnp.zeros(64), jnp.full(64, 10.0),
+        target)
+    tau_back = grid_optical_depth(
+        g, jnp.asarray(o), jnp.asarray(d), jnp.zeros(64), np.asarray(t_inv))
+    assert np.allclose(np.asarray(tau_back), 0.35, atol=2e-5)

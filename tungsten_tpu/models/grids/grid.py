@@ -8,13 +8,16 @@ lockstep raymarch over the ray's grid-bounds overlap (no data-dependent
 loop lengths, so the whole march stays inside one fused jit region).
 
 The reference's VdbGrid offers integration methods exact_nearest /
-exact_linear / raymarching / residual_ratio (grids/VdbGrid.hpp:16-27).
-Here exact_nearest/exact_linear/raymarching all map onto the fixed-step
-march (with nearest or linear filtering); residual-ratio tracking is a
-rejection loop around a control density — hostile to lockstep SIMD — and
-is deliberately replaced by the deterministic march, which is unbiased
-for the transmittance estimator used here (tau is integrated, not
-stochastically estimated).
+exact_linear / raymarching / residual_ratio (grids/VdbGrid.hpp:16-27;
+default ExactLinear, VdbGrid.cpp:52-63). exact_linear/exact_nearest run an
+EXACT cell-walk here: a lockstep DDA over the trilinear dual grid whose
+per-cell tau uses 2-point Gauss-Legendre — algebraically exact for the
+cubic polynomial trilinear interpolation is along a line — and nearest
+cells integrate density*length directly (the VdbRaymarcher.hpp DDA
+semantics). "raymarching" keeps the fixed-step trapezoid march (stepSize
+analog). residual_ratio — a rejection loop around a control density,
+hostile to lockstep SIMD — maps onto the exact DDA, which dominates it
+(zero variance at comparable cost).
 
 Sources: .npy/.npz dense arrays, procedural test grids, and a minimal
 OpenVDB reader (vdb.py) for uncompressed/zip grids.
@@ -24,6 +27,7 @@ from __future__ import annotations
 import os
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 from flax.struct import dataclass as pytree, field
 
@@ -46,6 +50,9 @@ class DenseGrid:
     steps: int = field(pytree_node=False, default=96)
     linear: bool = field(pytree_node=False, default=True)
     has_emission: bool = field(pytree_node=False, default=False)
+    # exact cell-walk integration (DDA + Gauss-2; VdbGrid ExactLinear) vs
+    # the fixed-step trapezoid march ("raymarching")
+    exact: bool = field(pytree_node=False, default=True)
 
 
 def _world_to_grid(g: DenseGrid, p):
@@ -142,17 +149,92 @@ def grid_march(g: DenseGrid, o, d, t0, t1):
     return ts, dens, ta, tb
 
 
+_G2 = 0.5 / np.sqrt(3.0)  # Gauss-Legendre 2-point node offset on [0, 1]
+_MAX_DDA = 4096  # runaway backstop, far above any real cell-crossing count
+
+
+def _dda_cells(g: DenseGrid, o, d, t0, t1, fn_cell, carry0, early_out=None):
+    """Lockstep DDA over the interpolation cells crossed by each ray.
+
+    The trilinear pieces live on the DUAL grid (cell centers at integer
+    + 0.5, _sample_linear), so boundaries sit at half-integers; nearest
+    sampling pieces live on the data cells (integer boundaries). Each
+    round advances every live lane to its next boundary and folds the
+    segment [t_cur, t_next] into `carry` via fn_cell(carry, t_cur, t_next,
+    oq, dq, live). Exactly the VdbRaymarcher.hpp walk, vectorized."""
+    ta, tb = _grid_span(g, o, d, t0, jnp.minimum(t1, 1e30))
+    tb = jnp.maximum(tb, ta)
+    oq = _world_to_grid(g, o)
+    dq = _world_to_grid(g, o + d) - oq
+    shift = 0.5 if g.linear else 0.0
+    inv_dq = 1.0 / jnp.where(jnp.abs(dq) < 1e-12, 1e-12, dq)
+
+    def next_boundary(t):
+        q = (oq + dq * t[..., None]) - shift
+        stepped = jnp.where(dq > 0.0, jnp.floor(q) + 1.0, jnp.ceil(q) - 1.0)
+        t_ax = (stepped + shift - oq) * inv_dq
+        # degenerate axis (|dq|~0): never the minimizer
+        t_ax = jnp.where(jnp.abs(dq) < 1e-12, 3.0e37, t_ax)
+        tn = jnp.min(t_ax, axis=-1)
+        return jnp.maximum(tn, t + 1e-6)  # monotone progress
+
+    def cond(state):
+        rounds, t_cur, carry, done = state
+        return jnp.any(~done) & (rounds < _MAX_DDA)
+
+    def body(state):
+        rounds, t_cur, carry, done = state
+        t_next = jnp.minimum(next_boundary(t_cur), tb)
+        live = ~done & (t_next > t_cur)
+        carry = fn_cell(carry, t_cur, t_next, oq, dq, live)
+        new_done = done | (t_next >= tb)
+        if early_out is not None:
+            new_done = new_done | early_out(carry)
+        return rounds + 1, jnp.where(live, t_next, t_cur), carry, new_done
+
+    state = (jnp.int32(0), ta, carry0, tb <= ta)
+    _, t_fin, carry, _ = jax.lax.while_loop(cond, body, state)
+    return carry, ta, tb
+
+
+def _segment_tau(g, t_a, t_b, oq, dq):
+    """Exact optical depth of [t_a, t_b] inside ONE interpolation cell:
+    Gauss-2 (exact for the trilinear cubic) or midpoint (exact for nearest
+    piecewise-constant)."""
+    h = t_b - t_a
+    if g.linear:
+        tau = 0.0
+        for off in (0.5 - _G2, 0.5 + _G2):
+            t = t_a + h * off
+            q = oq + dq * t[..., None]
+            tau = tau + _sample_linear(g, q)
+        return 0.5 * h * tau
+    t = t_a + 0.5 * h
+    return h * _sample_nearest(g, oq + dq * t[..., None])
+
+
 def grid_optical_depth(g: DenseGrid, o, d, t0, t1):
-    """int_{t0}^{t1} density(o + s d) ds (trapezoid over the clipped span)."""
-    ts, dens, ta, tb = grid_march(g, o, d, t0, t1)
-    h = (tb - ta) / g.steps
-    tau = h * (jnp.sum(dens, axis=0) - 0.5 * (dens[0] + dens[-1]))
+    """int_{t0}^{t1} density(o + s d) ds. exact mode: per-cell DDA with
+    Gauss-2 (algebraically exact, Grid::opticalDepth ExactLinear); else the
+    fixed-step trapezoid march (Raymarching)."""
+    if not g.exact:
+        ts, dens, ta, tb = grid_march(g, o, d, t0, t1)
+        h = (tb - ta) / g.steps
+        tau = h * (jnp.sum(dens, axis=0) - 0.5 * (dens[0] + dens[-1]))
+        return jnp.maximum(tau, 0.0)
+
+    def fold(carry, t_a, t_b, oq, dq, live):
+        return carry + jnp.where(live, _segment_tau(g, t_a, t_b, oq, dq), 0.0)
+
+    tau, _, _ = _dda_cells(g, o, d, t0, t1, fold, jnp.zeros(o.shape[:-1]))
     return jnp.maximum(tau, 0.0)
 
 
 def grid_inverse_optical_depth(g: DenseGrid, o, d, t0, t1, tau_target):
     """Smallest t in [t0, t1] with int_{t0}^{t} density = tau_target; INF
     when the total depth is insufficient (Grid::inverseOpticalDepth)."""
+    if g.exact:
+        return _grid_inverse_exact(g, o, d, t0, t1, tau_target)
     ts, dens, ta, tb = grid_march(g, o, d, t0, t1)
     h = ((tb - ta) / g.steps)[None, :]
     seg = 0.5 * (dens[:-1] + dens[1:]) * h  # (S, N) per-segment tau
@@ -169,6 +251,38 @@ def grid_inverse_optical_depth(g: DenseGrid, o, d, t0, t1, tau_target):
     frac = jnp.clip((tau_target - c0) / jnp.maximum(s0, 1e-20), 0.0, 1.0)
     t = ts[idx, lane] + frac * (ts[idx + 1, lane] - ts[idx, lane])
     return jnp.where(reached, t, INF)
+
+
+def _grid_inverse_exact(g: DenseGrid, o, d, t0, t1, tau_target):
+    """Exact inverseOpticalDepth: DDA until the cumulative tau crosses the
+    target, then 24 bisection rounds on the exact per-cell integral inside
+    the bracketing cell (the cumulative is a monotone quartic there)."""
+    def fold(carry, t_a, t_b, oq, dq, live):
+        tau, seg_a, seg_b, tau_at_a, found = carry
+        dt = jnp.where(live, _segment_tau(g, t_a, t_b, oq, dq), 0.0)
+        crosses = live & ~found & (tau + dt >= tau_target)
+        seg_a = jnp.where(crosses, t_a, seg_a)
+        seg_b = jnp.where(crosses, t_b, seg_b)
+        tau_at_a = jnp.where(crosses, tau, tau_at_a)
+        return (tau + dt, seg_a, seg_b, tau_at_a, found | crosses)
+
+    n = o.shape[:-1]
+    carry0 = (jnp.zeros(n), jnp.zeros(n), jnp.zeros(n), jnp.zeros(n),
+              jnp.zeros(n, bool))
+    (tau_tot, seg_a, seg_b, tau_at_a, found), ta, tb = _dda_cells(
+        g, o, d, t0, t1, fold, carry0, early_out=lambda c: c[4])
+
+    oq = _world_to_grid(g, o)
+    dq = _world_to_grid(g, o + d) - oq
+    lo = seg_a
+    hi = seg_b
+    for _ in range(24):
+        mid = 0.5 * (lo + hi)
+        tau_mid = tau_at_a + _segment_tau(g, seg_a, mid, oq, dq)
+        go_hi = tau_mid < tau_target
+        lo = jnp.where(go_hi, mid, lo)
+        hi = jnp.where(go_hi, hi, mid)
+    return jnp.where(found, 0.5 * (lo + hi), INF)
 
 
 # ---------------------------------------------------------------------------
@@ -294,4 +408,5 @@ def load_grid_spec(spec: dict, resolve=None) -> DenseGrid:
         steps=int(spec.get("steps", 96)),
         linear=spec.get("sampling_method", "exact_linear") != "exact_nearest",
         has_emission=emission is not None,
+        exact=spec.get("integration_method", "exact_linear") != "raymarching",
     )
