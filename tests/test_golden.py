@@ -73,3 +73,29 @@ def test_materialtest_matches_reference_render():
 
     s = ssim(_tonemap(_downsample(img, 4)), _tonemap(_downsample(golden, 4)))
     assert s > 0.93, f"downsampled SSIM {s:.4f}"
+
+
+@pytest.mark.skipif(os.environ.get("TUNGSTEN_TEST_SLOW", "") != "1",
+                    reason="converged render (~140 s TPU); TUNGSTEN_TEST_SLOW=1")
+@pytest.mark.skipif(not os.path.exists(CORNELL), reason="reference data absent")
+def test_cornell_quality_contract_converged():
+    """The BASELINE.json quality contract, demonstrated at convergence:
+    full-res tonemapped SSIM >= 0.99 against the C++ reference's 16384-spp
+    render (tests/golden/cornell_16k.pfm, rendered with the in-image embree
+    build). Measured 2026-08-19 on the bench chip (TPU v5e), 137 s render:
+    SSIM 0.9990 at 8192 spp, per-channel flux ratio 0.9975-0.9980
+    (COVERAGE.md "Quality contract"). Requires the package-wide f32 matmul
+    precision (__init__.py) — bf16 MXU camera rotations shift the image
+    ~0.5 px and cap SSIM at ~0.62."""
+    golden = load_pfm(os.path.join(GOLDEN, "cornell_16k.pfm"))
+    doc = load_scene(CORNELL)
+    doc.camera["resolution"] = [256, 144]
+    scene = flatten_scene(doc)
+    img = render_flat(scene, spp=8192, samples_per_pass=1, passes_per_batch=64,
+                      seed=123)
+    m_ours = img.reshape(-1, 3).mean(0)
+    m_ref = golden.reshape(-1, 3).mean(0)
+    ratio = m_ours / np.maximum(m_ref, 1e-9)
+    assert np.all(np.abs(ratio - 1.0) < 0.005), f"channel flux ratio {ratio}"
+    s = ssim(_tonemap(img), _tonemap(golden))
+    assert s >= 0.99, f"full-res converged SSIM {s:.4f}"

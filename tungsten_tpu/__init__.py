@@ -22,3 +22,14 @@ Package layout:
 """
 
 __version__ = "0.1.0"
+
+# TPU MXU matmuls default to bfloat16 inputs; the renderer's small dense
+# matmuls (camera ray rotation `local @ rot.T`, env direction_to_uv
+# `d @ inv_rot.T`, analytic-prim frames) are GEOMETRY — bf16 quantizes ray
+# directions to ~8 mantissa bits, which measurably shifted rendered images
+# ~0.5-1 px vs the CPU/C++ reference (round-4 materialtest SSIM hunt).
+# Force full-f32 matmul everywhere; Pallas kernels pick their own precision
+# and hot paths that WANT bf16 must opt in explicitly.
+import jax as _jax
+
+_jax.config.update("jax_default_matmul_precision", "highest")
