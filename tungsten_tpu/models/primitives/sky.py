@@ -1,88 +1,144 @@
-"""Analytic skydome baked to an equirect HDR image at flatten time.
+"""Hosek-Wilkie skydome baked to an equirect HDR image at flatten time.
 
 The reference's Skydome (src/core/primitives/Skydome.cpp:270-318) evaluates
-the Hosek-Wilkie "alienworld" spectral model on a 512x256 lat-long grid at
-prepareForRender and wraps the result in a BitmapTexture — i.e. the skydome
-IS an env light with a baked emission map. We do exactly the same bake, but
-evaluate the Preetham analytic sky (Preetham, Shirley & Smits 1999: Perez
-luminance/chromaticity functions + zenith terms), because Hosek-Wilkie is a
-fitted *dataset* (ArHosekSkyModelData) that cannot be re-derived from
-formulas. The shape (sun-relative gradient, horizon brightening, turbidity
-response) matches; absolute radiometry differs from the Hosek fit.
+the Hosek-Wilkie 2012 spectral skylight model in its "alienworld" variant
+(ArHosekSkyModel.cpp:402-516) on a 512x256 lat-long grid at prepareForRender
+and wraps the result in a BitmapTexture — i.e. the skydome IS an env light
+with a baked emission map. This module reproduces that bake exactly:
 
-The reference's `temperature` parameter feeds the alienworld sun blackbody;
-we apply it as a normalized blackbody tint (5777 K == neutral) on top of the
-Preetham spectrum, and `intensity` as the overall scale, mirroring
-arhosekskymodelstate_alienworld_alloc_init(elevation, intensity, temperature,
-turbidity, albedo) in effect.
+  - the fitted coefficient tables (datasets / datasetsRad from
+    ArHosekSkyModelData_Spectral.h, 3-clause BSD, (c) Hosek & Wilkie) and
+    the CIE 1931 color matching tables are vendored in data/hosek.npz
+    (tools/extract_hosek.py) — the same category of public dataset as the
+    Sobol direction numbers and the Palik complex-IOR constants;
+  - CookConfiguration / CookRadianceConfiguration (quintic Bezier over
+    cbrt-elevation, bilinear over turbidity x albedo,
+    ArHosekSkyModel.cpp:147-289);
+  - the alienworld blackbody emission-correction factors
+    (ArHosekSkyModel.cpp:402-516): per-band ratio of a `temperature`-K
+    blackbody to the fitted solar spectrum, sky factors scaled by
+    `intensity` over the mean visible-band ratio;
+  - 10-sample spectral integration against the CIE weights
+    (Spectral.cpp:370-392 spectralXyzWeights) and the reference's
+    xyzToRgb matrix (Spectral.hpp:21-27).
+
+The evaluation is a flatten-time bake — plain numpy, vectorized over the
+512x256 grid; the result feeds the standard env-light alias table.
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
-# Perez coefficients A..E as linear functions of turbidity T (Preetham table 2)
-_PEREZ_Y = np.array(
-    [[0.1787, -1.4630], [-0.3554, 0.4275], [-0.0227, 5.3251],
-     [0.1206, -2.5771], [-0.0670, 0.3703]]
+_DATA = None
+
+
+def _data():
+    global _DATA
+    if _DATA is None:
+        _DATA = np.load(os.path.join(os.path.dirname(__file__), "data", "hosek.npz"))
+    return _DATA
+
+
+# Spectral.hpp:21-27 xyzToRgb (sRGB primaries, reference's exact constants)
+_XYZ_TO_RGB = np.array(
+    [[3.240479, -1.537150, -0.498535],
+     [-0.969256, 1.875991, 0.041556],
+     [0.055648, -0.204043, 1.057311]]
 )
-_PEREZ_x = np.array(
-    [[-0.0193, -0.2592], [-0.0665, 0.0008], [-0.0004, 0.2125],
-     [-0.0641, -0.8989], [-0.0033, 0.0452]]
-)
-_PEREZ_y = np.array(
-    [[-0.0167, -0.2608], [-0.0950, 0.0092], [-0.0079, 0.2102],
-     [-0.0441, -1.6537], [-0.0109, 0.0529]]
-)
+
+_CIE_MIN, _CIE_MAX, _CIE_SAMPLES = 360.0, 830.0, 471
 
 
-def _perez(coef, theta, gamma):
-    a, b, c, d, e = coef
-    cos_t = np.maximum(np.cos(theta), 1e-3)
-    return (1.0 + a * np.exp(b / cos_t)) * (
-        1.0 + c * np.exp(d * gamma) + e * np.cos(gamma) ** 2
-    )
+def _spectral_xyz_weights(samples=10):
+    """Spectral.cpp:370-392: bin the 471-sample CIE tables onto `samples`
+    evenly spaced wavelengths 360..830 nm; normalize by the trapezoid
+    integral of Y. Returns (lambdas (S,), weights (S, 3))."""
+    cie = _data()["cie"]  # (3, 471)
+    delta = (_CIE_MAX - _CIE_MIN) / (samples - 1)
+    lambdas = _CIE_MIN + np.arange(samples) * delta
+    weights = np.zeros((samples, 3))
+    i = np.arange(_CIE_SAMPLES)
+    x = (i / delta).astype(np.int64)
+    u = i / delta - x
+    entries = cie.T  # (471, 3)
+    np.add.at(weights, x, (1.0 - u)[:, None] * entries)
+    # the final CIE sample lands exactly on the last bin (u = 0); the C code
+    # writes u*entry past the array end there — skip the zero contribution
+    hi_ok = x + 1 < samples
+    np.add.at(weights, np.minimum(x + 1, samples - 1),
+              (u * hi_ok)[:, None] * entries)
+    ref = np.sum((cie[1, :-1] + cie[1, 1:]) * 0.5)
+    return lambdas, weights / ref
 
 
-def _zenith(turb, theta_s):
-    """Zenith luminance (kcd/m^2) and chromaticity (Preetham appendix A.2)."""
-    chi = (4.0 / 9.0 - turb / 120.0) * (np.pi - 2.0 * theta_s)
-    y_z = (4.0453 * turb - 4.9710) * np.tan(chi) - 0.2155 * turb + 2.4192
-    t_vec = np.array([turb * turb, turb, 1.0])
-    th = np.array([theta_s**3, theta_s**2, theta_s, 1.0])
-    x_m = np.array(
-        [[0.00166, -0.00375, 0.00209, 0.0],
-         [-0.02903, 0.06377, -0.03202, 0.00394],
-         [0.11693, -0.21196, 0.06052, 0.25886]]
-    )
-    y_m = np.array(
-        [[0.00275, -0.00610, 0.00317, 0.0],
-         [-0.04214, 0.08970, -0.04153, 0.00516],
-         [0.15346, -0.26756, 0.06670, 0.26688]]
-    )
-    x_z = t_vec @ x_m @ th
-    y_z2 = t_vec @ y_m @ th
-    return max(y_z, 0.0), x_z, y_z2
+def _bezier5(ctrl, t):
+    """Quintic Bezier over the 6 elevation control points (axis 0 of ctrl),
+    the interpolation used by both Cook functions."""
+    s = 1.0 - t
+    b = np.array([s**5, 5 * s**4 * t, 10 * s**3 * t**2,
+                  10 * s**2 * t**3, 5 * s * t**4, t**5])
+    return np.tensordot(b, ctrl, axes=(0, 0))
 
 
-def _blackbody_rgb(temp):
-    """Normalized linear-sRGB tint of a blackbody at `temp` K (5777 == 1)."""
-    # Planck over CIE fits is overkill for a tint; sample Planck at R/G/B
-    # representative wavelengths and normalize against the solar temperature.
-    lam = np.array([610.0, 549.0, 468.0]) * 1e-9
-    h, c, k = 6.626e-34, 2.998e8, 1.381e-23
+def _cook(table, turbidity, albedo, elevation):
+    """ArHosekSkyModel_CookConfiguration / CookRadianceConfiguration for all
+    11 bands at once. table: (11, 2 alb, 10 turb, 6 ctrl, ...) -> (11, ...)."""
+    t = np.power(max(elevation, 0.0) / (np.pi / 2.0), 1.0 / 3.0)
+    it = int(turbidity)
+    rem = turbidity - it
 
-    def planck(t):
-        return 1.0 / (lam**5 * (np.exp(h * c / (lam * k * t)) - 1.0))
+    def at(turb_i):
+        ctrl_first = np.moveaxis(table[:, :, turb_i], 2, 0)  # (6, 11, 2, ...)
+        v = _bezier5(ctrl_first, t)  # (11, 2, ...)
+        return v[:, 0] * (1.0 - albedo) + v[:, 1] * albedo
 
-    tint = planck(temp) / planck(5777.0)
-    return tint / tint[1]  # green-normalized
+    lo = at(it - 1)
+    if it == 10:
+        return lo
+    return lo * (1.0 - rem) + at(it) * rem
 
 
-_XYZ_TO_SRGB = np.array(
-    [[3.2406, -1.5372, -0.4986],
-     [-0.9689, 1.8758, 0.0415],
-     [0.0557, -0.2040, 1.0570]]
-)
+def _blackbody(temp, lam_m):
+    """art_blackbody_dd_value (ArHosekSkyModel.cpp:363-376): Planck's law
+    with the model's c1/c2 constants (c1 = 3.74177e-16, c2 = 0.0143878)."""
+    c1, c2 = 3.74177e-16, 0.0143878
+    return (c1 / lam_m**5) / (np.exp(c2 / (lam_m * temp)) - 1.0)
+
+
+_BLACKBODY_SCALE = 3.19992e-10  # blackbody_scaling_factor (= 3.19992*10E-11)
+
+
+def _alienworld_state(elevation, intensity, temperature, turbidity, albedo):
+    """arhosekskymodelstate_alienworld_alloc_init: cooked per-band configs
+    (11, 9), zenith radiances (11,), and sky emission-correction factors."""
+    d = _data()
+    turbidity = float(np.clip(turbidity, 1.0, 10.0))
+    configs = _cook(d["configs"], turbidity, albedo, elevation)  # (11, 9)
+    radiances = _cook(d["radiances"], turbidity, albedo, elevation)  # (11,)
+    owl = (320.0 + 40.0 * np.arange(11)) * 1e-9
+    nsr = _blackbody(temperature, owl) * _BLACKBODY_SCALE
+    ecf_sun = nsr / d["solar"]
+    ratio = ecf_sun[2:11].mean()  # visible-band average
+    ecf_sky = intensity * ecf_sun / ratio
+    return configs, radiances * ecf_sky
+
+
+def _radiance_internal(configs, theta, gamma):
+    """ArHosekSkyModel_GetRadianceInternal (ArHosekSkyModel.cpp:291-304) for
+    all bands: configs (11, 9), theta/gamma (...) -> (11, ...)."""
+    c = configs.reshape((11, 9) + (1,) * theta.ndim)
+    cos_g = np.cos(gamma)[None]
+    cos_t = np.cos(theta)[None]
+    exp_m = np.exp(c[:, 4] * gamma[None])
+    ray_m = cos_g * cos_g
+    mie_m = (1.0 + cos_g * cos_g) / np.power(
+        1.0 + c[:, 8] * c[:, 8] - 2.0 * c[:, 8] * cos_g, 1.5)
+    zenith = np.sqrt(np.maximum(cos_t, 0.0))
+    return (1.0 + c[:, 0] * np.exp(c[:, 1] / (cos_t + 0.01))) * (
+        c[:, 2] + c[:, 3] * exp_m + c[:, 5] * ray_m + c[:, 6] * mie_m
+        + c[:, 7] * zenith)
 
 
 def bake_skydome(
@@ -95,44 +151,48 @@ def bake_skydome(
     below the horizon repeat the last sky row. Returns (H, W, 3) float32."""
     sun = np.asarray(sun_dir, np.float64)
     sun = sun / max(np.linalg.norm(sun), 1e-9)
-    theta_s = np.arccos(np.clip(sun[1], -1.0, 1.0))
-    theta_s = min(theta_s, np.pi / 2 - 1e-3)
-    turb = float(np.clip(turbidity, 1.2, 10.0))
+    elevation = np.arcsin(np.clip(sun[1], -1.0, 1.0))
 
-    coef_Y = _PEREZ_Y @ [turb, 1.0]
-    coef_x = _PEREZ_x @ [turb, 1.0]
-    coef_y = _PEREZ_y @ [turb, 1.0]
-    Yz, xz, yz = _zenith(turb, theta_s)
+    configs, band_scale = _alienworld_state(
+        elevation, float(intensity), float(temperature), float(turbidity),
+        albedo=0.2)  # Skydome.cpp:303-304: ground albedo fixed at 0.2
+
+    lambdas, weights = _spectral_xyz_weights(10)
+    # arhosekskymodel_radiance band lerp (ArHosekSkyModel.cpp:519-552):
+    # per-sample (low band, interp); out-of-table samples contribute 0
+    lo_band = ((lambdas - 320.0) / 40.0).astype(np.int64)
+    interp = (lambdas - 320.0) / 40.0 - lo_band
+    in_lo = (lo_band >= 0) & (lo_band < 11)
+    in_hi = (lo_band + 1 >= 0) & (lo_band + 1 < 11)
+    w_lo = np.where(in_lo, 1.0 - interp, 0.0)
+    w_hi = np.where(in_lo & in_hi, interp, 0.0)
+    lo_c = np.clip(lo_band, 0, 10)
+    hi_c = np.clip(lo_band + 1, 0, 10)
 
     ys = np.arange(height // 2)
     xs = np.arange(width)
     theta = (ys + 0.5) * np.pi / height  # zenith angle of the texel row
     phi = (xs + 0.5) * 2.0 * np.pi / width - np.pi
-    # direction for uv (u, v): matches Skydome::uvToDirection
+    # direction for uv (u, v): matches Skydome::uvToDirection; texel row r
+    # maps (through the BitmapTexture v-flip) to v = 1-(r+0.5)/H, i.e.
+    # direction y = +cos(theta_r): row 0 is the zenith
     dirs = np.zeros((height // 2, width, 3))
     st = np.sin(theta)[:, None]
     dirs[..., 0] = np.cos(phi)[None, :] * st
-    # texel row r maps (through the BitmapTexture v-flip) to v = 1-(r+0.5)/H,
-    # i.e. direction y = +cos(theta_r): row 0 is the zenith
     dirs[..., 1] = np.cos(theta)[:, None]
     dirs[..., 2] = np.sin(phi)[None, :] * st
     cos_gamma = np.clip(dirs @ sun, -1.0, 1.0)
     gamma = np.clip(np.arccos(cos_gamma) * gamma_scale, 0.0, np.pi)
-    th = np.minimum(theta, np.pi / 2 - 1e-3)[:, None]
+    th = np.broadcast_to(theta[:, None], gamma.shape)
 
-    Y = Yz * _perez(coef_Y, th, gamma) / _perez(coef_Y, 0.0, theta_s)
-    x = xz * _perez(coef_x, th, gamma) / _perez(coef_x, 0.0, theta_s)
-    y = yz * _perez(coef_y, th, gamma) / _perez(coef_y, 0.0, theta_s)
-    y = np.maximum(y, 1e-4)
-
-    X = x / y * Y
-    Z = (1.0 - x - y) / y * Y
-    xyz = np.stack([X, Y, Z], axis=-1)
-    rgb = np.maximum(xyz @ _XYZ_TO_SRGB.T, 0.0)
-    # kcd/m^2-scaled Perez -> a unit-mean-ish radiance map; `intensity` is the
-    # user-facing scale as in the reference
-    rgb = rgb * (float(intensity) / 8.0)
-    rgb = rgb * _blackbody_rgb(float(temperature))[None, None, :]
+    bands = _radiance_internal(configs, th, gamma) * band_scale.reshape(
+        (11,) + (1,) * gamma.ndim)  # (11, H/2, W)
+    # spectral sum: sum_i weights[i] * (w_lo[i]*bands[lo] + w_hi[i]*bands[hi])
+    per_band_w = np.zeros((11, 3))
+    np.add.at(per_band_w, lo_c, (w_lo[:, None] * weights) * in_lo[:, None])
+    np.add.at(per_band_w, hi_c, (w_hi[:, None] * weights))
+    xyz = np.tensordot(per_band_w, bands, axes=(0, 0))  # (3, H/2, W)
+    rgb = np.moveaxis(np.tensordot(_XYZ_TO_RGB, xyz, axes=(1, 0)), 0, -1)
 
     img = np.zeros((height, width, 3), np.float32)
     img[: height // 2] = rgb.astype(np.float32)
