@@ -97,3 +97,43 @@ def test_unbiased_and_lower_variance(tmp_path):
     # noise on this scene; guard loosely via mean absolute seed deviation
     dev = np.mean([np.abs(i - ref).mean() for i in imgs])
     assert np.isfinite(dev)
+
+
+def test_multiple_point_lights_superpose(tmp_path):
+    """N point lights render as the sum of single-light renders (direct
+    lighting is linear in emission; the reference's light list is unbounded,
+    TraceableScene.hpp:79-102 — round <=3 raised NotImplementedError here)."""
+    import copy
+
+    base = {
+        "media": [],
+        "bsdfs": [{"name": "white", "type": "lambert", "albedo": 0.7}],
+        "primitives": [
+            {"type": "quad", "bsdf": "white",
+             "transform": {"position": [0, 0, 0], "scale": [8, 1, 8]}},
+        ],
+        "camera": {"type": "pinhole", "tonemap": "linear", "fov": 60,
+                   "resolution": [48, 32],
+                   "transform": {"position": [0, 2.5, 5], "look_at": [0, 0, 0],
+                                 "up": [0, 1, 0]}},
+        "integrator": {"type": "path_tracer", "max_bounces": 2,
+                       "enable_light_sampling": True},
+        "renderer": {"spp": 32, "spp_step": 32},
+    }
+    pa = {"type": "point", "power": 60.0,
+          "transform": {"position": [-1.5, 2.0, 0.5]}}
+    pb = {"type": "point", "power": [10.0, 140.0, 25.0],
+          "transform": {"position": [2.0, 1.2, -1.0]}}
+
+    def render(prims_extra, name):
+        doc = copy.deepcopy(base)
+        doc["primitives"] = doc["primitives"] + prims_extra
+        path = os.path.join(str(tmp_path), name)
+        json.dump(doc, open(path, "w"))
+        return _render(path, seed=5)
+
+    img_a = render([pa], "a.json")
+    img_b = render([pb], "b.json")
+    img_ab = render([pa, pb], "ab.json")
+    np.testing.assert_allclose(img_ab, img_a + img_b, rtol=0.2, atol=0.01)
+    assert img_a.mean() > 1e-3 and img_b.mean() > 1e-3

@@ -310,8 +310,8 @@ def _nee(scene, sampler, p, ng, frame, wi, mat_id, uv, lobes, medium=None,
             valid=jnp.where(is_cap_choice, ls_cap.valid, ls.valid),
         )
     if meta.point_light_index >= 0:
-        is_point_choice = li == meta.point_light_index
-        ls_pt = L.sample_point_direct(scene, p)
+        is_point_choice = scene.lights.pt_slot[li] >= 0
+        ls_pt = L.sample_point_direct(scene, li, p)
         ls = L.LightSample(
             d=vo.where3(is_point_choice, ls_pt.d, ls.d),
             dist=jnp.where(is_point_choice, ls_pt.dist, ls.dist),
@@ -473,8 +473,8 @@ def _volume_nee(scene, sampler, p, d_in, medium, ptype, g):
             valid=jnp.where(is_cap_choice, ls_cap.valid, ls.valid),
         )
     if meta.point_light_index >= 0:
-        is_point_choice = li == meta.point_light_index
-        ls_pt = L.sample_point_direct(scene, p)
+        is_point_choice = scene.lights.pt_slot[li] >= 0
+        ls_pt = L.sample_point_direct(scene, li, p)
         ls = L.LightSample(
             d=vo.where3(is_point_choice, ls_pt.d, ls.d),
             dist=jnp.where(is_point_choice, ls_pt.dist, ls.dist),
@@ -643,8 +643,8 @@ def _unified_nee_prepare(scene, sampler, vp, ng, frame, wi, mat_id, uv, lobes,
             valid=jnp.where(is_cap_choice, ls_cap.valid, ls.valid),
         )
     if meta.point_light_index >= 0:
-        is_point_choice = li == meta.point_light_index
-        ls_pt = L.sample_point_direct(scene, vp)
+        is_point_choice = scene.lights.pt_slot[li] >= 0
+        ls_pt = L.sample_point_direct(scene, li, vp)
         ls = L.LightSample(
             d=vo.where3(is_point_choice, ls_pt.d, ls.d),
             dist=jnp.where(is_point_choice, ls_pt.dist, ls.dist),
@@ -1218,8 +1218,8 @@ def _choose_and_sample_light(scene, sampler, p):
             valid=jnp.where(is_cap_choice, ls_cap.valid, ls.valid),
         )
     if meta.point_light_index >= 0:
-        is_point_choice = li == meta.point_light_index
-        ls_pt = L.sample_point_direct(scene, p)
+        is_point_choice = scene.lights.pt_slot[li] >= 0
+        ls_pt = L.sample_point_direct(scene, li, p)
         ls = L.LightSample(
             d=vo.where3(is_point_choice, ls_pt.d, ls.d),
             dist=jnp.where(is_point_choice, ls_pt.dist, ls.dist),

@@ -381,14 +381,16 @@ def area_direct_pdf(scene, tri, p, hit_p, d):
     return jnp.where(li >= 0, pdf, 0.0)
 
 
-def sample_point_direct(scene, p) -> LightSample:
-    """Point::sampleDirect (Point.cpp:98-106): d to the point, pdf = r^2 in
-    the reference's convention (weight = emission/pdf with emission =
-    power/(4 pi)); we fold it so radiance/pdf gives power/(4 pi r^2), and
-    the dirac light takes MIS weight 1 (no bsdf strategy can hit it)."""
+def sample_point_direct(scene, li, p) -> LightSample:
+    """Point::sampleDirect (Point.cpp:98-106) for the point light at light
+    index li (N,): d to the point, pdf = r^2 in the reference's convention
+    (weight = emission/pdf with emission = power/(4 pi)); we fold it so
+    radiance/pdf gives power/(4 pi r^2), and the dirac light takes MIS
+    weight 1 (no bsdf strategy can hit it). Lanes whose li is not a point
+    light return garbage (callers gate on lights.pt_slot[li] >= 0)."""
     pt = scene.point
-    n = p.shape[0]
-    dvec = jnp.broadcast_to(pt.pos, (n, 3)) - p
+    slot = jnp.maximum(scene.lights.pt_slot[li], 0)
+    dvec = pt.pos[slot] - p
     r_sq = vo.length_sq(dvec)
     dist = jnp.sqrt(jnp.maximum(r_sq, 1e-30))
     d = dvec / dist[..., None]
@@ -396,8 +398,8 @@ def sample_point_direct(scene, p) -> LightSample:
         d=d,
         dist=dist,
         pdf=r_sq,
-        radiance=jnp.broadcast_to(pt.intensity, (n, 3)),
-        valid=jnp.ones((n,), bool),
+        radiance=pt.intensity[slot],
+        valid=jnp.ones(p.shape[:-1], bool),
     )
 
 

@@ -58,6 +58,7 @@ class LightTable:
     tri_idx: jnp.ndarray  # (LT,) global triangle index (post BVH permutation)
     cdf: jnp.ndarray  # (LT + L,)
     ana_prim: jnp.ndarray = None  # (L,) analytic prim index, -1 = triangles
+    pt_slot: jnp.ndarray = None  # (L,) PointLight row, -1 = not a point light
     # approximateRadiance geometry (TraceBase::chooseLight weighting):
     apx_avg: jnp.ndarray = None  # (L,) emission average().max() / const value
     apx_base: jnp.ndarray = None  # (L, 3) quad base / sphere+disk center / point pos
@@ -91,15 +92,18 @@ class CapLight:
 
 @pytree
 class PointLight:
-    """Dirac point light (Point.cpp): intensity = power/(4 pi)."""
+    """Dirac point lights (Point.cpp): intensity = power/(4 pi). The
+    reference's light list is unbounded (TraceableScene.hpp:79-102), so
+    this is a TABLE of P points; LightTable.pt_slot maps light index ->
+    row (-1 for non-point lights)."""
 
-    pos: jnp.ndarray  # (3,)
-    intensity: jnp.ndarray  # (3,)
+    pos: jnp.ndarray  # (P, 3)
+    intensity: jnp.ndarray  # (P, 3)
 
 
 def _default_point():
-    return PointLight(pos=jnp.zeros((3,), jnp.float32),
-                      intensity=jnp.zeros((3,), jnp.float32))
+    return PointLight(pos=jnp.zeros((1, 3), jnp.float32),
+                      intensity=jnp.zeros((1, 3), jnp.float32))
 
 
 def _default_cap():
@@ -285,7 +289,7 @@ def flatten_scene(doc: SceneDocument) -> FlatScene:
     extra_prims = {}  # pseudo prim index -> synthetic spec (minecraft blocks)
     env_spec = None
     cap_spec = None
-    point_spec = None
+    point_specs = []
     prim_cone_cos = {}
     vert_base = 0
 
@@ -305,9 +309,7 @@ def flatten_scene(doc: SceneDocument) -> FlatScene:
             env_spec = (prim, m, pi, True)
             continue
         if ptype == "point":
-            if point_spec is not None:
-                raise NotImplementedError("multiple point lights")
-            point_spec = (prim, m)
+            point_specs.append((prim, m))
             continue
         if ptype == "infinite_sphere_cap":
             if cap_spec is not None:
@@ -560,6 +562,7 @@ def flatten_scene(doc: SceneDocument) -> FlatScene:
     tri_light = np.full(len(tri_mat), -1, np.int32)
     l_offset, l_count, l_cdf_off, l_area, l_tex, l_env = [], [], [], [], [], []
     l_cone, l_dirac, l_ana = [], [], []
+    l_pt = []  # PointLight row per light, -1 for non-point
     l_apx = []  # (kind, avg, base, e0, e1, n, cbase) per light row
     tri_idx_list, cdf_list = [], []
     cur_off = 0
@@ -608,6 +611,7 @@ def flatten_scene(doc: SceneDocument) -> FlatScene:
             l_cone.append(prim_cone_cos.get(pi, 0.0))
             l_dirac.append(False)
             l_ana.append(k)
+            l_pt.append(-1)
             apx_row(pi, l_tex[-1])
             continue
         sel = np.nonzero(tri_prim == pi)[0].astype(np.int32)
@@ -630,6 +634,7 @@ def flatten_scene(doc: SceneDocument) -> FlatScene:
         l_cone.append(prim_cone_cos.get(pi, 0.0))
         l_dirac.append(False)
         l_ana.append(-1)
+        l_pt.append(-1)
         apx_row(pi, l_tex[-1])
         tri_idx_list.append(sel)
         cdf_list.append(cdf)
@@ -691,6 +696,7 @@ def flatten_scene(doc: SceneDocument) -> FlatScene:
             l_cone.append(0.0)
             l_dirac.append(False)
             l_ana.append(-1)
+            l_pt.append(-1)
             # InfiniteSphere::approximateRadiance = 2 pi * avg max
             l_apx.append(("const",
                           float(2.0 * np.pi * np.max(tex_builder.average(etex))),
@@ -734,37 +740,45 @@ def flatten_scene(doc: SceneDocument) -> FlatScene:
             l_cone.append(0.0)
             l_dirac.append(False)
             l_ana.append(-1)
+            l_pt.append(-1)
             # InfiniteSphereCap::approximateRadiance = 2 pi (1-cos) avg max
             l_apx.append(("const",
                           float(2.0 * np.pi * (1.0 - cos_cap) * np.max(rad)),
                           _Z3, _Z3, _Z3, _Z3, _Z3))
 
-    # dirac point light
+    # dirac point lights — one light entry + one PointLight row each
+    # (the reference's light list is unbounded, TraceableScene.hpp:79-102)
     point_index = -1
     point = _default_point()
-    if point_spec is not None:
-        prim, m = point_spec
-        ppos = (m @ np.array([0.0, 0.0, 0.0, 1.0]))[:3]
-        pw = np.asarray(prim.get("power", prim.get("emission", 1.0)), np.float64)
-        if pw.ndim == 0:
-            pw = np.repeat(pw, 3)
+    if point_specs:
+        pt_pos, pt_int = [], []
+        for prim, m in point_specs:
+            ppos = (m @ np.array([0.0, 0.0, 0.0, 1.0]))[:3]
+            pw = np.asarray(
+                prim.get("power", prim.get("emission", 1.0)), np.float64)
+            if pw.ndim == 0:
+                pw = np.repeat(pw, 3)
+            if point_index < 0:
+                point_index = len(l_offset)
+            l_pt.append(len(pt_pos))
+            pt_pos.append(ppos)
+            pt_int.append(pw / (4.0 * np.pi))
+            l_offset.append(cur_off)
+            l_count.append(0)
+            l_cdf_off.append(cur_cdf)
+            l_area.append(1.0)
+            l_tex.append(0)
+            l_env.append(False)
+            l_cone.append(0.0)
+            l_dirac.append(True)
+            l_ana.append(-1)
+            # Point::approximateRadiance = intensity.max / r^2
+            l_apx.append(("point", float(np.max(pw / (4.0 * np.pi))),
+                          ppos, _Z3, _Z3, _Z3, _Z3))
         point = PointLight(
-            pos=jnp.asarray(ppos, jnp.float32),
-            intensity=jnp.asarray(pw / (4.0 * np.pi), jnp.float32),
+            pos=jnp.asarray(np.asarray(pt_pos), jnp.float32),
+            intensity=jnp.asarray(np.asarray(pt_int), jnp.float32),
         )
-        point_index = len(l_offset)
-        l_offset.append(cur_off)
-        l_count.append(0)
-        l_cdf_off.append(cur_cdf)
-        l_area.append(1.0)
-        l_tex.append(0)
-        l_env.append(False)
-        l_cone.append(0.0)
-        l_dirac.append(True)
-        l_ana.append(-1)
-        # Point::approximateRadiance = intensity.max / r^2
-        l_apx.append(("point", float(np.max(pw / (4.0 * np.pi))),
-                      ppos, _Z3, _Z3, _Z3, _Z3))
 
     n_lights = len(l_offset)
     if not tri_idx_list:
@@ -782,6 +796,7 @@ def flatten_scene(doc: SceneDocument) -> FlatScene:
         tri_idx=jnp.asarray(np.concatenate(tri_idx_list)),
         cdf=jnp.asarray(np.concatenate(cdf_list)),
         ana_prim=jnp.asarray(np.asarray(l_ana or [-1], np.int32)),
+        pt_slot=jnp.asarray(np.asarray(l_pt or [-1], np.int32)),
         apx_avg=jnp.asarray(np.asarray(
             [a[1] for a in l_apx] or [0.0], np.float32)),
         apx_base=jnp.asarray(np.asarray(
