@@ -215,7 +215,7 @@ DEAD = jnp.int32(-1)
 
 def _phase(
     rows, o, d, tnear, best_t, best_p, bu, bv, active,
-    root, m, depth, any_hit, stop_n, max_rounds,
+    root, m, depth, any_hit, stop_n, max_rounds, state0=None,
 ):
     """Bitstack per-lane traversal.
 
@@ -259,20 +259,28 @@ def _phase(
     idz = 1.0 / jnp.where(dz == 0.0, 1e-30, dz)
     j8 = jnp.arange(8, dtype=jnp.int32)[:, None]  # slot index column
 
-    cur0 = jnp.where(active, jnp.int32(root), DEAD)
-    pend0 = jnp.full((N,), 0xFF, jnp.int32)
-    lvl0 = jnp.zeros((N,), jnp.int32)
-    pid0 = tuple(jnp.zeros((N,), jnp.int32) for _ in range(L))
-    pmask0 = tuple(jnp.zeros((N,), jnp.int32) for _ in range(L))
+    if state0 is None:
+        cur0 = jnp.where(active, jnp.int32(root), DEAD)
+        pend0 = jnp.full((N,), 0xFF, jnp.int32)
+        lvl0 = jnp.zeros((N,), jnp.int32)
+        pid0 = tuple(jnp.zeros((N,), jnp.int32) for _ in range(L))
+        pmask0 = tuple(jnp.zeros((N,), jnp.int32) for _ in range(L))
+        nc0 = tuple(jnp.full((N,), -1, jnp.int32) for _ in range(L))
+        nt0 = tuple(jnp.zeros((N,), jnp.float32) for _ in range(L))
+    else:
+        cur0, pend0, lvl0, pid0, pmask0, nc0, nt0 = state0
     best_t0 = best_t
     best_p0 = best_p
     bu0 = bu
     bv0 = bv
 
     def body(state):
-        rounds, cur, pend, lvl, pid, pmask, best_t, best_p, bu, bv = state
+        (rounds, cur, pend, lvl, pid, pmask, nc, nt,
+         best_t, best_p, bu, bv) = state
         pid = list(pid)
         pmask = list(pmask)
+        nc = list(nc)
+        nt = list(nt)
         live = cur >= 0
         rT = rows[:, jnp.clip(cur, 0, m - 1)]  # (K, N) THE gather
         is_leaf = rT[COL_FLAG] > 0.5
@@ -313,11 +321,23 @@ def _phase(
         child = jnp.sum(jnp.where(one, code, 0), axis=0)
         descend = node_on & (sel < 8)
         remaining = hitbits & ~jnp.left_shift(1, sel)
-        push = descend & (remaining != 0)
+        # second-nearest hit child: stored on the stack level so the NEXT pop
+        # descends to it directly instead of burning a round re-gathering the
+        # parent (mean 2.5 pops/ray on the bench scene, nearly all of which
+        # descend again — the direct pop removes that whole round class)
+        tj2 = jnp.where(h & ~one, blo, jnp.inf)
+        tsel2 = jnp.min(tj2, axis=0)
+        sel2 = jnp.min(jnp.where(h & ~one & (tj2 == tsel2), j8, 8), axis=0)
+        two = j8 == sel2
+        child2 = jnp.sum(jnp.where(two, code, 0), axis=0)
+        push = descend & (remaining != 0)  # remaining != 0 <=> sel2 < 8
+        remaining2 = remaining & ~jnp.left_shift(1, jnp.minimum(sel2, 7))
         for dd in range(L):
             w = push & (lvl == dd)
             pid[dd] = jnp.where(w, cur, pid[dd])
-            pmask[dd] = jnp.where(w, remaining, pmask[dd])
+            pmask[dd] = jnp.where(w, remaining2, pmask[dd])
+            nc[dd] = jnp.where(w, child2, nc[dd])
+            nt[dd] = jnp.where(w, tsel2, nt[dd])
         lvl = jnp.where(push, lvl + 1, lvl)
 
         # ---- leaf: 8 exact Moller-Trumbore tests from the row ----
@@ -371,13 +391,30 @@ def _phase(
         can = need_pop & (lvl > 0)
         top_c = pid[0]
         top_m = pmask[0]
+        top_nc = nc[0]
+        top_nt = nt[0]
         for dd in range(1, L):
-            s = (lvl - 1) == dd
-            top_c = jnp.where(s, pid[dd], top_c)
-            top_m = jnp.where(s, pmask[dd], top_m)
-        cur = jnp.where(need_pop, jnp.where(can, top_c, DEAD), cur)
-        pend = jnp.where(can, top_m, pend)
-        lvl = jnp.where(can, lvl - 1, lvl)
+            sl = (lvl - 1) == dd
+            top_c = jnp.where(sl, pid[dd], top_c)
+            top_m = jnp.where(sl, pmask[dd], top_m)
+            top_nc = jnp.where(sl, nc[dd], top_nc)
+            top_nt = jnp.where(sl, nt[dd], top_nt)
+        has_nc = can & (top_nc >= 0)
+        direct = has_nc & (top_nt < best_t)   # descend straight to the child
+        prune = has_nc & ~direct              # consume; re-pop next round (the
+        # current row re-runs idempotently: strict < best_t blocks re-updates)
+        parent = can & ~has_nc                # re-gather parent, test mask
+        cur = jnp.where(direct, top_nc,
+                        jnp.where(parent, top_c,
+                                  jnp.where(need_pop & ~can, DEAD, cur)))
+        pend = jnp.where(direct, 0xFF, jnp.where(parent, top_m, pend))
+        # consume the stored child; drop the level when nothing remains on it
+        consume = direct | prune
+        empty = consume & (top_m == 0)
+        for dd in range(L):
+            sl = (lvl - 1) == dd
+            nc[dd] = jnp.where(consume & sl, -1, nc[dd])
+        lvl = jnp.where(empty | parent, lvl - 1, lvl)
         if any_hit:
             cur = jnp.where(found, DEAD, cur)
         return (
@@ -387,6 +424,8 @@ def _phase(
             lvl,
             tuple(pid),
             tuple(pmask),
+            tuple(nc),
+            tuple(nt),
             best_t,
             best_p,
             bu,
@@ -397,9 +436,18 @@ def _phase(
         rounds, cur = state[0], state[1]
         return (jnp.sum(cur != DEAD) > stop_n) & (rounds < max_rounds)
 
+    def body_n(state):
+        # UNROLL rounds per while-loop iteration: the live-count reduction in
+        # `cond` serializes VPU -> scalar -> branch every round; grouping
+        # rounds amortizes that sync (dead lanes in the extra rounds are
+        # masked no-ops). Measured sweep on the bench chip: see module docs.
+        for _ in range(_UNROLL):
+            state = body(state)
+        return state
+
     state = jax.lax.while_loop(
         cond,
-        body,
+        body_n,
         (
             jnp.int32(0),
             cur0,
@@ -407,6 +455,8 @@ def _phase(
             lvl0,
             pid0,
             pmask0,
+            nc0,
+            nt0,
             best_t0,
             best_p0,
             bu0,
@@ -415,8 +465,10 @@ def _phase(
     )
     rounds = state[0]
     live = state[1] != DEAD
-    best_t, best_p, bu, bv = state[6], state[7], state[8], state[9]
-    return best_t, best_p, bu, bv, live, rounds
+    best_t, best_p, bu, bv = state[8], state[9], state[10], state[11]
+    walk = (state[1], state[2], state[3], state[4], state[5], state[6],
+            state[7])
+    return best_t, best_p, bu, bv, live, rounds, walk
 
 
 def _compact_indices(live, n_out):
@@ -433,8 +485,11 @@ def _compact_indices(live, n_out):
 # straggler compaction: a phase stops once live lanes fall under 1/PHASE_DIV
 # of its width; survivors re-gather into a width/PHASE_DIV buffer and RESTART
 # from the root pruned by their carried best_t. Two compactions, then drain.
-PHASE_DIV = 8
-MIN_PHASE = 4096
+import os as _os
+
+PHASE_DIV = int(_os.environ.get("TUNGSTEN_PHASE_DIV", "8"))
+MIN_PHASE = int(_os.environ.get("TUNGSTEN_MIN_PHASE", "4096"))
+_UNROLL = int(_os.environ.get("TUNGSTEN_TRAV_UNROLL", "1"))
 
 
 @functools.partial(
@@ -461,48 +516,61 @@ def _traverse(
     args = dict(root=root, m=m, depth=depth, any_hit=any_hit,
                 max_rounds=max_rounds)
     if N < 2 * MIN_PHASE:
-        best_t, best_p, bu, bv, _, rounds = _phase(
+        best_t, best_p, bu, bv, _, rounds, _ = _phase(
             rows, o, d, tnear, best_t, best_p, bu, bv, active,
             stop_n=0, **args)
         return best_t, best_p, bu, bv, rounds
 
-    n1 = max(N // PHASE_DIV, MIN_PHASE)
-    n2 = max(n1 // PHASE_DIV, MIN_PHASE // 8)
+    # geometric phase schedule: run until <= width/PHASE_DIV stragglers
+    # remain, compact to that width, repeat until the floor, then drain
+    # the final (smallest) width completely. Compaction carries the WALK
+    # STATE (cursor, pending mask, bitstack) through the gather, so a
+    # compacted lane RESUMES mid-walk instead of restarting from the root
+    # (the old restart re-descended and re-tested on every phase change).
+    targets = []
+    w = N
+    while w > MIN_PHASE:
+        w = max(w // PHASE_DIV, MIN_PHASE // 8)
+        targets.append(w)
 
-    # phase 1: all lanes, stop when <= n1 stragglers remain
-    best_t, best_p, bu, bv, live, r1 = _phase(
-        rows, o, d, tnear, best_t, best_p, bu, bv, active,
-        stop_n=n1, **args)
-
-    # compact 1 -> (n1,) buffers, stop when <= n2 stragglers remain
-    l1 = _compact_indices(live, n1)  # original lane id per slot, -1 pad
-    s1 = jnp.maximum(l1, 0)
-    o1, d1, tn1 = o[s1], d[s1], tnear[s1]
-    bt1, bp1, bu1, bv1, live1, r2 = _phase(
-        rows, o1, d1, tn1, best_t[s1], best_p[s1], bu[s1], bv[s1],
-        l1 >= 0, stop_n=n2, **args)
-    # NB: negative scatter indices WRAP numpy-style before the bounds check,
-    # so -1 pads must be remapped to a non-negative OOB sentinel to drop
-    w1 = jnp.where(l1 >= 0, l1, N)
-    best_t = best_t.at[w1].set(bt1, mode="drop")
-    best_p = best_p.at[w1].set(bp1, mode="drop")
-    bu = bu.at[w1].set(bu1, mode="drop")
-    bv = bv.at[w1].set(bv1, mode="drop")
-
-    # compact 2 -> (n2,) buffers, drain completely
-    c2 = _compact_indices(live1, n2)  # slot in the n1 buffer, -1 pad
-    s2 = jnp.maximum(c2, 0)
-    l2 = jnp.where(c2 >= 0, l1[s2], -1)  # compose to original lane ids
-    o2, d2, tn2 = o1[s2], d1[s2], tn1[s2]
-    bt2, bp2, bu2, bv2, _, r3 = _phase(
-        rows, o2, d2, tn2, bt1[s2], bp1[s2], bu1[s2], bv1[s2],
-        l2 >= 0, stop_n=0, **args)
-    w2 = jnp.where(l2 >= 0, l2, N)
-    best_t = best_t.at[w2].set(bt2, mode="drop")
-    best_p = best_p.at[w2].set(bp2, mode="drop")
-    bu = bu.at[w2].set(bu2, mode="drop")
-    bv = bv.at[w2].set(bv2, mode="drop")
-    return best_t, best_p, bu, bv, r1 + r2 + r3
+    rounds = jnp.int32(0)
+    # current working set: lane ids into the ORIGINAL arrays (-1 = pad)
+    cur_ids = None
+    oc, dc, tnc = o, d, tnear
+    btc, bpc, buc, bvc = best_t, best_p, bu, bv
+    act = active
+    walk = None
+    for nw in targets + [0]:  # stop targets; 0 = final full drain
+        btc, bpc, buc, bvc, live, r, walk = _phase(
+            rows, oc, dc, tnc, btc, bpc, buc, bvc, act,
+            stop_n=nw, state0=walk, **args)
+        rounds = rounds + r
+        if cur_ids is None:
+            best_t, best_p, bu, bv = btc, bpc, buc, bvc
+        else:
+            # NB: negative scatter indices WRAP numpy-style before the
+            # bounds check — remap -1 pads to an OOB sentinel to drop
+            wids = jnp.where(cur_ids >= 0, cur_ids, N)
+            best_t = best_t.at[wids].set(btc, mode="drop")
+            best_p = best_p.at[wids].set(bpc, mode="drop")
+            bu = bu.at[wids].set(buc, mode="drop")
+            bv = bv.at[wids].set(bvc, mode="drop")
+        if nw == 0:
+            break
+        c = _compact_indices(live, nw)  # slot in current buffers, -1 pad
+        sc = jnp.maximum(c, 0)
+        cur_ids = (jnp.where(c >= 0, cur_ids[sc], -1)
+                   if cur_ids is not None else c)
+        oc, dc, tnc = oc[sc], dc[sc], tnc[sc]
+        btc, bpc, buc, bvc = btc[sc], bpc[sc], buc[sc], bvc[sc]
+        act = c >= 0
+        wc, wp, wl, wpid, wpm, wnc, wnt = walk
+        walk = (
+            jnp.where(act, wc[sc], DEAD), wp[sc], wl[sc],
+            tuple(a[sc] for a in wpid), tuple(a[sc] for a in wpm),
+            tuple(a[sc] for a in wnc), tuple(a[sc] for a in wnt),
+        )
+    return best_t, best_p, bu, bv, rounds
 
 
 def intersect_bvh_gather(pack: GatherBvhPack, o, d, tnear, tfar) -> Hit:
