@@ -82,10 +82,10 @@ def test_cap_cone_gating():
     rng = np.random.default_rng(0)
     d = rng.normal(size=(n, 3))
     d /= np.linalg.norm(d, axis=1, keepdims=True)
-    rad = np.asarray(L.cap_radiance(scene, jnp.asarray(d, jnp.float32)))
-    in_cone = d @ np.asarray(scene.cap.dir) >= float(scene.cap.cos_angle)
+    rad = np.asarray(L.infinite_radiance(scene, jnp.asarray(d, jnp.float32)))
+    in_cone = d @ np.asarray(scene.cap.dir[0]) >= float(scene.cap.cos_angle[0])
     assert np.all((rad.max(-1) > 0) == in_cone)
     # MC integral of pdf over the sphere ~= 1
-    pdf = np.asarray(L.cap_direct_pdf(scene, jnp.asarray(d, jnp.float32)))
+    pdf = np.asarray(L.cap_direct_pdf_k(scene, jnp.asarray(d, jnp.float32), 0))
     integral = pdf.mean() * 4.0 * np.pi
     assert abs(integral - 1.0) < 0.15, integral

@@ -288,27 +288,17 @@ def _nee(scene, sampler, p, ng, frame, wi, mat_id, uv, lobes, medium=None,
 
     # --- strategy 1: light sampling -------------------------------------
     ls_area = L.sample_area_direct(scene, li, p, u_tri, u_point)
-    if meta.has_env and meta.env_light_index >= 0:
-        ls_env = L.sample_env_direct(scene, u_point)
-        ls = L.LightSample(
-            d=vo.where3(is_env_choice, ls_env.d, ls_area.d),
-            dist=jnp.where(is_env_choice, ls_env.dist, ls_area.dist),
-            pdf=jnp.where(is_env_choice, ls_env.pdf, ls_area.pdf),
-            radiance=vo.where3(is_env_choice, ls_env.radiance, ls_area.radiance),
-            valid=jnp.where(is_env_choice, ls_env.valid, ls_area.valid),
-        )
+    if any(i >= 0 for i in meta.env_light_idx):
+        ls_env = L.sample_env_direct(scene, li, u_point)
+        ls = L._merge_ls(is_env_choice, ls_env, ls_area)
     else:
         ls = ls_area
-    if meta.has_cap and meta.cap_light_index >= 0:
-        is_cap_choice = li == meta.cap_light_index
-        ls_cap = L.sample_cap_direct(scene, u_point)
-        ls = L.LightSample(
-            d=vo.where3(is_cap_choice, ls_cap.d, ls.d),
-            dist=jnp.where(is_cap_choice, ls_cap.dist, ls.dist),
-            pdf=jnp.where(is_cap_choice, ls_cap.pdf, ls.pdf),
-            radiance=vo.where3(is_cap_choice, ls_cap.radiance, ls.radiance),
-            valid=jnp.where(is_cap_choice, ls_cap.valid, ls.valid),
-        )
+    if any(i >= 0 for i in meta.cap_light_idx):
+        is_cap_choice = scene.lights.cap_slot[li] >= 0
+        ls_cap = L.sample_cap_direct(scene, li, u_point)
+        ls = L._merge_ls(is_cap_choice, ls_cap, ls)
+    else:
+        is_cap_choice = jnp.zeros_like(is_env_choice)
     if meta.point_light_index >= 0:
         is_point_choice = scene.lights.pt_slot[li] >= 0
         ls_pt = L.sample_point_direct(scene, li, p)
@@ -391,34 +381,21 @@ def _nee(scene, sampler, p, ng, frame, wi, mat_id, uv, lobes, medium=None,
     match_area = (~is_env_choice) & (hit_light == li) & front & (h.prim >= 0)
     pdf_area = L.area_direct_pdf(scene, tri_hit, p, hp, wo_w)
 
-    cap_on = meta.has_cap and meta.cap_light_index >= 0
-    cap_wins = meta.cap_after_env or not meta.has_env
-    if meta.has_env and meta.env_light_index >= 0:
-        e_env = L.env_radiance(scene, wo_w)
-        match_env = is_env_choice & (h.prim < 0)
-        if cap_on and cap_wins:
-            # the cap is the last-listed infinite primitive: it wins inside
-            # its cone, so the env cannot be "hit" there (TraceableScene
-            # intersectInfinites order semantics)
-            match_env = match_env & ~L.cap_in_cone(scene, wo_w)
-        pdf_env = L.env_direct_pdf(scene, wo_w)
-        e = jnp.where(match_env[..., None], e_env, jnp.where(match_area[..., None], e_area, 0.0))
-        light_pdf = jnp.where(match_env, pdf_env, pdf_area)
-        match = match_env | match_area
+    if L.any_infinite_sampled(meta):
+        # bsdf/phase-strategy match for infinite lights: the escaping ray
+        # 'hits' the LAST listed infinite that intersects it, and the
+        # strategy counts only when that winner IS the chosen light
+        # (estimateDirect: info.primitive == light)
+        wl, e_inf, pdf_inf = L.escape_winner(scene, wo_w)
+        match_inf = (h.prim < 0) & (li == wl)
+        e = jnp.where(match_inf[..., None], e_inf,
+                      jnp.where(match_area[..., None], e_area, 0.0))
+        light_pdf = jnp.where(match_inf, pdf_inf, pdf_area)
+        match = match_inf | match_area
     else:
         e = jnp.where(match_area[..., None], e_area, 0.0)
         light_pdf = pdf_area
         match = match_area
-    if cap_on:
-        in_cone = L.cap_in_cone(scene, wo_w)
-        match_cap = is_cap_choice & (h.prim < 0) & in_cone
-        if not cap_wins:
-            # cap listed before the env: bsdf rays always see the env there,
-            # so the bsdf strategy never matches the cap
-            match_cap = match_cap & False
-        e = jnp.where(match_cap[..., None], jnp.broadcast_to(scene.cap.radiance, e.shape), e)
-        light_pdf = jnp.where(match_cap, L.cap_direct_pdf(scene, wo_w), light_pdf)
-        match = match | match_cap
 
     mis_b = warps.power_heuristic(bs.pdf, light_pdf)
     contrib_b = e * bs.weight * mis_b[..., None] * tr_b
@@ -451,27 +428,17 @@ def _volume_nee(scene, sampler, p, d_in, medium, ptype, g):
     u_tri, sampler = sampler.next_1d()
 
     ls_area = L.sample_area_direct(scene, li, p, u_tri, u_point)
-    if meta.has_env and meta.env_light_index >= 0:
-        ls_env = L.sample_env_direct(scene, u_point)
-        ls = L.LightSample(
-            d=vo.where3(is_env_choice, ls_env.d, ls_area.d),
-            dist=jnp.where(is_env_choice, ls_env.dist, ls_area.dist),
-            pdf=jnp.where(is_env_choice, ls_env.pdf, ls_area.pdf),
-            radiance=vo.where3(is_env_choice, ls_env.radiance, ls_area.radiance),
-            valid=jnp.where(is_env_choice, ls_env.valid, ls_area.valid),
-        )
+    if any(i >= 0 for i in meta.env_light_idx):
+        ls_env = L.sample_env_direct(scene, li, u_point)
+        ls = L._merge_ls(is_env_choice, ls_env, ls_area)
     else:
         ls = ls_area
-    if meta.has_cap and meta.cap_light_index >= 0:
-        is_cap_choice = li == meta.cap_light_index
-        ls_cap = L.sample_cap_direct(scene, u_point)
-        ls = L.LightSample(
-            d=vo.where3(is_cap_choice, ls_cap.d, ls.d),
-            dist=jnp.where(is_cap_choice, ls_cap.dist, ls.dist),
-            pdf=jnp.where(is_cap_choice, ls_cap.pdf, ls.pdf),
-            radiance=vo.where3(is_cap_choice, ls_cap.radiance, ls.radiance),
-            valid=jnp.where(is_cap_choice, ls_cap.valid, ls.valid),
-        )
+    if any(i >= 0 for i in meta.cap_light_idx):
+        is_cap_choice = scene.lights.cap_slot[li] >= 0
+        ls_cap = L.sample_cap_direct(scene, li, u_point)
+        ls = L._merge_ls(is_cap_choice, ls_cap, ls)
+    else:
+        is_cap_choice = jnp.zeros_like(is_env_choice)
     if meta.point_light_index >= 0:
         is_point_choice = scene.lights.pt_slot[li] >= 0
         ls_pt = L.sample_point_direct(scene, li, p)
@@ -524,34 +491,21 @@ def _volume_nee(scene, sampler, p, d_in, medium, ptype, g):
     e_area = eval_texture(scene.textures, scene.lights.tex[li], uvh)
     match_area = (~is_env_choice) & (hit_light == li) & front & (h.prim >= 0)
     pdf_area = L.area_direct_pdf(scene, tri_hit, p, hp, w_ph)
-    cap_on = meta.has_cap and meta.cap_light_index >= 0
-    cap_wins = meta.cap_after_env or not meta.has_env
-    if meta.has_env and meta.env_light_index >= 0:
-        e_env = L.env_radiance(scene, w_ph)
-        match_env = is_env_choice & (h.prim < 0)
-        if cap_on and cap_wins:
-            # the cap is the last-listed infinite primitive: it wins inside
-            # its cone, so the env cannot be "hit" there (TraceableScene
-            # intersectInfinites order semantics)
-            match_env = match_env & ~L.cap_in_cone(scene, w_ph)
-        pdf_env = L.env_direct_pdf(scene, w_ph)
-        e = jnp.where(match_env[..., None], e_env, jnp.where(match_area[..., None], e_area, 0.0))
-        light_pdf = jnp.where(match_env, pdf_env, pdf_area)
-        match = match_env | match_area
+    if L.any_infinite_sampled(meta):
+        # bsdf/phase-strategy match for infinite lights: the escaping ray
+        # 'hits' the LAST listed infinite that intersects it, and the
+        # strategy counts only when that winner IS the chosen light
+        # (estimateDirect: info.primitive == light)
+        wl, e_inf, pdf_inf = L.escape_winner(scene, w_ph)
+        match_inf = (h.prim < 0) & (li == wl)
+        e = jnp.where(match_inf[..., None], e_inf,
+                      jnp.where(match_area[..., None], e_area, 0.0))
+        light_pdf = jnp.where(match_inf, pdf_inf, pdf_area)
+        match = match_inf | match_area
     else:
         e = jnp.where(match_area[..., None], e_area, 0.0)
         light_pdf = pdf_area
         match = match_area
-    if cap_on:
-        in_cone = L.cap_in_cone(scene, w_ph)
-        match_cap = is_cap_choice & (h.prim < 0) & in_cone
-        if not cap_wins:
-            # cap listed before the env: bsdf rays always see the env there,
-            # so the bsdf strategy never matches the cap
-            match_cap = match_cap & False
-        e = jnp.where(match_cap[..., None], jnp.broadcast_to(scene.cap.radiance, e.shape), e)
-        light_pdf = jnp.where(match_cap, L.cap_direct_pdf(scene, w_ph), light_pdf)
-        match = match | match_cap
 
     mis_b = warps.power_heuristic(pdf_ph, light_pdf)
     contrib_b = e * w2[n:] * mis_b[..., None]
@@ -621,27 +575,15 @@ def _unified_nee_prepare(scene, sampler, vp, ng, frame, wi, mat_id, uv, lobes,
     u_point, sampler = sampler.next_2d()
     u_tri, sampler = sampler.next_1d()
     ls_area = L.sample_area_direct(scene, li, vp, u_tri, u_point)
-    if meta.has_env and meta.env_light_index >= 0:
-        ls_env = L.sample_env_direct(scene, u_point)
-        ls = L.LightSample(
-            d=vo.where3(is_env_choice, ls_env.d, ls_area.d),
-            dist=jnp.where(is_env_choice, ls_env.dist, ls_area.dist),
-            pdf=jnp.where(is_env_choice, ls_env.pdf, ls_area.pdf),
-            radiance=vo.where3(is_env_choice, ls_env.radiance, ls_area.radiance),
-            valid=jnp.where(is_env_choice, ls_env.valid, ls_area.valid),
-        )
+    if any(i >= 0 for i in meta.env_light_idx):
+        ls_env = L.sample_env_direct(scene, li, u_point)
+        ls = L._merge_ls(is_env_choice, ls_env, ls_area)
     else:
         ls = ls_area
-    if meta.has_cap and meta.cap_light_index >= 0:
-        is_cap_choice = li == meta.cap_light_index
-        ls_cap = L.sample_cap_direct(scene, u_point)
-        ls = L.LightSample(
-            d=vo.where3(is_cap_choice, ls_cap.d, ls.d),
-            dist=jnp.where(is_cap_choice, ls_cap.dist, ls.dist),
-            pdf=jnp.where(is_cap_choice, ls_cap.pdf, ls.pdf),
-            radiance=vo.where3(is_cap_choice, ls_cap.radiance, ls.radiance),
-            valid=jnp.where(is_cap_choice, ls_cap.valid, ls.valid),
-        )
+    if any(i >= 0 for i in meta.cap_light_idx):
+        is_cap_choice = scene.lights.cap_slot[li] >= 0
+        ls_cap = L.sample_cap_direct(scene, li, u_point)
+        ls = L._merge_ls(is_cap_choice, ls_cap, ls)
     if meta.point_light_index >= 0:
         is_point_choice = scene.lights.pt_slot[li] >= 0
         ls_pt = L.sample_point_direct(scene, li, vp)
@@ -741,34 +683,21 @@ def _unified_nee_finish(scene, data, blocked, h_mis, medium_l, medium_b,
     e_area = eval_texture(scene.textures, scene.lights.tex[li], uvh)
     match_area = (~is_env_choice) & (hit_light == li) & front & (h.prim >= 0)
     pdf_area = L.area_direct_pdf(scene, tri_hit, vp, hp, wo_mis)
-    cap_on = meta.has_cap and meta.cap_light_index >= 0
-    cap_wins = meta.cap_after_env or not meta.has_env
-    if meta.has_env and meta.env_light_index >= 0:
-        e_env = L.env_radiance(scene, wo_mis)
-        match_env = is_env_choice & (h.prim < 0)
-        if cap_on and cap_wins:
-            # the cap is the last-listed infinite primitive: it wins inside
-            # its cone, so the env cannot be "hit" there (TraceableScene
-            # intersectInfinites order semantics)
-            match_env = match_env & ~L.cap_in_cone(scene, wo_mis)
-        pdf_env = L.env_direct_pdf(scene, wo_mis)
-        e = jnp.where(match_env[..., None], e_env, jnp.where(match_area[..., None], e_area, 0.0))
-        light_pdf = jnp.where(match_env, pdf_env, pdf_area)
-        match = match_env | match_area
+    if L.any_infinite_sampled(meta):
+        # bsdf/phase-strategy match for infinite lights: the escaping ray
+        # 'hits' the LAST listed infinite that intersects it, and the
+        # strategy counts only when that winner IS the chosen light
+        # (estimateDirect: info.primitive == light)
+        wl, e_inf, pdf_inf = L.escape_winner(scene, wo_mis)
+        match_inf = (h.prim < 0) & (li == wl)
+        e = jnp.where(match_inf[..., None], e_inf,
+                      jnp.where(match_area[..., None], e_area, 0.0))
+        light_pdf = jnp.where(match_inf, pdf_inf, pdf_area)
+        match = match_inf | match_area
     else:
         e = jnp.where(match_area[..., None], e_area, 0.0)
         light_pdf = pdf_area
         match = match_area
-    if cap_on:
-        in_cone = L.cap_in_cone(scene, wo_mis)
-        match_cap = is_cap_choice & (h.prim < 0) & in_cone
-        if not cap_wins:
-            # cap listed before the env: bsdf rays always see the env there,
-            # so the bsdf strategy never matches the cap
-            match_cap = match_cap & False
-        e = jnp.where(match_cap[..., None], jnp.broadcast_to(scene.cap.radiance, e.shape), e)
-        light_pdf = jnp.where(match_cap, L.cap_direct_pdf(scene, wo_mis), light_pdf)
-        match = match | match_cap
 
     mis_b = warps.power_heuristic(data["pdf_mis"], light_pdf)
     contrib_b = e * data["w_mis"] * mis_b[..., None]
@@ -1198,25 +1127,13 @@ def _choose_and_sample_light(scene, sampler, p):
     u_point, sampler = sampler.next_2d()
     u_tri, sampler = sampler.next_1d()
     ls = L.sample_area_direct(scene, li, p, u_tri, u_point)
-    if meta.has_env and meta.env_light_index >= 0:
-        ls_env = L.sample_env_direct(scene, u_point)
-        ls = L.LightSample(
-            d=vo.where3(is_env_choice, ls_env.d, ls.d),
-            dist=jnp.where(is_env_choice, ls_env.dist, ls.dist),
-            pdf=jnp.where(is_env_choice, ls_env.pdf, ls.pdf),
-            radiance=vo.where3(is_env_choice, ls_env.radiance, ls.radiance),
-            valid=jnp.where(is_env_choice, ls_env.valid, ls.valid),
-        )
-    if meta.has_cap and meta.cap_light_index >= 0:
-        is_cap_choice = li == meta.cap_light_index
-        ls_cap = L.sample_cap_direct(scene, u_point)
-        ls = L.LightSample(
-            d=vo.where3(is_cap_choice, ls_cap.d, ls.d),
-            dist=jnp.where(is_cap_choice, ls_cap.dist, ls.dist),
-            pdf=jnp.where(is_cap_choice, ls_cap.pdf, ls.pdf),
-            radiance=vo.where3(is_cap_choice, ls_cap.radiance, ls.radiance),
-            valid=jnp.where(is_cap_choice, ls_cap.valid, ls.valid),
-        )
+    if any(i >= 0 for i in meta.env_light_idx):
+        ls_env = L.sample_env_direct(scene, li, u_point)
+        ls = L._merge_ls(is_env_choice, ls_env, ls)
+    if any(i >= 0 for i in meta.cap_light_idx):
+        is_cap_choice = scene.lights.cap_slot[li] >= 0
+        ls_cap = L.sample_cap_direct(scene, li, u_point)
+        ls = L._merge_ls(is_cap_choice, ls_cap, ls)
     if meta.point_light_index >= 0:
         is_point_choice = scene.lights.pt_slot[li] >= 0
         ls_pt = L.sample_point_direct(scene, li, p)

@@ -52,16 +52,16 @@ def uv_to_direction(env, uv):
 
 
 def env_radiance(scene, d):
-    """Environment emission for escaped rays (evalDirect of the env prim)."""
+    """Escape-winner env emission (evalDirect of the LAST env primitive —
+    it masks every earlier env for all directions)."""
     uv, _ = direction_to_uv(scene.env, d)
     return eval_texture(scene.textures, jnp.broadcast_to(scene.env.tex, d.shape[:-1]), uv)
 
 
-def env_direct_pdf(scene, d):
-    """Solid-angle pdf of env sampleDirect for direction d."""
-    if scene.meta.env_is_constant:
+def _env_direct_pdf_one(scene, env, is_const, d):
+    """Solid-angle pdf of one env's sampleDirect for direction d."""
+    if is_const:
         return jnp.full(d.shape[:-1], warps.INV_FOUR_PI)
-    env = scene.env
     h, w = env.dist.shape
     uv, sin_theta = direction_to_uv(env, d)
     x = jnp.clip((uv[..., 0] * w).astype(jnp.int32), 0, w - 1)
@@ -72,12 +72,17 @@ def env_direct_pdf(scene, d):
     )
 
 
-def sample_env_direct(scene, u2) -> LightSample:
-    env = scene.env
+def env_direct_pdf(scene, d):
+    """Solid-angle pdf of the escape-winner env's sampleDirect."""
+    return _env_direct_pdf_one(scene, scene.env, scene.meta.env_is_constant, d)
+
+
+def _sample_env_direct_one(scene, env, is_const, u2) -> LightSample:
     n = u2.shape[0]
-    if scene.meta.env_is_constant:
+    if is_const:
         d = warps.uniform_sphere(u2)
-        rad = env_radiance(scene, d)
+        uv, _ = direction_to_uv(env, d)
+        rad = eval_texture(scene.textures, jnp.broadcast_to(env.tex, (n,)), uv)
         return LightSample(
             d=d,
             dist=jnp.full((n,), INF),
@@ -101,42 +106,66 @@ def sample_env_direct(scene, u2) -> LightSample:
     )
 
 
-def cap_in_cone(scene, d):
-    """Rays inside the cap's emission cone (InfiniteSphereCap.cpp:60-64)."""
+def _merge_ls(sel, a: LightSample, b: LightSample) -> LightSample:
+    return LightSample(
+        d=vo.where3(sel, a.d, b.d),
+        dist=jnp.where(sel, a.dist, b.dist),
+        pdf=jnp.where(sel, a.pdf, b.pdf),
+        radiance=vo.where3(sel, a.radiance, b.radiance),
+        valid=jnp.where(sel, a.valid, b.valid),
+    )
+
+
+def sample_env_direct(scene, li, u2) -> LightSample:
+    """sampleDirect of the env light chosen at light index li (N,): each env
+    primitive is its own light row; the slot picks its EnvLight entry."""
+    meta = scene.meta
+    envs = scene.envs if meta.n_envs else (scene.env,)
+    consts = meta.env_const if meta.n_envs else (meta.env_is_constant,)
+    ls = _sample_env_direct_one(scene, envs[0], consts[0], u2)
+    if len(envs) > 1:
+        slot = scene.lights.env_slot[li]
+        for e in range(1, len(envs)):
+            ls_e = _sample_env_direct_one(scene, envs[e], consts[e], u2)
+            ls = _merge_ls(slot == e, ls_e, ls)
+    return ls
+
+
+def cap_in_cone_k(scene, d, k: int):
+    """Rays inside cap k's emission cone (InfiniteSphereCap.cpp:60-64)."""
     cap = scene.cap
-    return vo.dot(d, jnp.broadcast_to(cap.dir, d.shape)) >= cap.cos_angle
+    return vo.dot(d, jnp.broadcast_to(cap.dir[k], d.shape)) >= cap.cos_angle[k]
 
 
-def cap_radiance(scene, d):
-    """Constant cap emission where d is inside the cone, else 0."""
-    cap = scene.cap
-    return jnp.where(cap_in_cone(scene, d)[..., None], cap.radiance, 0.0)
+def cap_direct_pdf_k(scene, d, k: int):
+    """Uniform spherical-cap solid-angle pdf of cap k
+    (SampleWarp::uniformSphericalCapPdf)."""
+    pdf = warps.INV_TWO_PI / jnp.maximum(1.0 - scene.cap.cos_angle[k], 1e-9)
+    return jnp.where(cap_in_cone_k(scene, d, k), pdf, 0.0)
 
 
-def cap_direct_pdf(scene, d):
-    """Uniform spherical-cap solid-angle pdf (SampleWarp::uniformSphericalCapPdf)."""
-    cap = scene.cap
-    pdf = warps.INV_TWO_PI / jnp.maximum(1.0 - cap.cos_angle, 1e-9)
-    return jnp.where(cap_in_cone(scene, d), pdf, 0.0)
-
-
-def sample_cap_direct(scene, u2) -> LightSample:
-    """sampleDirect of the sphere cap (InfiniteSphereCap.cpp:131-140):
-    uniform direction in the cone around cap.dir, dist = inf."""
+def sample_cap_direct(scene, li, u2) -> LightSample:
+    """sampleDirect of the cap light chosen at light index li (N,)
+    (InfiniteSphereCap.cpp:131-140): uniform direction in the cone around
+    its axis, dist = inf. Lanes whose li is not a cap return garbage
+    (callers gate on lights.cap_slot[li] >= 0)."""
     cap = scene.cap
     n = u2.shape[0]
-    cos_t = cap.cos_angle + u2[..., 0] * (1.0 - cap.cos_angle)
+    slot = jnp.maximum(scene.lights.cap_slot[li], 0)
+    cdir = cap.dir[slot]  # (N, 3)
+    ccos = cap.cos_angle[slot]  # (N,)
+    cos_t = ccos + u2[..., 0] * (1.0 - ccos)
     sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
     phi = u2[..., 1] * (2.0 * jnp.pi)
     local = jnp.stack([jnp.cos(phi) * sin_t, jnp.sin(phi) * sin_t, cos_t], axis=-1)
-    t, b = vo.tangent_frame(jnp.broadcast_to(cap.dir, (n, 3)))
-    d = vo.to_global(t, b, jnp.broadcast_to(cap.dir, (n, 3)), local)
-    pdf = warps.INV_TWO_PI / jnp.maximum(1.0 - cap.cos_angle, 1e-9)
+    t, b = vo.tangent_frame(cdir)
+    d = vo.to_global(t, b, cdir, local)
+    pdf = warps.INV_TWO_PI / jnp.maximum(1.0 - ccos, 1e-9)
     return LightSample(
         d=d,
         dist=jnp.full((n,), INF),
-        pdf=jnp.full((n,), pdf),
-        radiance=jnp.broadcast_to(cap.radiance, (n, 3)),
+        pdf=pdf,
+        radiance=cap.radiance[slot],
         valid=jnp.ones((n,), bool),
     )
 
@@ -144,14 +173,14 @@ def sample_cap_direct(scene, u2) -> LightSample:
 def infinite_radiance(scene, d):
     """Emission seen by an escaped ray: every infinite primitive is tested and
     the LAST one in scene order that intersects wins (TraceableScene.hpp:194-209
-    overwrites `data` in list order); a cap only intersects inside its cone."""
+    overwrites `data` in list order); a cap only intersects inside its cone.
+    meta.esc_caps holds exactly the caps listed after the last env, in
+    ascending primitive order, so iterating with overwrite reproduces it."""
     meta = scene.meta
     rad = env_radiance(scene, d) if meta.has_env else jnp.zeros(d.shape[:-1] + (3,))
-    if meta.has_cap:
-        in_cone = cap_in_cone(scene, d)
-        if meta.cap_after_env or not meta.has_env:
-            rad = jnp.where(in_cone[..., None], scene.cap.radiance, rad)
-        # cap listed before the env/skydome: the env overwrites it everywhere
+    for k in meta.esc_caps:
+        rad = jnp.where(cap_in_cone_k(scene, d, k)[..., None],
+                        jnp.broadcast_to(scene.cap.radiance[k], rad.shape), rad)
     return rad
 
 
@@ -164,12 +193,24 @@ def infinite_needs_escape_add(scene, d, was_specular):
         return jnp.ones(d.shape[:-1], bool)
     env_unsampled = meta.has_env and meta.env_light_index < 0
     winner_unsampled = jnp.full(d.shape[:-1], env_unsampled)
-    if meta.has_cap and (meta.cap_after_env or not meta.has_env):
-        cap_unsampled = meta.cap_light_index < 0
+    for k in meta.esc_caps:
+        cap_unsampled = _cap_li(meta, k) < 0
         winner_unsampled = jnp.where(
-            cap_in_cone(scene, d), cap_unsampled, winner_unsampled
+            cap_in_cone_k(scene, d, k), cap_unsampled, winner_unsampled
         )
     return was_specular | winner_unsampled
+
+
+def _cap_li(meta, k: int) -> int:
+    """Light index of cap slot k (-1 when unsamplable)."""
+    return meta.cap_light_idx[k] if k < len(meta.cap_light_idx) else -1
+
+
+def any_infinite_sampled(meta) -> bool:
+    """True when some escape-winning infinite light has a light row (so the
+    bsdf strategy can match it and needs the winner radiance/pdf)."""
+    return any(i >= 0 for i in meta.env_light_idx) or any(
+        _cap_li(meta, k) >= 0 for k in meta.esc_caps)
 
 
 def infinite_winner_pdf(scene, d):
@@ -181,14 +222,45 @@ def infinite_winner_pdf(scene, d):
     pdf = jnp.zeros(d.shape[:-1])
     if meta.has_env and meta.env_light_index >= 0:
         pdf = env_direct_pdf(scene, d)
-    if meta.has_cap and (meta.cap_after_env or not meta.has_env):
+    for k in meta.esc_caps:
         cap_pdf = (
-            cap_direct_pdf(scene, d)
-            if meta.cap_light_index >= 0
+            cap_direct_pdf_k(scene, d, k)
+            if _cap_li(meta, k) >= 0
             else jnp.zeros(d.shape[:-1])
         )
-        pdf = jnp.where(cap_in_cone(scene, d), cap_pdf, pdf)
+        pdf = jnp.where(cap_in_cone_k(scene, d, k), cap_pdf, pdf)
     return pdf
+
+
+def escape_winner(scene, d):
+    """(winner light index, radiance, direct pdf) of the infinite primitive
+    an escaping ray 'hits' — the LAST listed infinite that intersects d
+    (TraceableScene.hpp:194-209). The light index is -2 where nothing
+    intersects or the winner is unsamplable, so `li == wl` is the exact
+    bsdf-strategy match test of estimateDirect (the intersected primitive
+    must BE the chosen light)."""
+    meta = scene.meta
+    shp = d.shape[:-1]
+    wl = jnp.full(shp, jnp.int32(-2))
+    e = jnp.zeros(shp + (3,))
+    pdf = jnp.zeros(shp)
+    if meta.has_env:
+        wl = jnp.full(
+            shp,
+            jnp.int32(meta.env_light_index if meta.env_light_index >= 0 else -2),
+        )
+        e = env_radiance(scene, d)
+        if meta.env_light_index >= 0:
+            pdf = env_direct_pdf(scene, d)
+    for k in meta.esc_caps:
+        ic = cap_in_cone_k(scene, d, k)
+        li_k = _cap_li(meta, k)
+        wl = jnp.where(ic, jnp.int32(li_k if li_k >= 0 else -2), wl)
+        e = jnp.where(ic[..., None],
+                      jnp.broadcast_to(scene.cap.radiance[k], e.shape), e)
+        pdf = jnp.where(
+            ic, cap_direct_pdf_k(scene, d, k) if li_k >= 0 else 0.0, pdf)
+    return wl, e, pdf
 
 
 def _quad_solid_angle(p, base, e0, e1):
@@ -286,12 +358,9 @@ def infinite_winner_choice_pdf(scene, d, p):
     """chooseLight(p) probability of the WINNING infinite light for escape
     direction d (pairs with infinite_winner_pdf for MIS)."""
     meta = scene.meta
-    nl = max(meta.n_lights, 1)
-    env_i = max(meta.env_light_index, 0)
-    cap_i = max(meta.cap_light_index, 0)
-    wid = jnp.full(d.shape[:-1], env_i, jnp.int32)
-    if meta.has_cap and (meta.cap_after_env or not meta.has_env):
-        wid = jnp.where(cap_in_cone(scene, d), cap_i, wid)
+    wid = jnp.full(d.shape[:-1], max(meta.env_light_index, 0), jnp.int32)
+    for k in meta.esc_caps:
+        wid = jnp.where(cap_in_cone_k(scene, d, k), max(_cap_li(meta, k), 0), wid)
     return light_choice_pdf(scene, wid, p)
 
 

@@ -59,6 +59,8 @@ class LightTable:
     cdf: jnp.ndarray  # (LT + L,)
     ana_prim: jnp.ndarray = None  # (L,) analytic prim index, -1 = triangles
     pt_slot: jnp.ndarray = None  # (L,) PointLight row, -1 = not a point light
+    env_slot: jnp.ndarray = None  # (L,) FlatScene.envs slot, -1 = not an env
+    cap_slot: jnp.ndarray = None  # (L,) CapLight row, -1 = not a cap light
     # approximateRadiance geometry (TraceBase::chooseLight weighting):
     apx_avg: jnp.ndarray = None  # (L,) emission average().max() / const value
     apx_base: jnp.ndarray = None  # (L, 3) quad base / sphere+disk center / point pos
@@ -82,12 +84,14 @@ class EnvLight:
 
 @pytree
 class CapLight:
-    """Directional spherical-cap light (InfiniteSphereCap.cpp:233-249):
-    cap axis = transform-rotated +Y, uniform radiance inside the cone."""
+    """Directional spherical-cap lights (InfiniteSphereCap.cpp:233-249) —
+    a TABLE of C caps (the reference's light list is unbounded,
+    TraceableScene.hpp:79-102): cap axis = transform-rotated +Y, uniform
+    radiance inside the cone. LightTable.cap_slot maps light index -> row."""
 
-    dir: jnp.ndarray  # (3,)
-    cos_angle: jnp.ndarray  # ()
-    radiance: jnp.ndarray  # (3,)
+    dir: jnp.ndarray  # (C, 3)
+    cos_angle: jnp.ndarray  # (C,)
+    radiance: jnp.ndarray  # (C, 3)
 
 
 @pytree
@@ -108,9 +112,9 @@ def _default_point():
 
 def _default_cap():
     return CapLight(
-        dir=jnp.asarray([0.0, 1.0, 0.0], jnp.float32),
-        cos_angle=jnp.float32(1.0),
-        radiance=jnp.zeros((3,), jnp.float32),
+        dir=jnp.asarray([[0.0, 1.0, 0.0]], jnp.float32),
+        cos_angle=jnp.ones((1,), jnp.float32),
+        radiance=jnp.zeros((1, 3), jnp.float32),
     )
 
 
@@ -145,7 +149,17 @@ class SceneMeta:
     stratified: bool = False  # renderer "stratified_sampler" -> sobol mode
     has_cap: bool = False
     cap_light_index: int = -1  # index in light list, -1 if unsamplable/absent
-    cap_after_env: bool = False  # cap listed after the env/skydome primitive
+    cap_after_env: bool = False  # some cap listed after the last env/skydome
+    # multiple infinite lights (the reference's light list is unbounded,
+    # TraceableScene.hpp:79-102; the LAST listed infinite that intersects a
+    # direction wins the escape, TraceableScene.hpp:194-209):
+    n_envs: int = 0  # env primitives (infinite_sphere/skydome) in prim order
+    env_const: tuple = ()  # per env slot: constant-emission flag
+    env_light_idx: tuple = ()  # per env slot: light index, -1 = unsamplable
+    n_caps: int = 0
+    cap_light_idx: tuple = ()  # per cap slot: light index, -1 = unsamplable
+    esc_caps: tuple = ()  # cap slots that can win the escape (listed after
+    # the last env primitive), ascending primitive order
     point_light_index: int = -1  # dirac point light, -1 if absent
     has_fiber_tan: bool = False  # curve prims present -> tri_tan populated
     has_analytic: bool = False  # analytic sphere/disk/cylinder prims present
@@ -191,6 +205,10 @@ class FlatScene:
     point: PointLight
     camera: CameraParams
     meta: SceneMeta = field(pytree_node=False, default=None)
+    # ALL env lights in primitive order (env = envs[-1], the escape winner);
+    # earlier envs are NEE-sampled via LightTable.env_slot but can never be
+    # seen by an escaping ray (the last env masks them everywhere)
+    envs: tuple = ()
 
 
 
@@ -287,8 +305,8 @@ def flatten_scene(doc: SceneDocument) -> FlatScene:
     ana_prim_of = {}  # scene prim index -> analytic index
     prim_apx = {}  # scene prim index -> approximateRadiance geometry
     extra_prims = {}  # pseudo prim index -> synthetic spec (minecraft blocks)
-    env_spec = None
-    cap_spec = None
+    env_specs = []  # (prim, m, pi, is_sky) in primitive order
+    cap_specs = []  # (prim, m, pi) in primitive order
     point_specs = []
     prim_cone_cos = {}
     vert_base = 0
@@ -299,22 +317,16 @@ def flatten_scene(doc: SceneDocument) -> FlatScene:
 
         if ptype == "infinite_sphere":
             if "emission" in prim or "power" in prim:
-                if env_spec is not None:
-                    raise NotImplementedError("multiple environment primitives")
-                env_spec = (prim, m, pi, False)
+                env_specs.append((prim, m, pi, False))
             continue
         if ptype == "skydome":
-            if env_spec is not None:
-                raise NotImplementedError("multiple environment primitives")
-            env_spec = (prim, m, pi, True)
+            env_specs.append((prim, m, pi, True))
             continue
         if ptype == "point":
             point_specs.append((prim, m))
             continue
         if ptype == "infinite_sphere_cap":
-            if cap_spec is not None:
-                raise NotImplementedError("multiple sphere-cap primitives")
-            cap_spec = (prim, m, pi)
+            cap_specs.append((prim, m, pi))
             continue
 
         if ("emission" in prim or "power" in prim) and ptype in (
@@ -563,6 +575,8 @@ def flatten_scene(doc: SceneDocument) -> FlatScene:
     l_offset, l_count, l_cdf_off, l_area, l_tex, l_env = [], [], [], [], [], []
     l_cone, l_dirac, l_ana = [], [], []
     l_pt = []  # PointLight row per light, -1 for non-point
+    l_envslot = []  # envs slot per light, -1 for non-env
+    l_capslot = []  # CapLight row per light, -1 for non-cap
     l_apx = []  # (kind, avg, base, e0, e1, n, cbase) per light row
     tri_idx_list, cdf_list = [], []
     cur_off = 0
@@ -612,6 +626,8 @@ def flatten_scene(doc: SceneDocument) -> FlatScene:
             l_dirac.append(False)
             l_ana.append(k)
             l_pt.append(-1)
+            l_envslot.append(-1)
+            l_capslot.append(-1)
             apx_row(pi, l_tex[-1])
             continue
         sel = np.nonzero(tri_prim == pi)[0].astype(np.int32)
@@ -635,20 +651,26 @@ def flatten_scene(doc: SceneDocument) -> FlatScene:
         l_dirac.append(False)
         l_ana.append(-1)
         l_pt.append(-1)
+        l_envslot.append(-1)
+        l_capslot.append(-1)
         apx_row(pi, l_tex[-1])
         tri_idx_list.append(sel)
         cdf_list.append(cdf)
         cur_off += len(sel)
         cur_cdf += len(sel) + 1
 
-    # environment light (infinite_sphere, or a skydome baked to a bitmap the
-    # way the reference does at prepareForRender — Skydome.cpp:292-318)
+    # environment lights (infinite_sphere, or a skydome baked to a bitmap the
+    # way the reference does at prepareForRender — Skydome.cpp:292-318). The
+    # list is unbounded; the LAST one is the escape winner (it masks every
+    # earlier env for all directions, TraceableScene.hpp:194-209), earlier
+    # ones remain individually NEE-samplable via their light rows.
     env_index = -1
     env_is_constant = True
     env_prim_index = -1
     env = _default_env(tex_builder)
-    if env_spec is not None:
-        prim, m, env_prim_index, is_sky = env_spec
+    envs = []
+    env_const_l, env_light_idx = [], []
+    for slot, (prim, m, env_pi, is_sky) in enumerate(env_specs):
         rot = m[:3, :3].astype(np.float64)
         # extractRotation: normalize columns
         rot = rot / np.maximum(np.linalg.norm(rot, axis=0, keepdims=True), 1e-30)
@@ -664,29 +686,30 @@ def flatten_scene(doc: SceneDocument) -> FlatScene:
                 temperature=float(prim.get("temperature", 5777.0)),
                 gamma_scale=float(prim.get("gamma_scale", 1.0)),
             )
-            etex = tex_builder.add_bitmap(img, path_key=f"__skydome_{env_prim_index}")
+            etex = tex_builder.add_bitmap(img, path_key=f"__skydome_{env_pi}")
             # the skydome's uv mapping ignores the prim transform (the sun
             # direction carries the orientation) — Skydome.cpp:37-41
             rot = np.eye(3)
-            env_is_constant = False
+            is_const = False
             dist = Distribution2D.build(_env_weights(img))
         else:
             etex = emission_tex(prim, 1.0)
             e = prim.get("emission")
-            env_is_constant = not isinstance(e, str)
-            if env_is_constant:
+            is_const = not isinstance(e, str)
+            if is_const:
                 dist = Distribution2D.build(np.ones((1, 1), np.float32))
             else:
                 img = tex_builder.image(etex)
                 dist = Distribution2D.build(_env_weights(img))
-        env = EnvLight(
+        envs.append(EnvLight(
             rot=jnp.asarray(rot, jnp.float32),
             inv_rot=jnp.asarray(rot.T, jnp.float32),
             tex=jnp.int32(etex),
             dist=dist,
-        )
+        ))
+        env_const_l.append(is_const)
         if samplable:
-            env_index = len(l_offset)
+            env_light_idx.append(len(l_offset))
             l_offset.append(cur_off)
             l_count.append(0)
             l_cdf_off.append(cur_cdf)
@@ -697,17 +720,28 @@ def flatten_scene(doc: SceneDocument) -> FlatScene:
             l_dirac.append(False)
             l_ana.append(-1)
             l_pt.append(-1)
+            l_envslot.append(slot)
+            l_capslot.append(-1)
             # InfiniteSphere::approximateRadiance = 2 pi * avg max
             l_apx.append(("const",
                           float(2.0 * np.pi * np.max(tex_builder.average(etex))),
                           _Z3, _Z3, _Z3, _Z3, _Z3))
+        else:
+            env_light_idx.append(-1)
+    if envs:
+        env = envs[-1]
+        env_is_constant = env_const_l[-1]
+        env_index = env_light_idx[-1]
+        env_prim_index = env_specs[-1][2]
 
-    # spherical-cap light (sun)
+    # spherical-cap lights (sun) — also a table; a cap can win the escape
+    # only if it is listed after the last env primitive
     cap_index = -1
     cap_prim_index = -1
     cap = _default_cap()
-    if cap_spec is not None:
-        prim, m, cap_prim_index = cap_spec
+    cap_dirs, cap_coss, cap_rads = [], [], []
+    cap_light_idx, esc_caps = [], []
+    for slot, (prim, m, cap_pi) in enumerate(cap_specs):
         rot = m[:3, :3].astype(np.float64)
         rot = rot / np.maximum(np.linalg.norm(rot, axis=0, keepdims=True), 1e-30)
         cap_dir = rot @ np.array([0.0, 1.0, 0.0])
@@ -724,13 +758,14 @@ def flatten_scene(doc: SceneDocument) -> FlatScene:
             rad = np.asarray(prim.get("emission", 1.0), np.float64)
             if rad.ndim == 0:
                 rad = np.repeat(rad, 3)
-        cap = CapLight(
-            dir=jnp.asarray(cap_dir, jnp.float32),
-            cos_angle=jnp.float32(cos_cap),
-            radiance=jnp.asarray(rad, jnp.float32),
-        )
+        cap_dirs.append(cap_dir)
+        cap_coss.append(cos_cap)
+        cap_rads.append(rad)
         if prim.get("sample", True):
-            cap_index = len(l_offset)
+            li_c = len(l_offset)
+            cap_light_idx.append(li_c)
+            if cap_index < 0:
+                cap_index = li_c
             l_offset.append(cur_off)
             l_count.append(0)
             l_cdf_off.append(cur_cdf)
@@ -741,10 +776,23 @@ def flatten_scene(doc: SceneDocument) -> FlatScene:
             l_dirac.append(False)
             l_ana.append(-1)
             l_pt.append(-1)
+            l_envslot.append(-1)
+            l_capslot.append(slot)
             # InfiniteSphereCap::approximateRadiance = 2 pi (1-cos) avg max
             l_apx.append(("const",
                           float(2.0 * np.pi * (1.0 - cos_cap) * np.max(rad)),
                           _Z3, _Z3, _Z3, _Z3, _Z3))
+        else:
+            cap_light_idx.append(-1)
+        if cap_pi > env_prim_index:
+            esc_caps.append(slot)
+        cap_prim_index = max(cap_prim_index, cap_pi)
+    if cap_specs:
+        cap = CapLight(
+            dir=jnp.asarray(np.asarray(cap_dirs), jnp.float32),
+            cos_angle=jnp.asarray(np.asarray(cap_coss), jnp.float32),
+            radiance=jnp.asarray(np.asarray(cap_rads), jnp.float32),
+        )
 
     # dirac point lights — one light entry + one PointLight row each
     # (the reference's light list is unbounded, TraceableScene.hpp:79-102)
@@ -772,6 +820,8 @@ def flatten_scene(doc: SceneDocument) -> FlatScene:
             l_cone.append(0.0)
             l_dirac.append(True)
             l_ana.append(-1)
+            l_envslot.append(-1)
+            l_capslot.append(-1)
             # Point::approximateRadiance = intensity.max / r^2
             l_apx.append(("point", float(np.max(pw / (4.0 * np.pi))),
                           ppos, _Z3, _Z3, _Z3, _Z3))
@@ -797,6 +847,8 @@ def flatten_scene(doc: SceneDocument) -> FlatScene:
         cdf=jnp.asarray(np.concatenate(cdf_list)),
         ana_prim=jnp.asarray(np.asarray(l_ana or [-1], np.int32)),
         pt_slot=jnp.asarray(np.asarray(l_pt or [-1], np.int32)),
+        env_slot=jnp.asarray(np.asarray(l_envslot or [-1], np.int32)),
+        cap_slot=jnp.asarray(np.asarray(l_capslot or [-1], np.int32)),
         apx_avg=jnp.asarray(np.asarray(
             [a[1] for a in l_apx] or [0.0], np.float32)),
         apx_base=jnp.asarray(np.asarray(
@@ -868,13 +920,19 @@ def flatten_scene(doc: SceneDocument) -> FlatScene:
         filter=cam.get("reconstruction_filter", "tent"),
         fov_deg=fov,
         n_lights=n_lights,
-        has_env=env_spec is not None,
+        has_env=len(env_specs) > 0,
         env_light_index=env_index,
         env_is_constant=env_is_constant,
         stratified=bool(doc.renderer.get("stratified_sampler", False)),
-        has_cap=cap_spec is not None,
+        has_cap=len(cap_specs) > 0,
         cap_light_index=cap_index,
-        cap_after_env=cap_prim_index > env_prim_index,
+        cap_after_env=len(esc_caps) > 0,
+        n_envs=len(envs),
+        env_const=tuple(env_const_l),
+        env_light_idx=tuple(env_light_idx),
+        n_caps=len(cap_specs),
+        cap_light_idx=tuple(cap_light_idx),
+        esc_caps=tuple(esc_caps),
         point_light_index=point_index,
         min_bounces=int(integ.get("min_bounces", 0)),
         max_bounces=int(integ.get("max_bounces", 64)),
@@ -953,6 +1011,7 @@ def flatten_scene(doc: SceneDocument) -> FlatScene:
         point=point,
         camera=camera,
         meta=meta,
+        envs=tuple(envs),
     )
 
 
