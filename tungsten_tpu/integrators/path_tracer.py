@@ -297,8 +297,6 @@ def _nee(scene, sampler, p, ng, frame, wi, mat_id, uv, lobes, medium=None,
         is_cap_choice = scene.lights.cap_slot[li] >= 0
         ls_cap = L.sample_cap_direct(scene, li, u_point)
         ls = L._merge_ls(is_cap_choice, ls_cap, ls)
-    else:
-        is_cap_choice = jnp.zeros_like(is_env_choice)
     if meta.point_light_index >= 0:
         is_point_choice = scene.lights.pt_slot[li] >= 0
         ls_pt = L.sample_point_direct(scene, li, p)
@@ -382,12 +380,12 @@ def _nee(scene, sampler, p, ng, frame, wi, mat_id, uv, lobes, medium=None,
     pdf_area = L.area_direct_pdf(scene, tri_hit, p, hp, wo_w)
 
     if L.any_infinite_sampled(meta):
-        # bsdf/phase-strategy match for infinite lights: the escaping ray
-        # 'hits' the LAST listed infinite that intersects it, and the
-        # strategy counts only when that winner IS the chosen light
-        # (estimateDirect: info.primitive == light)
-        wl, e_inf, pdf_inf = L.escape_winner(scene, wo_w)
-        match_inf = (h.prim < 0) & (li == wl)
+        # bsdf-strategy match for infinite lights: estimateDirect intersects
+        # the CHOSEN light primitive itself (attenuatedEmission,
+        # TraceBase.cpp:286-319), so a masked env still matches its OWN
+        # radiance/directPdf whenever the ray escapes scene geometry
+        m_inf, e_inf, pdf_inf = L.chosen_infinite_eval(scene, li, wo_w)
+        match_inf = (h.prim < 0) & m_inf
         e = jnp.where(match_inf[..., None], e_inf,
                       jnp.where(match_area[..., None], e_area, 0.0))
         light_pdf = jnp.where(match_inf, pdf_inf, pdf_area)
@@ -437,8 +435,6 @@ def _volume_nee(scene, sampler, p, d_in, medium, ptype, g):
         is_cap_choice = scene.lights.cap_slot[li] >= 0
         ls_cap = L.sample_cap_direct(scene, li, u_point)
         ls = L._merge_ls(is_cap_choice, ls_cap, ls)
-    else:
-        is_cap_choice = jnp.zeros_like(is_env_choice)
     if meta.point_light_index >= 0:
         is_point_choice = scene.lights.pt_slot[li] >= 0
         ls_pt = L.sample_point_direct(scene, li, p)
@@ -492,12 +488,12 @@ def _volume_nee(scene, sampler, p, d_in, medium, ptype, g):
     match_area = (~is_env_choice) & (hit_light == li) & front & (h.prim >= 0)
     pdf_area = L.area_direct_pdf(scene, tri_hit, p, hp, w_ph)
     if L.any_infinite_sampled(meta):
-        # bsdf/phase-strategy match for infinite lights: the escaping ray
-        # 'hits' the LAST listed infinite that intersects it, and the
-        # strategy counts only when that winner IS the chosen light
-        # (estimateDirect: info.primitive == light)
-        wl, e_inf, pdf_inf = L.escape_winner(scene, w_ph)
-        match_inf = (h.prim < 0) & (li == wl)
+        # phase-strategy match for infinite lights: volumeEstimateDirect
+        # intersects the CHOSEN light primitive itself (attenuatedEmission,
+        # TraceBase.cpp:286-319), so a masked env still matches its OWN
+        # radiance/directPdf whenever the ray escapes scene geometry
+        m_inf, e_inf, pdf_inf = L.chosen_infinite_eval(scene, li, w_ph)
+        match_inf = (h.prim < 0) & m_inf
         e = jnp.where(match_inf[..., None], e_inf,
                       jnp.where(match_area[..., None], e_area, 0.0))
         light_pdf = jnp.where(match_inf, pdf_inf, pdf_area)
@@ -655,7 +651,6 @@ def _unified_nee_finish(scene, data, blocked, h_mis, medium_l, medium_b,
     ls = data["ls"]
     li = data["li"]
     is_env_choice = data["is_env"]
-    is_cap_choice = data["is_cap"]
     choice_weight = data["choice_weight"]
     contrib_l = data["f_l"] * ls.radiance * (
         data["mis_l"] / jnp.maximum(ls.pdf, 1e-30)
@@ -684,12 +679,12 @@ def _unified_nee_finish(scene, data, blocked, h_mis, medium_l, medium_b,
     match_area = (~is_env_choice) & (hit_light == li) & front & (h.prim >= 0)
     pdf_area = L.area_direct_pdf(scene, tri_hit, vp, hp, wo_mis)
     if L.any_infinite_sampled(meta):
-        # bsdf/phase-strategy match for infinite lights: the escaping ray
-        # 'hits' the LAST listed infinite that intersects it, and the
-        # strategy counts only when that winner IS the chosen light
-        # (estimateDirect: info.primitive == light)
-        wl, e_inf, pdf_inf = L.escape_winner(scene, wo_mis)
-        match_inf = (h.prim < 0) & (li == wl)
+        # bsdf/phase-strategy match for infinite lights: estimateDirect
+        # intersects the CHOSEN light primitive itself (attenuatedEmission,
+        # TraceBase.cpp:286-319), so a masked env still matches its OWN
+        # radiance/directPdf whenever the ray escapes scene geometry
+        m_inf, e_inf, pdf_inf = L.chosen_infinite_eval(scene, li, wo_mis)
+        match_inf = (h.prim < 0) & m_inf
         e = jnp.where(match_inf[..., None], e_inf,
                       jnp.where(match_area[..., None], e_area, 0.0))
         light_pdf = jnp.where(match_inf, pdf_inf, pdf_area)
@@ -1468,6 +1463,12 @@ def trace_regen_batch(scene: FlatScene, seed, px_cycle, py_cycle, pix_cycle,
                 t=jnp.zeros((n,)), prim=jnp.full((n,), -1, jnp.int32),
                 u=jnp.zeros((n,)), v=jnp.zeros((n,)),
             )
+            # this path traces NO bsdf-strategy ray (the continuation sample
+            # is the bsdf half, weighted at its own hit) — suppress the
+            # finish's bsdf-strategy term explicitly instead of relying on
+            # the dummy prim=-1, which is exactly the infinite-light match
+            nee = dict(nee)
+            nee["mis_cand"] = jnp.zeros_like(nee["mis_cand"])
             if meta.has_media:
                 med_l = _select_medium_dir(
                     scene, medium, hit.prim, nee["ls"].d, hit_surface_lane,
@@ -1502,6 +1503,18 @@ def trace_regen_batch(scene: FlatScene, seed, px_cycle, py_cycle, pix_cycle,
                 pdf_b = jnp.where(scattered, fp, pdf_b)
             w_light = warps.power_heuristic(ls.pdf * cp_pick, pdf_b)
             w_light = jnp.where(is_point_c, 1.0, w_light)  # dirac light
+            if L.any_infinite_sampled(meta):
+                # masked infinite choice: the continuation escape (the bsdf
+                # half of this single-sample MIS pair) credits only the LAST
+                # intersecting infinite along ls.d. When that winner is NOT
+                # the chosen light, the light strategy is the SOLE estimator
+                # for it and its MIS weight must be 1 — the reference instead
+                # traces a dedicated bsdf ray at the chosen light
+                # (TraceBase.cpp:286-319); weight 1 keeps the same
+                # expectation in this arrangement
+                wl_d, _, _ = L.escape_winner(scene, ls.d)
+                inf_choice = is_env_c | is_cap_c
+                w_light = jnp.where(inf_choice & (wl_d != li), 1.0, w_light)
             skip_l = (
                 Lobes.is_pure_specular(lobes) | (lobes == Lobes.FORWARD) | (lobes == 0)
             ) & ~scattered

@@ -1112,11 +1112,12 @@ def gather_pass(scene: FlatScene, seed, lane_ids, px, py, pack, starts, counts,
             )
             throughput = throughput * jnp.where(in_med[..., None], tr, 1.0)
 
-        # env on miss
-        if meta.has_env:
+        # infinite emission on miss (LAST intersecting infinite wins —
+        # includes caps masked over the env, TraceableScene.hpp:194-209)
+        if meta.has_env or meta.esc_caps:
             miss = alive & ~did_hit
             emission = emission + jnp.where(
-                miss[..., None], throughput * L.env_radiance(scene, d), 0.0
+                miss[..., None], throughput * L.infinite_radiance(scene, d), 0.0
             )
 
         p, ng, ns, uv, mat_id, light_id = _shading_data(scene, hit, o, d)

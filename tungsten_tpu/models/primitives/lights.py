@@ -263,6 +263,49 @@ def escape_winner(scene, d):
     return wl, e, pdf
 
 
+def chosen_infinite_eval(scene, li, d):
+    """bsdf/phase-strategy target eval for CHOSEN infinite lights: the
+    reference's estimateDirect bsdf strategy intersects the chosen light
+    primitive ITSELF (TraceBase.cpp:286-319, attenuatedEmission ->
+    light.intersect), so a chosen env that is masked at escape time (a
+    later-listed env/cap overwrites it in intersectInfinites) still
+    contributes its own radiance and directPdf whenever the bsdf ray
+    escapes the real scene geometry. Returns (match, radiance, pdf) where
+    match is True for lanes whose chosen light li is a samplable infinite
+    primitive the ray intersects (env: every direction; cap: inside its
+    cone); False for area/point choices."""
+    meta = scene.meta
+    shp = d.shape[:-1]
+    match = jnp.zeros(shp, bool)
+    e = jnp.zeros(shp + (3,))
+    pdf = jnp.zeros(shp)
+    envs = scene.envs if meta.n_envs else ((scene.env,) if meta.has_env else ())
+    consts = (meta.env_const if meta.n_envs
+              else ((meta.env_is_constant,) if meta.has_env else ()))
+    for s in range(len(envs)):
+        li_e = meta.env_light_idx[s] if s < len(meta.env_light_idx) else -1
+        if li_e < 0:
+            continue
+        sel = li == li_e
+        uv, _ = direction_to_uv(envs[s], d)
+        rad = eval_texture(scene.textures,
+                           jnp.broadcast_to(envs[s].tex, shp), uv)
+        e = jnp.where(sel[..., None], rad, e)
+        pdf = jnp.where(
+            sel, _env_direct_pdf_one(scene, envs[s], consts[s], d), pdf)
+        match = match | sel
+    for k in range(len(meta.cap_light_idx)):
+        li_c = meta.cap_light_idx[k]
+        if li_c < 0:
+            continue
+        sel = (li == li_c) & cap_in_cone_k(scene, d, k)
+        e = jnp.where(sel[..., None],
+                      jnp.broadcast_to(scene.cap.radiance[k], e.shape), e)
+        pdf = jnp.where(sel, cap_direct_pdf_k(scene, d, k), pdf)
+        match = match | sel
+    return match, e, pdf
+
+
 def _quad_solid_angle(p, base, e0, e1):
     """Solid angle of the (base, e0, e1) parallelogram seen from p via the
     spherical-excess formula (Quad.cpp:256-281 / Disk.cpp:268-295 inner Q)."""
