@@ -54,6 +54,10 @@ _NO_STRAT = _os.environ.get("TUNGSTEN_NO_STRAT", "") == "1"
 _DBG_MIS_HALF = _os.environ.get("TUNGSTEN_DEBUG_MIS_HALF", "")
 # debug: regen uses the lockstep _unified_nee_prepare/_finish light strategy
 _REGEN_UNEE = _os.environ.get("TUNGSTEN_REGEN_UNEE", "") == "1"
+# merged regen walk: the bounce's NEE shadow batch and next-ray batch share
+# ONE 2N-lane mixed traversal (per-lane any-hit latch); 0 = two separate
+# walks (the round-4 arrangement, kept for A/B measurement)
+_REGEN_MERGED = _os.environ.get("TUNGSTEN_REGEN_MERGED", "1") == "1"
 SHADOW_FUDGE = 1.0 - 1e-3  # cf. attenuatedEmission's 1+1e-3 (TraceBase.cpp:155)
 
 
@@ -1145,6 +1149,36 @@ def _choose_and_sample_light(scene, sampler, p):
             choice_pdf, sampler)
 
 
+def _intersect_mixed(scene, o, d, tnear, tfar, latch):
+    """ONE walk for a mixed [any-hit | closest-hit] wavefront: lanes with
+    latch=True record the first hit and leave the walk (only prim >= 0 is
+    meaningful), latch=False lanes run closest-hit. On the TPU gather
+    intersector this merges a bounce's shadow + continuation rays into a
+    single traversal whose straggler phases amortize over both ray
+    classes; elsewhere it falls back to a plain closest-hit walk (same
+    booleans, more work per shadow lane)."""
+    n_tris = scene.tris.v0.shape[0]
+    if (jax.default_backend() == "tpu" and n_tris > 64
+            and _ISECT_KIND == "gather" and scene.gbvh is not None):
+        from ..ops.gather_bvh import intersect_bvh_gather_mixed
+
+        if scene.ana is not None:
+            from ..models.primitives.analytic import intersect_analytic
+
+            ah = intersect_analytic(scene.ana, o, d, tnear, tfar)
+            h = intersect_bvh_gather_mixed(
+                scene.gbvh, o, d, tnear, jnp.minimum(tfar, ah.t), latch)
+            pick_a = (ah.k >= 0) & (ah.t < h.t)
+            return isect.Hit(
+                t=jnp.where(pick_a, ah.t, h.t),
+                prim=jnp.where(pick_a, n_tris + ah.k, h.prim),
+                u=jnp.where(pick_a, ah.uv[..., 0], h.u),
+                v=jnp.where(pick_a, ah.uv[..., 1], h.v),
+            )
+        return intersect_bvh_gather_mixed(scene.gbvh, o, d, tnear, tfar, latch)
+    return _intersect(scene, o, d, tnear, tfar)
+
+
 def _occluded_raw(scene, p, d, near, far):
     """Any-hit boolean for explicit [near, far] segments (shadow strategy)."""
     if scene.ana is not None:
@@ -1486,6 +1520,7 @@ def trace_regen_batch(scene: FlatScene, seed, px_cycle, py_cycle, pix_cycle,
             emission = emission + jnp.where(
                 nee_gate[..., None], throughput_vertex * contrib, 0.0
             )
+            nee_pending = None
         elif do_nee:
             from ..models.phase import phase_eval
 
@@ -1532,7 +1567,6 @@ def trace_regen_batch(scene: FlatScene, seed, px_cycle, py_cycle, pix_cycle,
                 cand, jnp.where(ls.dist >= INF, INF, ls.dist * SHADOW_FUDGE), 0.0
             )
             near_nee = jnp.where(scattered, 0.0, DEFAULT_EPSILON)
-            blocked = _occluded_raw(scene, vp, ls.d, near_nee, shadow_far)
             contrib_l = f_l * ls.radiance * (
                 w_light / jnp.maximum(ls.pdf * cp_pick, 1e-30)
             )[..., None]
@@ -1552,12 +1586,25 @@ def trace_regen_batch(scene: FlatScene, seed, px_cycle, py_cycle, pix_cycle,
             )
             if _DBG_MIS_HALF == "bsdf":
                 contrib_l = jnp.zeros_like(contrib_l)
-            emission = emission + jnp.where(
-                (cand & ~blocked)[..., None], throughput_vertex * contrib_l, 0.0
+            nee_add = jnp.where(
+                cand[..., None], throughput_vertex * contrib_l, 0.0
             )
+            if _REGEN_MERGED:
+                # defer the shadow trace: it rides the SAME walk as the
+                # next-ray batch below, and the contribution scatter-adds
+                # straight into rad_pix once `blocked` is known (the lane
+                # emission accumulator never sees it — same total sum)
+                nee_pending = (nee_add, vp, ls.d, near_nee, shadow_far)
+            else:
+                blocked = _occluded_raw(scene, vp, ls.d, near_nee, shadow_far)
+                emission = emission + jnp.where(
+                    blocked[..., None], 0.0, nee_add
+                )
+                nee_pending = None
         else:
             smp = smp.skip(4)
             nee_gate = jnp.zeros((n,), bool)
+            nee_pending = None
 
         # ---- continuation sample ----
         u_c2, smp = smp.next_2d()
@@ -1647,9 +1694,29 @@ def trace_regen_batch(scene: FlatScene, seed, px_cycle, py_cycle, pix_cycle,
             )
         s2 = regen(s2)
 
-        # ---- next-ray closest hit (continuation | fresh camera ray) ----
+        # ---- next-ray closest hit (continuation | fresh camera ray),
+        # merged with the deferred NEE shadow batch: one 2N mixed walk ----
         far_next = jnp.where(s2["alive"], INF, 0.0)
-        h_next = _intersect(scene, s2["o"], s2["d"], s2["near"], far_next)
+        if nee_pending is not None:
+            nee_add, svp, sd, snear, sfar = nee_pending
+            o2 = jnp.concatenate([svp, s2["o"]])
+            d2 = jnp.concatenate([sd, s2["d"]])
+            nr2 = jnp.concatenate([snear, s2["near"]])
+            fr2 = jnp.concatenate([sfar, far_next])
+            latch2 = jnp.concatenate(
+                [jnp.ones((n,), bool), jnp.zeros((n,), bool)]
+            )
+            h2 = _intersect_mixed(scene, o2, d2, nr2, fr2, latch2)
+            blocked = h2.prim[:n] >= 0
+            h_next = isect.Hit(
+                t=h2.t[n:], prim=h2.prim[n:], u=h2.u[n:], v=h2.v[n:]
+            )
+            # deposit at the pixel the shadow ray belongs to (pre-regen)
+            s2["rad_pix"] = s2["rad_pix"].at[old_pix].add(
+                jnp.where(blocked[..., None], 0.0, nee_add)
+            )
+        else:
+            h_next = _intersect(scene, s2["o"], s2["d"], s2["near"], far_next)
 
         s2.update(hit_t=h_next.t, hit_prim=h_next.prim, hit_u=h_next.u, hit_v=h_next.v)
         return s2

@@ -214,8 +214,8 @@ DEAD = jnp.int32(-1)
 
 
 def _phase(
-    rows, o, d, tnear, best_t, best_p, bu, bv, active,
-    root, m, depth, any_hit, stop_n, max_rounds, state0=None,
+    rows, o, d, tnear, best_t, best_p, bu, bv, active, latch,
+    root, m, depth, stop_n, max_rounds, state0=None,
 ):
     """Bitstack per-lane traversal.
 
@@ -245,9 +245,12 @@ def _phase(
 
     Runs rounds on ALL lanes until the LIVE count drops to `stop_n` (0 =
     drain completely) or `max_rounds` is hit. `active` selects the lanes
-    that traverse at all; best_t/p/u/v carry partial results in and out
-    (restart semantics: a lane re-entering a later phase walks from the
-    root again, pruned by its carried best_t). Returns
+    that traverse at all; `latch` is a PER-LANE any-hit flag — latched
+    lanes record the first hit found and die immediately (the embree
+    rtcOccluded split), so shadow queries and closest-hit queries share
+    one walk and one compile. best_t/p/u/v carry partial results in and
+    out (restart semantics: a lane re-entering a later phase walks from
+    the root again, pruned by its carried best_t). Returns
     (best_t, best_p, bu, bv, live_mask, rounds).
     """
     N = o.shape[0]
@@ -379,10 +382,7 @@ def _phase(
         bv = jnp.where(lhit, jnp.sum(jnp.where(kone, v, 0), axis=0), bv)
         best_t = jnp.where(lhit, tk, best_t)
 
-        if any_hit:
-            found = leaf_on & (best_p >= 0)  # latch: first hit ends the lane
-        else:
-            found = jnp.zeros((N,), bool)
+        found = leaf_on & latch & (best_p >= 0)  # latched lanes end on 1st hit
 
         # ---- advance: descend, else pop one bitstack level ----
         cur = jnp.where(descend, child, cur)
@@ -415,8 +415,7 @@ def _phase(
             sl = (lvl - 1) == dd
             nc[dd] = jnp.where(consume & sl, -1, nc[dd])
         lvl = jnp.where(empty | parent, lvl - 1, lvl)
-        if any_hit:
-            cur = jnp.where(found, DEAD, cur)
+        cur = jnp.where(found, DEAD, cur)
         return (
             rounds + 1,
             cur,
@@ -493,10 +492,10 @@ _UNROLL = int(_os.environ.get("TUNGSTEN_TRAV_UNROLL", "1"))
 
 
 @functools.partial(
-    jax.jit, static_argnames=("root", "m", "depth", "any_hit", "max_rounds")
+    jax.jit, static_argnames=("root", "m", "depth", "max_rounds")
 )
 def _traverse(
-    rows, o, d, tnear, tfar, root, m, depth, any_hit=False, max_rounds=16384
+    rows, o, d, tnear, tfar, latch, root, m, depth, max_rounds=16384
 ):
     """Compacting traversal driver. The while_loop in `_phase` runs every
     lane through every round, so its cost is N x max-straggler-rounds; on
@@ -513,11 +512,10 @@ def _traverse(
     bv = jnp.zeros((N,), jnp.float32)
     active = tfar > tnear
 
-    args = dict(root=root, m=m, depth=depth, any_hit=any_hit,
-                max_rounds=max_rounds)
+    args = dict(root=root, m=m, depth=depth, max_rounds=max_rounds)
     if N < 2 * MIN_PHASE:
         best_t, best_p, bu, bv, _, rounds, _ = _phase(
-            rows, o, d, tnear, best_t, best_p, bu, bv, active,
+            rows, o, d, tnear, best_t, best_p, bu, bv, active, latch,
             stop_n=0, **args)
         return best_t, best_p, bu, bv, rounds
 
@@ -539,10 +537,11 @@ def _traverse(
     oc, dc, tnc = o, d, tnear
     btc, bpc, buc, bvc = best_t, best_p, bu, bv
     act = active
+    ltc = latch
     walk = None
     for nw in targets + [0]:  # stop targets; 0 = final full drain
         btc, bpc, buc, bvc, live, r, walk = _phase(
-            rows, oc, dc, tnc, btc, bpc, buc, bvc, act,
+            rows, oc, dc, tnc, btc, bpc, buc, bvc, act, ltc,
             stop_n=nw, state0=walk, **args)
         rounds = rounds + r
         if cur_ids is None:
@@ -563,6 +562,7 @@ def _traverse(
                    if cur_ids is not None else c)
         oc, dc, tnc = oc[sc], dc[sc], tnc[sc]
         btc, bpc, buc, bvc = btc[sc], bpc[sc], buc[sc], bvc[sc]
+        ltc = ltc[sc]
         act = c >= 0
         wc, wp, wl, wpid, wpm, wnc, wnt = walk
         walk = (
@@ -575,8 +575,18 @@ def _traverse(
 
 def intersect_bvh_gather(pack: GatherBvhPack, o, d, tnear, tfar) -> Hit:
     """Closest-hit query; Hit.prim are scene triangle ids."""
+    latch = jnp.zeros(o.shape[:-1], bool)
+    return intersect_bvh_gather_mixed(pack, o, d, tnear, tfar, latch)
+
+
+def intersect_bvh_gather_mixed(pack: GatherBvhPack, o, d, tnear, tfar,
+                               latch) -> Hit:
+    """Mixed query: lanes with latch=True are any-hit (first hit latches,
+    lane leaves the walk — only Hit.prim >= 0 is meaningful there); lanes
+    with latch=False are closest-hit. One walk, one compile — shadow and
+    continuation rays of a wavefront bounce share the straggler phases."""
     best_t, best_p, bu, bv, _ = _traverse(
-        pack.rows, o, d, tnear, tfar, root=pack.root, m=pack.n_rows,
+        pack.rows, o, d, tnear, tfar, latch, root=pack.root, m=pack.n_rows,
         depth=pack.depth,
     )
     miss = best_p < 0
@@ -590,8 +600,9 @@ def intersect_bvh_gather(pack: GatherBvhPack, o, d, tnear, tfar) -> Hit:
 
 def occluded_bvh_gather(pack: GatherBvhPack, o, d, tnear, tfar) -> jnp.ndarray:
     """Any-hit query -> bool per ray (lanes latch and die on first hit)."""
+    latch = jnp.ones(o.shape[:-1], bool)
     _, best_p, _, _, _ = _traverse(
-        pack.rows, o, d, tnear, tfar, root=pack.root, m=pack.n_rows,
-        depth=pack.depth, any_hit=True,
+        pack.rows, o, d, tnear, tfar, latch, root=pack.root, m=pack.n_rows,
+        depth=pack.depth,
     )
     return best_p >= 0
