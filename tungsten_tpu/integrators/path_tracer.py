@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from ..math import vecops as vo
 from ..models.bsdfs import bsdf_eval, bsdf_pdf, bsdf_sample
 from ..models.bsdfs.common import Lobes
-from ..models.cameras import camera_rays
+from ..models.cameras import camera_rays, camera_rays_w
 from ..models.primitives import analytic as A
 from ..models.primitives import lights as L
 from ..models.textures import eval_texture
@@ -115,16 +115,17 @@ def _shading_data(scene: FlatScene, hit: isect.Hit, o, d):
     analytic types (Sphere/Disk/Cylinder intersectionInfo)."""
     tri = jnp.maximum(hit.prim, 0)
     p = o + d * hit.t[..., None]
-    ng = scene.tri_ng[tri]
     u = hit.u[..., None]
     v = hit.v[..., None]
     w0 = 1.0 - u - v
-    ns = vo.normalize(
-        scene.tri_n0[tri] * w0 + scene.tri_n1[tri] * u + scene.tri_n2[tri] * v
-    )
-    uv = scene.tri_uv0[tri] * w0 + scene.tri_uv1[tri] * u + scene.tri_uv2[tri] * v
-    mat = scene.tri_mat[tri]
-    light = scene.tri_light[tri]
+    # ONE packed gather for all hit-shading attributes (gathers are
+    # latency-bound per op at wavefront widths; this replaces 9)
+    row = scene.shade_pack[tri]
+    ng = row[..., 0:3]
+    ns = vo.normalize(row[..., 3:6] * w0 + row[..., 6:9] * u + row[..., 9:12] * v)
+    uv = row[..., 12:14] * w0 + row[..., 14:16] * u + row[..., 16:18] * v
+    mat = row[..., 18].astype(jnp.int32)
+    light = row[..., 19].astype(jnp.int32)
     if scene.meta.has_analytic:
         from ..models.primitives.analytic import normal_at
 
@@ -555,7 +556,7 @@ def _compact_sort(key, state_dict, names_3, names_1):
 
 
 def _unified_nee_prepare(scene, sampler, vp, ng, frame, wi, mat_id, uv, lobes,
-                         scattered, d_in, ptype, g):
+                         scattered, d_in, ptype, g, pre=None):
     """Shared NEE setup for surface and volume vertices: one chosen light,
     light-sampling + bsdf/phase-sampling strategies. Returns the sampler and a
     dict of deferred-ray data; the actual visibility rays are merged into the
@@ -599,8 +600,10 @@ def _unified_nee_prepare(scene, sampler, vp, ng, frame, wi, mat_id, uv, lobes,
 
     # strategy 1 f/pdf at the sampled light direction
     wo_l = vo.to_local(t, b, nrm, ls.d)
-    f_surf = bsdf_eval(ctx, mat_id, uv, wi, wo_l, nonspecular_only=True)
-    pdf_surf = bsdf_pdf(ctx, mat_id, uv, wi, wo_l, nonspecular_only=True)
+    f_surf = bsdf_eval(ctx, mat_id, uv, wi, wo_l, nonspecular_only=True,
+                       pre=pre)
+    pdf_surf = bsdf_pdf(ctx, mat_id, uv, wi, wo_l, nonspecular_only=True,
+                        pre=pre)
     if meta.has_media:
         f_vol = phase_eval(ptype, g, d_in, ls.d)
         f_l = jnp.where(scattered[..., None], f_vol[..., None], f_surf)
@@ -615,7 +618,8 @@ def _unified_nee_prepare(scene, sampler, vp, ng, frame, wi, mat_id, uv, lobes,
     # strategy 2: bsdf/phase sampling (non-specular lobes)
     u_bs2, sampler = sampler.next_2d()
     u_bs1, sampler = sampler.next_1d()
-    bs = bsdf_sample(ctx, mat_id, uv, wi, u_bs2, u_bs1, nonspecular_only=True)
+    bs = bsdf_sample(ctx, mat_id, uv, wi, u_bs2, u_bs1, nonspecular_only=True,
+                     pre=pre)
     wo_mis = vo.to_global(t, b, nrm, bs.wo)
     w_mis = bs.weight
     pdf_mis = bs.pdf
@@ -754,8 +758,11 @@ def _trace_pass_fast(scene: FlatScene, seed, lane_ids, px, py, table=None):
         from ..sampling.sampler import stratified_cam_2d
 
         u_cam = stratified_cam_2d(sampler.lane_id, seed[1])
-    o, d = camera_rays(scene.camera, meta, px, py, u_cam, u_lens)
-    hit0 = _intersect(scene, o, d, jnp.full((n,), 1e-4), jnp.full((n,), INF))
+    o, d, cam_w = camera_rays_w(scene.camera, meta, px, py, u_cam, u_lens)
+    hit0 = _intersect(
+        scene, o, d, jnp.full((n,), 1e-4),
+        jnp.where(cam_w > 0.0, INF, 0.0),
+    )
 
     state = dict(
         o=o,
@@ -765,9 +772,9 @@ def _trace_pass_fast(scene: FlatScene, seed, lane_ids, px, py, table=None):
         hit_prim=hit0.prim,
         hit_u=hit0.u,
         hit_v=hit0.v,
-        throughput=jnp.ones((n, 3)),
+        throughput=jnp.broadcast_to(cam_w[..., None], (n, 3)),
         emission=jnp.zeros((n, 3)),
-        alive=jnp.ones((n,), bool),
+        alive=cam_w > 0.0,
         was_specular=jnp.ones((n,), bool),
         medium=jnp.full((n,), meta.camera_medium, jnp.int32),
         first_scatter=jnp.ones((n,), bool),
@@ -900,10 +907,13 @@ def _trace_pass_fast(scene: FlatScene, seed, lane_ids, px, py, table=None):
 
         # ---- NEE prepare ----
         do_nee = meta.enable_light_sampling and meta.n_lights > 0
+        from ..models.bsdfs.dispatch import _gather as _mat_gather
+
+        mat_pre = _mat_gather(ctx, mat_id, uv)
         if do_nee:
             smp2, nee = _unified_nee_prepare(
                 scene, smp, vp, ng, frame, wi, mat_id, uv, lobes,
-                scattered, d, ptype, g,
+                scattered, d, ptype, g, pre=mat_pre,
             )
             smp = smp2
             nee_gate = (hit_surface_lane | (scattered & meta.enable_volume_light_sampling)) & (
@@ -923,7 +933,7 @@ def _trace_pass_fast(scene: FlatScene, seed, lane_ids, px, py, table=None):
         # ---- continuation sample ----
         u_c2, smp = smp.next_2d()
         u_c1, smp = smp.next_1d()
-        bs = bsdf_sample(ctx, mat_id, uv, wi, u_c2, u_c1)
+        bs = bsdf_sample(ctx, mat_id, uv, wi, u_c2, u_c1, pre=mat_pre)
         wo_w = vo.to_global(*frame, bs.wo)
         pdf_cont = bs.pdf
         if meta.has_media:
@@ -1281,7 +1291,7 @@ def trace_regen_batch(scene: FlatScene, seed, px_cycle, py_cycle, pix_cycle,
             from ..sampling.sampler import stratified_cam_2d
 
             u_cam = stratified_cam_2d(cyc.astype(jnp.uint32), pass_idx)
-        o_c, d_c = camera_rays(scene.camera, meta, pxn, pyn, u_cam, u_lens)
+        o_c, d_c, cam_w = camera_rays_w(scene.camera, meta, pxn, pyn, u_cam, u_lens)
         t3 = take[..., None]
         out = dict(s)
         out["o"] = jnp.where(t3, o_c, s["o"])
@@ -1292,9 +1302,11 @@ def trace_regen_batch(scene: FlatScene, seed, px_cycle, py_cycle, pix_cycle,
         if strat:
             out["samp_idx"] = jnp.where(take, samp_idx, s["samp_idx"])
             out["pix_key"] = jnp.where(take, pix_key, s["pix_key"])
-        out["throughput"] = jnp.where(t3, 1.0, s["throughput"])
+        out["throughput"] = jnp.where(t3, cam_w[..., None], s["throughput"])
         out["emission"] = jnp.where(t3, 0.0, s["emission"])
-        out["alive"] = s["alive"] | take
+        # a cat-eye-vignetted camera sample is one path contributing 0
+        # (its budget id is consumed, the lane respawns next iteration)
+        out["alive"] = s["alive"] | (take & (cam_w > 0.0))
         out["was_specular"] = jnp.where(take, True, s["was_specular"])
         out["medium"] = jnp.where(take, meta.camera_medium, s["medium"])
         out["first_scatter"] = jnp.where(take, True, s["first_scatter"])
@@ -1431,6 +1443,11 @@ def trace_regen_batch(scene: FlatScene, seed, px_cycle, py_cycle, pix_cycle,
         # ---- surface shading data ----
         p, ng, ns, uv, mat_id, light_id = _shading_data(scene, hit, o, d)
         lobes = scene.materials.lobes[mat_id]
+        # ONE material+albedo gather per bounce, shared by the NEE eval/pdf
+        # and the continuation sample (gathers are latency-bound per op)
+        from ..models.bsdfs.dispatch import _gather as _mat_gather
+
+        mat_pre = _mat_gather(ctx, mat_id, uv)
         hit_backside = vo.dot(ns, d) > 0.0
         flip = hit_backside & ~Lobes.is_transmissive(lobes) if meta.enable_two_sided else jnp.zeros_like(hit_backside)
         t_ax, b_ax, frame_n = _shading_frame(scene, jnp.maximum(hit.prim, 0), ns, flip)
@@ -1442,7 +1459,7 @@ def trace_regen_batch(scene: FlatScene, seed, px_cycle, py_cycle, pix_cycle,
         )
         if do_nee:
             tri_e = jnp.maximum(hit.prim, 0)
-            hl_e = scene.tri_light[tri_e]
+            hl_e = light_id
             lp_hit = (L.area_direct_pdf(scene, tri_e, o, p, d)
                       * L.light_choice_pdf(scene, jnp.maximum(hl_e, 0), o))
             w_emit = jnp.where(
@@ -1527,11 +1544,11 @@ def trace_regen_batch(scene: FlatScene, seed, px_cycle, py_cycle, pix_cycle,
             (li, is_env_c, is_cap_c, is_point_c, ls, cp_pick,
              smp) = _choose_and_sample_light(scene, smp, vp)
             wo_l = vo.to_local(*frame, ls.d)
-            ctx2 = (scene.materials, scene.textures)
-            f_l = bsdf_eval(ctx2, mat_id, uv, wi, wo_l, nonspecular_only=True)
+            f_l = bsdf_eval(ctx, mat_id, uv, wi, wo_l, nonspecular_only=True,
+                            pre=mat_pre)
             # competing strategy = the continuation sampler's density over
             # continuous directions (full pdf incl. lobe-selection weight)
-            pdf_b = bsdf_pdf(ctx2, mat_id, uv, wi, wo_l)
+            pdf_b = bsdf_pdf(ctx, mat_id, uv, wi, wo_l, pre=mat_pre)
             if meta.has_media:
                 fp = phase_eval(ptype, g, d, ls.d)
                 f_l = jnp.where(scattered[..., None], fp[..., None], f_l)
@@ -1609,7 +1626,7 @@ def trace_regen_batch(scene: FlatScene, seed, px_cycle, py_cycle, pix_cycle,
         # ---- continuation sample ----
         u_c2, smp = smp.next_2d()
         u_c1, smp = smp.next_1d()
-        bs = bsdf_sample(ctx, mat_id, uv, wi, u_c2, u_c1)
+        bs = bsdf_sample(ctx, mat_id, uv, wi, u_c2, u_c1, pre=mat_pre)
         wo_w = vo.to_global(*frame, bs.wo)
         pdf_cont = bs.pdf
         if meta.has_media:
@@ -1773,16 +1790,16 @@ def trace_pass(scene: FlatScene, seed, lane_ids, px, py, table=None):
 
     u_cam, sampler = sampler.next_2d()
     u_lens, sampler = sampler.next_2d()
-    o, d = camera_rays(scene.camera, meta, px, py, u_cam, u_lens)
+    o, d, cam_w = camera_rays_w(scene.camera, meta, px, py, u_cam, u_lens)
 
     state = dict(
         o=o,
         d=d,
         pix=jnp.arange(n, dtype=jnp.int32),
         near=jnp.full((n,), 1e-4),
-        throughput=jnp.ones((n, 3)),
+        throughput=jnp.broadcast_to(cam_w[..., None], (n, 3)),
         emission=jnp.zeros((n, 3)),
-        alive=jnp.ones((n,), bool),
+        alive=cam_w > 0.0,
         was_specular=jnp.ones((n,), bool),
         medium=jnp.full((n,), meta.camera_medium, jnp.int32),
         first_scatter=jnp.ones((n,), bool),

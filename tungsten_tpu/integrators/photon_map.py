@@ -26,7 +26,7 @@ import numpy as np
 from ..math import vecops as vo
 from ..models.bsdfs import bsdf_eval, bsdf_sample
 from ..models.bsdfs.common import Lobes
-from ..models.cameras import camera_rays
+from ..models.cameras import camera_rays, camera_rays_w
 from ..models.primitives import lights as L
 from ..models.textures import eval_texture
 from ..sampling import Sampler, warps
@@ -1051,14 +1051,15 @@ def gather_pass(scene: FlatScene, seed, lane_ids, px, py, pack, starts, counts,
     sampler = Sampler.create(seed, lane_ids)
     u_cam, sampler = sampler.next_2d()
     u_lens, sampler = sampler.next_2d()
-    o, d = camera_rays(scene.camera, meta, px, py, u_cam, u_lens)
+    o, d, cam_w = camera_rays_w(scene.camera, meta, px, py, u_cam, u_lens)
     do_volume = meta.has_media and vpack is not None
     do_beams = meta.has_media and bpack is not None
     do_planes = meta.has_media and prows is not None
 
     state = dict(
-        o=o, d=d, throughput=jnp.ones((n, 3)), emission=jnp.zeros((n, 3)),
-        alive=jnp.ones((n,), bool), gathered=jnp.zeros((n,), bool),
+        o=o, d=d, throughput=jnp.broadcast_to(cam_w[..., None], (n, 3)),
+        emission=jnp.zeros((n, 3)),
+        alive=cam_w > 0.0, gathered=jnp.zeros((n,), bool),
         gp=jnp.zeros((n, 3)), gn=jnp.zeros((n, 3)), gwi=jnp.zeros((n, 3)),
         gt=jnp.zeros((n, 3)), gb=jnp.zeros((n, 3)),
         gmat=jnp.zeros((n,), jnp.int32), guv=jnp.zeros((n, 2)),

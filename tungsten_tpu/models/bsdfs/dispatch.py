@@ -66,6 +66,10 @@ class MaterialTable:
     params: jnp.ndarray  # (M, 16) float32
     albedo_tex: jnp.ndarray  # (M,) int32
 
+    # (M, 18) packed [params | type | albedo_tex] — the dispatch gather is
+    # ONE row fetch (XLA gathers are latency-bound per op, so count rules)
+    gpack: jnp.ndarray = None
+
     # hair BCSDF azimuthal tables (one slab per hair material; None when
     # the scene has no hair): see models/bsdfs/hair.py precompute
     hair_tables: jnp.ndarray = None  # (H, 3, 64, 64, 3)
@@ -152,11 +156,17 @@ def pack_materials(bsdf_specs: List[dict], tex_builder) -> MaterialTable:
 
     if not types:
         types, lobes, params, albedo = [0], [0], [np.zeros(N_PARAMS, np.float32)], [0]
+    gpack = np.concatenate(
+        [np.stack(params),
+         np.asarray(types, np.float32)[:, None],
+         np.asarray(albedo, np.float32)[:, None]], axis=1,
+    ).astype(np.float32)
     return MaterialTable(
         type=jnp.asarray(np.asarray(types, np.int32)),
         lobes=jnp.asarray(np.asarray(lobes, np.int32)),
         params=jnp.asarray(np.stack(params)),
         albedo_tex=jnp.asarray(np.asarray(albedo, np.int32)),
+        gpack=jnp.asarray(gpack),
         hair_tables=jnp.asarray(np.stack(hair_tabs)) if hair_tabs else None,
         hair_cdf=jnp.asarray(np.stack(hair_cdfs)) if hair_cdfs else None,
         hair_sums=jnp.asarray(np.stack(hair_sums)) if hair_sums else None,
@@ -175,14 +185,21 @@ def _gather(ctx, mat_id, uv):
     from ..textures import eval_texture
 
     mats, texs = ctx
-    params = mats.params[mat_id]
-    mtype = mats.type[mat_id]
-    albedo = eval_texture(texs, mats.albedo_tex[mat_id], uv)
+    if mats.gpack is not None:
+        row = mats.gpack[mat_id]  # ONE gather for params + type + albedo id
+        params = row[..., : row.shape[-1] - 2]
+        mtype = row[..., -2].astype(jnp.int32)
+        albedo = eval_texture(texs, row[..., -1].astype(jnp.int32), uv)
+    else:
+        params = mats.params[mat_id]
+        mtype = mats.type[mat_id]
+        albedo = eval_texture(texs, mats.albedo_tex[mat_id], uv)
     return params, mtype, albedo
 
 
-def bsdf_eval(ctx, mat_id, uv, wi, wo, nonspecular_only=False, nested=False):
-    params, mtype, albedo = _gather(ctx, mat_id, uv)
+def bsdf_eval(ctx, mat_id, uv, wi, wo, nonspecular_only=False, nested=False,
+              pre=None):
+    params, mtype, albedo = pre if pre is not None else _gather(ctx, mat_id, uv)
     out = jnp.zeros(wi.shape[:-1] + (3,), jnp.float32)
     for tid in _present(ctx, nested):
         f = module_for_id(tid).eval(ctx, params, albedo, uv, wi, wo, nonspecular_only)
@@ -190,8 +207,9 @@ def bsdf_eval(ctx, mat_id, uv, wi, wo, nonspecular_only=False, nested=False):
     return out
 
 
-def bsdf_pdf(ctx, mat_id, uv, wi, wo, nonspecular_only=False, nested=False):
-    params, mtype, albedo = _gather(ctx, mat_id, uv)
+def bsdf_pdf(ctx, mat_id, uv, wi, wo, nonspecular_only=False, nested=False,
+             pre=None):
+    params, mtype, albedo = pre if pre is not None else _gather(ctx, mat_id, uv)
     out = jnp.zeros(wi.shape[:-1], jnp.float32)
     for tid in _present(ctx, nested):
         p = module_for_id(tid).pdf(ctx, params, albedo, uv, wi, wo, nonspecular_only)
@@ -199,8 +217,9 @@ def bsdf_pdf(ctx, mat_id, uv, wi, wo, nonspecular_only=False, nested=False):
     return out
 
 
-def bsdf_sample(ctx, mat_id, uv, wi, u2, u1, nonspecular_only=False, nested=False) -> BsdfSample:
-    params, mtype, albedo = _gather(ctx, mat_id, uv)
+def bsdf_sample(ctx, mat_id, uv, wi, u2, u1, nonspecular_only=False,
+                nested=False, pre=None) -> BsdfSample:
+    params, mtype, albedo = pre if pre is not None else _gather(ctx, mat_id, uv)
     res = BsdfSample.invalid(wi.shape[0])
     for tid in _present(ctx, nested):
         s = module_for_id(tid).sample(ctx, params, albedo, uv, wi, u2, u1, nonspecular_only)

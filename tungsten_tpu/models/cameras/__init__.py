@@ -1,2 +1,2 @@
-from .pinhole import camera_rays
+from .pinhole import camera_rays, camera_rays_w
 from .tonemap import tonemap

@@ -67,7 +67,7 @@ class MediumTable:
     has_emissive_grid: bool = field(pytree_node=False, default=False)
 
 
-def pack_media(specs: List[dict], resolve=None) -> MediumTable:
+def pack_media(specs: List[dict], resolve=None, prim_origin=None) -> MediumTable:
     k = max(len(specs), 1)
     sa = np.zeros((k, 3), np.float32)
     ss = np.zeros((k, 3), np.float32)
@@ -99,12 +99,16 @@ def pack_media(specs: List[dict], resolve=None) -> MediumTable:
             hk[i] = 1
         elif mtype == "atmosphere":
             # AtmosphericMedium.cpp: density(p) = exp(-s^2 (|p-c|^2 - R^2)),
-            # s = falloff_scale / radius ("pivot" prims unsupported: pass
-            # "center" explicitly)
+            # s = falloff_scale / radius; a "pivot" names a primitive whose
+            # transform origin becomes the center
+            # (AtmosphericMedium.cpp:63-70 prepareForRender)
+            center = spec.get("center", [0.0, 0.0, 0.0])
             if "pivot" in spec:
-                raise NotImplementedError("atmosphere 'pivot' reference")
+                c = prim_origin(spec["pivot"]) if prim_origin else None
+                if c is not None:
+                    center = c
             r = float(spec.get("radius", 1.0))
-            ac[i] = np.asarray(spec.get("center", [0.0, 0.0, 0.0]), np.float32)
+            ac[i] = np.asarray(center, np.float32)
             asc[i] = float(spec.get("falloff_scale", 1.0)) / max(r, 1e-30)
             ar2[i] = r * r
             hk[i] = 2

@@ -32,6 +32,15 @@ class TextureTable:
     type: jnp.ndarray  # (K,) int32
     params: jnp.ndarray  # (K, 8) float32
     data: jnp.ndarray  # (P, 3) float32 concatenated bitmap texels (row-major)
+    # (P, 12) 2x2-block pack: row i = [c(i), c(right), c(down), c(diag)] with
+    # the wrap/clamp of the +1 neighbors baked per texture at build time, so
+    # a bilinear tap is ONE row gather instead of four (each XLA gather is
+    # latency-bound at wavefront widths — measured ~0.3 ms per 35k-lane
+    # gather on v5e regardless of row width; this quarters the texture bill)
+    data4: jnp.ndarray = None
+    # (K, 9) packed [params | type] — the eval_texture header fetch is one
+    # gather instead of two
+    tpack: jnp.ndarray = None
 
     # static: which types are present (drives masked dispatch)
     present: tuple = field(pytree_node=False, default=())
@@ -44,6 +53,7 @@ class TextureBuilder:
         self.types: List[int] = []
         self.params: List[np.ndarray] = []
         self.blobs: List[np.ndarray] = []
+        self._blob_meta: List[tuple] = []  # (h, w, clamp) per blob
         self._blob_off = 0
         self._cache = {}
 
@@ -89,6 +99,7 @@ class TextureBuilder:
         p[3] = 1.0 if clamp else 0.0
         p[4] = scale
         self.blobs.append(img.reshape(-1, 3) * scale if scale != 1.0 else img.reshape(-1, 3))
+        self._blob_meta.append((h, w, clamp))
         self._blob_off += h * w
         idx = self._push(TEX_BITMAP, p)
         if path_key is not None:
@@ -144,6 +155,8 @@ class TextureBuilder:
         return np.ones(3, np.float32)
 
     def build(self) -> TextureTable:
+        import os
+
         if not self.types:
             # always keep one dummy constant so the arrays are non-empty
             self.add_constant([0.0, 0.0, 0.0])
@@ -152,10 +165,36 @@ class TextureBuilder:
             if self.blobs
             else np.zeros((1, 3), np.float32)
         )
+        # 2x2-block pack (see TextureTable.data4); skipped for very large
+        # atlases where the 4x memory is not worth the gather-count win
+        max_texels = int(os.environ.get("TUNGSTEN_TEX4_MAX", str(1 << 23)))
+        data4 = None
+        if self.blobs and data.shape[0] <= max_texels:
+            packs = []
+            for img, (h, w, clamp) in zip(self.blobs, self._blob_meta):
+                t = img.reshape(h, w, 3)
+                if clamp:
+                    iu1 = np.minimum(np.arange(w) + 1, w - 1)
+                    iv1 = np.minimum(np.arange(h) + 1, h - 1)
+                else:
+                    iu1 = (np.arange(w) + 1) % w
+                    iv1 = (np.arange(h) + 1) % h
+                packs.append(
+                    np.concatenate(
+                        [t, t[:, iu1], t[iv1], t[iv1][:, iu1]], axis=-1
+                    ).reshape(-1, 12)
+                )
+            data4 = jnp.asarray(np.concatenate(packs, axis=0))
+        tpack = np.concatenate(
+            [np.stack(self.params),
+             np.asarray(self.types, np.float32)[:, None]], axis=1,
+        ).astype(np.float32)
         return TextureTable(
             type=jnp.asarray(np.asarray(self.types, np.int32)),
             params=jnp.asarray(np.stack(self.params)),
             data=jnp.asarray(data),
+            data4=data4,
+            tpack=jnp.asarray(tpack),
             present=tuple(sorted(set(self.types))),
         )
 
@@ -172,7 +211,7 @@ def _eval_checker(params, uv):
     return jnp.where(on[..., None], params[..., 0:3], params[..., 3:6])
 
 
-def _eval_bitmap(data, params, uv):
+def _eval_bitmap(data, params, uv, data4=None):
     off = params[..., 0].astype(jnp.int32)
     w = params[..., 1].astype(jnp.int32)
     h = params[..., 2].astype(jnp.int32)
@@ -192,14 +231,19 @@ def _eval_bitmap(data, params, uv):
     iv1 = wrap(iv0 + 1, h, clamp)
     iu0 = wrap(iu0, w, clamp)
     iv0 = wrap(iv0, h, clamp)
-
-    safe = lambda idx: jnp.clip(idx, 0, data.shape[0] - 1)
-    c00 = data[safe(off + iu0 + iv0 * w)]
-    c10 = data[safe(off + iu1 + iv0 * w)]
-    c01 = data[safe(off + iu0 + iv1 * w)]
-    c11 = data[safe(off + iu1 + iv1 * w)]
     fu = fu[..., None]
     fv = fv[..., None]
+    if data4 is not None:
+        # one gather: the row holds the full 2x2 block (+1 wrap pre-baked)
+        row = data4[jnp.clip(off + iu0 + iv0 * w, 0, data4.shape[0] - 1)]
+        c00, c10 = row[..., 0:3], row[..., 3:6]
+        c01, c11 = row[..., 6:9], row[..., 9:12]
+    else:
+        safe = lambda idx: jnp.clip(idx, 0, data.shape[0] - 1)
+        c00 = data[safe(off + iu0 + iv0 * w)]
+        c10 = data[safe(off + iu1 + iv0 * w)]
+        c01 = data[safe(off + iu0 + iv1 * w)]
+        c11 = data[safe(off + iu1 + iv1 * w)]
     return (c00 * (1 - fu) + c10 * fu) * (1 - fv) + (c01 * (1 - fu) + c11 * fu) * fv
 
 
@@ -235,8 +279,13 @@ def eval_texture(table: TextureTable, tex_id, uv):
     Dispatch is masked over the texture types *present in the scene* (static),
     so a scene with only constants compiles to a single gather.
     """
-    params = table.params[tex_id]
-    ttype = table.type[tex_id]
+    if table.tpack is not None:
+        row = table.tpack[tex_id]  # one gather for params + type
+        params = row[..., :-1]
+        ttype = row[..., -1].astype(jnp.int32)
+    else:
+        params = table.params[tex_id]
+        ttype = table.type[tex_id]
     out = jnp.zeros(uv.shape[:-1] + (3,), jnp.float32)
     for t in table.present:
         if t == TEX_CONSTANT:
@@ -244,7 +293,7 @@ def eval_texture(table: TextureTable, tex_id, uv):
         elif t == TEX_CHECKER:
             val = _eval_checker(params, uv)
         elif t == TEX_BITMAP:
-            val = _eval_bitmap(table.data, params, uv)
+            val = _eval_bitmap(table.data, params, uv, table.data4)
         elif t == TEX_DISK:
             val = _eval_disk(params, uv)
         elif t == TEX_BLADE:

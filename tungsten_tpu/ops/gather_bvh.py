@@ -262,14 +262,21 @@ def _phase(
     idz = 1.0 / jnp.where(dz == 0.0, 1e-30, dz)
     j8 = jnp.arange(8, dtype=jnp.int32)[:, None]  # slot index column
 
+    # bitstack levels live as (L, N) arrays: every push/pop/consume is ONE
+    # vectorized op over all levels instead of an L-deep unrolled chain of
+    # (N,) selects, and phase compaction gathers 4 arrays instead of 4L
+    # (each XLA gather is latency-bound at these widths, so gather COUNT is
+    # the cost metric — measured round-5 trace: the per-level layout spent
+    # ~3 ms/iteration in compaction gathers alone)
+    larange = jnp.arange(L, dtype=jnp.int32)[:, None]  # (L, 1)
     if state0 is None:
         cur0 = jnp.where(active, jnp.int32(root), DEAD)
         pend0 = jnp.full((N,), 0xFF, jnp.int32)
         lvl0 = jnp.zeros((N,), jnp.int32)
-        pid0 = tuple(jnp.zeros((N,), jnp.int32) for _ in range(L))
-        pmask0 = tuple(jnp.zeros((N,), jnp.int32) for _ in range(L))
-        nc0 = tuple(jnp.full((N,), -1, jnp.int32) for _ in range(L))
-        nt0 = tuple(jnp.zeros((N,), jnp.float32) for _ in range(L))
+        pid0 = jnp.zeros((L, N), jnp.int32)
+        pmask0 = jnp.zeros((L, N), jnp.int32)
+        nc0 = jnp.full((L, N), -1, jnp.int32)
+        nt0 = jnp.zeros((L, N), jnp.float32)
     else:
         cur0, pend0, lvl0, pid0, pmask0, nc0, nt0 = state0
     best_t0 = best_t
@@ -280,10 +287,6 @@ def _phase(
     def body(state):
         (rounds, cur, pend, lvl, pid, pmask, nc, nt,
          best_t, best_p, bu, bv) = state
-        pid = list(pid)
-        pmask = list(pmask)
-        nc = list(nc)
-        nt = list(nt)
         live = cur >= 0
         rT = rows[:, jnp.clip(cur, 0, m - 1)]  # (K, N) THE gather
         is_leaf = rT[COL_FLAG] > 0.5
@@ -335,12 +338,11 @@ def _phase(
         child2 = jnp.sum(jnp.where(two, code, 0), axis=0)
         push = descend & (remaining != 0)  # remaining != 0 <=> sel2 < 8
         remaining2 = remaining & ~jnp.left_shift(1, jnp.minimum(sel2, 7))
-        for dd in range(L):
-            w = push & (lvl == dd)
-            pid[dd] = jnp.where(w, cur, pid[dd])
-            pmask[dd] = jnp.where(w, remaining2, pmask[dd])
-            nc[dd] = jnp.where(w, child2, nc[dd])
-            nt[dd] = jnp.where(w, tsel2, nt[dd])
+        wsel = push[None, :] & (larange == lvl[None, :])  # (L, N) one-hot
+        pid = jnp.where(wsel, cur[None, :], pid)
+        pmask = jnp.where(wsel, remaining2[None, :], pmask)
+        nc = jnp.where(wsel, child2[None, :], nc)
+        nt = jnp.where(wsel, tsel2[None, :], nt)
         lvl = jnp.where(push, lvl + 1, lvl)
 
         # ---- leaf: 8 exact Moller-Trumbore tests from the row ----
@@ -389,16 +391,12 @@ def _phase(
         pend = jnp.where(descend, 0xFF, pend)
         need_pop = (leaf_on | (node_on & ~descend)) & ~found
         can = need_pop & (lvl > 0)
-        top_c = pid[0]
-        top_m = pmask[0]
-        top_nc = nc[0]
-        top_nt = nt[0]
-        for dd in range(1, L):
-            sl = (lvl - 1) == dd
-            top_c = jnp.where(sl, pid[dd], top_c)
-            top_m = jnp.where(sl, pmask[dd], top_m)
-            top_nc = jnp.where(sl, nc[dd], top_nc)
-            top_nt = jnp.where(sl, nt[dd], top_nt)
+        tsl = larange == (lvl - 1)[None, :]  # (L, N) top-of-stack one-hot
+        # lanes with lvl == 0 match nothing and sum to 0 — unused (can=False)
+        top_c = jnp.sum(jnp.where(tsl, pid, 0), axis=0)
+        top_m = jnp.sum(jnp.where(tsl, pmask, 0), axis=0)
+        top_nc = jnp.sum(jnp.where(tsl, nc, 0), axis=0)
+        top_nt = jnp.sum(jnp.where(tsl, nt, 0.0), axis=0)
         has_nc = can & (top_nc >= 0)
         direct = has_nc & (top_nt < best_t)   # descend straight to the child
         prune = has_nc & ~direct              # consume; re-pop next round (the
@@ -411,9 +409,7 @@ def _phase(
         # consume the stored child; drop the level when nothing remains on it
         consume = direct | prune
         empty = consume & (top_m == 0)
-        for dd in range(L):
-            sl = (lvl - 1) == dd
-            nc[dd] = jnp.where(consume & sl, -1, nc[dd])
+        nc = jnp.where(consume[None, :] & tsl, -1, nc)
         lvl = jnp.where(empty | parent, lvl - 1, lvl)
         cur = jnp.where(found, DEAD, cur)
         return (
@@ -421,10 +417,10 @@ def _phase(
             cur,
             pend,
             lvl,
-            tuple(pid),
-            tuple(pmask),
-            tuple(nc),
-            tuple(nt),
+            pid,
+            pmask,
+            nc,
+            nt,
             best_t,
             best_p,
             bu,
@@ -558,17 +554,31 @@ def _traverse(
             break
         c = _compact_indices(live, nw)  # slot in current buffers, -1 pad
         sc = jnp.maximum(c, 0)
-        cur_ids = (jnp.where(c >= 0, cur_ids[sc], -1)
-                   if cur_ids is not None else c)
-        oc, dc, tnc = oc[sc], dc[sc], tnc[sc]
-        btc, bpc, buc, bvc = btc[sc], bpc[sc], buc[sc], bvc[sc]
-        ltc = ltc[sc]
         act = c >= 0
         wc, wp, wl, wpid, wpm, wnc, wnt = walk
+        # gather COUNT dominates compaction cost (each gather is latency-
+        # bound): pack the per-lane f32/i32 state into one wide row each,
+        # so a transition is 5 gathers (f32 pack, i32 pack, bitstack i32
+        # pack, bitstack f32, ids) instead of ~20
+        L = wpid.shape[0]
+        fpack = jnp.concatenate(
+            [oc, dc, tnc[:, None], btc[:, None], buc[:, None], bvc[:, None]],
+            axis=1,
+        )[sc]
+        oc, dc = fpack[:, 0:3], fpack[:, 3:6]
+        tnc, btc, buc, bvc = (fpack[:, 6], fpack[:, 7], fpack[:, 8],
+                              fpack[:, 9])
+        ids = cur_ids if cur_ids is not None else jnp.arange(
+            live.shape[0], dtype=jnp.int32)
+        ipack = jnp.stack(
+            [ids, bpc, wc, wp, wl, ltc.astype(jnp.int32)], axis=1)[sc]
+        cur_ids = jnp.where(act, ipack[:, 0], -1)
+        bpc = ipack[:, 1]
+        ltc = ipack[:, 5].astype(bool)
+        wstk_i = jnp.concatenate([wpid, wpm, wnc], axis=0)[:, sc]
         walk = (
-            jnp.where(act, wc[sc], DEAD), wp[sc], wl[sc],
-            tuple(a[sc] for a in wpid), tuple(a[sc] for a in wpm),
-            tuple(a[sc] for a in wnc), tuple(a[sc] for a in wnt),
+            jnp.where(act, ipack[:, 2], DEAD), ipack[:, 3], ipack[:, 4],
+            wstk_i[0:L], wstk_i[L:2 * L], wstk_i[2 * L:3 * L], wnt[:, sc],
         )
     return best_t, best_p, bu, bv, rounds
 

@@ -41,6 +41,9 @@ class CameraParams:
     plane_dist: jnp.ndarray  # ()
     aperture_size: jnp.ndarray = None  # () thinlens
     focus_dist: jnp.ndarray = None  # () thinlens
+    ap_angle: jnp.ndarray = None  # () blade-aperture rotation (radians)
+    cateye: jnp.ndarray = None  # () cat-eye vignetting strength
+    ap_dist: object = None  # Distribution2D over a bitmap aperture (or None)
 
 
 @pytree
@@ -161,6 +164,12 @@ class SceneMeta:
     esc_caps: tuple = ()  # cap slots that can win the escape (listed after
     # the last env primitive), ascending primitive order
     point_light_index: int = -1  # dirac point light, -1 if absent
+    # thinlens aperture (ThinlensCamera.cpp:55-100): the lens point is
+    # sampled THROUGH a texture (disk default; blade/bitmap bokeh), with
+    # optional cat-eye diaphragm vignetting
+    aperture_kind: str = "disk"  # disk | blade | bitmap | const
+    ap_blades: int = 6
+    cateye: float = 0.0
     has_fiber_tan: bool = False  # curve prims present -> tri_tan populated
     has_analytic: bool = False  # analytic sphere/disk/cylinder prims present
     # BDPT subpath vertex cap: the reference allocates maxBounces+1 vertices
@@ -189,6 +198,9 @@ class FlatScene:
     tri_med_override: jnp.ndarray  # (T,) bool (Primitive::overridesMedia)
     tri_tan: jnp.ndarray  # (T, 3) fiber tangent for curve tris ((1,3) zeros
     # when the scene has no curves — gated by meta.has_fiber_tan)
+    # (T, 20) packed shading row [ng | n0 n1 n2 | uv0 uv1 uv2 | mat | light]
+    # so hit shading is ONE gather (gathers are latency-bound per op)
+    shade_pack: jnp.ndarray
     bvh: BvhSoA
     ptris: PallasTriPack
     pbvh: "PallasBvhPack | None"
@@ -568,7 +580,16 @@ def flatten_scene(doc: SceneDocument) -> FlatScene:
 
     # ---- materials, media & textures ---------------------------------------
     materials = pack_materials(doc.bsdfs, tex_builder)
-    media = pack_media(doc.media, resolve=doc.resolve_path)
+    def _prim_origin(name):
+        """Transform origin of the named primitive (atmosphere 'pivot',
+        AtmosphericMedium.cpp:63-70); None when absent (reference DBGs)."""
+        for p in doc.primitives:
+            if p.get("name") == name:
+                return tf.mat4_from_json(p.get("transform"))[:3, 3]
+        return None
+
+    media = pack_media(doc.media, resolve=doc.resolve_path,
+                       prim_origin=_prim_origin)
 
     # ---- lights ------------------------------------------------------------
     tri_light = np.full(len(tri_mat), -1, np.int32)
@@ -900,12 +921,50 @@ def flatten_scene(doc: SceneDocument) -> FlatScene:
     cam_m[:3, 0] = -cam_m[:3, 0]
     fov = float(cam.get("fov", 60.0))
     plane_dist = 1.0 / np.tan(np.deg2rad(fov) * 0.5)
+
+    # thinlens extras (ThinlensCamera.cpp:55-100): aperture texture,
+    # cat-eye vignetting, focus pivot (focus distance from a named
+    # primitive's transform origin, ThinlensCamera.cpp:206-217)
+    focus_dist = float(cam.get("focus_distance", 1.0))
+    pivot = cam.get("focus_pivot")
+    if pivot:
+        cam_pos_np = cam_m[:3, 3]
+        for p in doc.primitives:
+            if p.get("name") == pivot:
+                pm = tf.mat4_from_json(p.get("transform"))
+                focus_dist = float(np.linalg.norm(pm[:3, 3] - cam_pos_np))
+                break
+    ap_spec = cam.get("aperture")
+    aperture_kind, ap_blades, ap_angle, ap_dist = "disk", 6, 0.593412, None
+    if isinstance(ap_spec, str):
+        from ..io.imageio import load_image
+
+        img = np.asarray(load_image(doc.resolve_path(ap_spec)), np.float32)
+        lum = img.mean(-1) if img.ndim == 3 else img
+        ap_dist = Distribution2D.build(np.maximum(lum, 0.0))
+        aperture_kind = "bitmap"
+    elif isinstance(ap_spec, dict):
+        t = ap_spec.get("type", "disk")
+        if t == "blade":
+            aperture_kind = "blade"
+            ap_blades = int(ap_spec.get("blades", 6))
+            ap_angle = float(ap_spec.get("angle", 0.593412))
+        elif t == "constant":
+            aperture_kind = "const"
+        # any other texture type keeps the uniform-disk default
+    elif isinstance(ap_spec, (int, float)):
+        aperture_kind = "const"
+    cateye = float(cam.get("cateye", 0.0))
+
     camera = CameraParams(
         rot=jnp.asarray(cam_m[:3, :3], jnp.float32),
         pos=jnp.asarray(cam_m[:3, 3], jnp.float32),
         plane_dist=jnp.float32(plane_dist),
         aperture_size=jnp.float32(cam.get("aperture_size", 0.001)),
-        focus_dist=jnp.float32(cam.get("focus_distance", 1.0)),
+        focus_dist=jnp.float32(focus_dist),
+        ap_angle=jnp.float32(ap_angle),
+        cateye=jnp.float32(cateye),
+        ap_dist=ap_dist,
     )
 
     res = cam.get("resolution", [1000, 563])
@@ -934,6 +993,9 @@ def flatten_scene(doc: SceneDocument) -> FlatScene:
         cap_light_idx=tuple(cap_light_idx),
         esc_caps=tuple(esc_caps),
         point_light_index=point_index,
+        aperture_kind=aperture_kind,
+        ap_blades=ap_blades,
+        cateye=cateye,
         min_bounces=int(integ.get("min_bounces", 0)),
         max_bounces=int(integ.get("max_bounces", 64)),
         enable_light_sampling=bool(integ.get("enable_light_sampling", True)),
@@ -980,7 +1042,17 @@ def flatten_scene(doc: SceneDocument) -> FlatScene:
         from ..ops.gather_bvh import build_gather_pack
 
         _gb = build_gather_pack(p0, p1 - p0, p2 - p0)
+    # one wide shading row per triangle: the hit-shading gathers (ng, n0-2,
+    # uv0-2, mat, light) collapse into a SINGLE latency-bound XLA gather
+    # (ids < 2^24 are exact in f32)
+    shade_pack = jnp.asarray(np.concatenate(
+        [tri_ng, n0, n1, n2, uv0, uv1, uv2,
+         np.asarray(tri_mat, np.float32)[:, None],
+         np.asarray(tri_light, np.float32)[:, None]],
+        axis=1,
+    ).astype(np.float32))
     return FlatScene(
+        shade_pack=shade_pack,
         tris=tris_soa,
         tri_ng=jnp.asarray(tri_ng),
         tri_n0=jnp.asarray(n0),
