@@ -64,6 +64,10 @@ class Distribution2D:
     alias_prob: jnp.ndarray = None  # (h*w,) stay-probability
     alias_idx: jnp.ndarray = None  # (h*w,) alias cell
     joint_pdf: jnp.ndarray = None  # (h*w,) discrete cell prob
+    # (h*w, 4) packed [stay-prob, alias-cell, joint_pdf(cell), joint_pdf
+    # (alias)] — one row gather answers the whole alias draw (cell ids
+    # < 2^20 are exact in f32; gathers are latency-bound per op on TPU)
+    alias_pack: jnp.ndarray = None
 
     @property
     def shape(self):
@@ -96,6 +100,9 @@ class Distribution2D:
         ccdf[:, -1] = 1.0
         joint = (marg[:, None] * cond).ravel()
         prob, alias = _build_alias(joint)
+        apack = np.stack(
+            [prob, alias.astype(np.float64), joint, joint[alias]], axis=1
+        ).astype(np.float32)
         return Distribution2D(
             marginal_pdf=jnp.asarray(marg, jnp.float32),
             marginal_cdf=jnp.asarray(mcdf, jnp.float32),
@@ -104,6 +111,7 @@ class Distribution2D:
             alias_prob=jnp.asarray(prob, jnp.float32),
             alias_idx=jnp.asarray(alias, jnp.int32),
             joint_pdf=jnp.asarray(joint, jnp.float32),
+            alias_pack=jnp.asarray(apack),
         )
 
     def sample(self, u):
@@ -120,9 +128,11 @@ class Distribution2D:
         u1 = jnp.clip(u[..., 1], 0.0, 1.0 - 1e-7)
         k = jnp.minimum((u0 * n_cells).astype(jnp.int32), n_cells - 1)
         r0 = u0 * n_cells - k.astype(jnp.float32)  # fresh uniform
-        pk = self.alias_prob[k]
+        row = self.alias_pack[k]  # ONE gather: prob, alias, pdf(k), pdf(alias)
+        pk = row[..., 0]
         stay = u1 < pk
-        cell = jnp.where(stay, k, self.alias_idx[k])
+        cell = jnp.where(stay, k, row[..., 1].astype(jnp.int32))
+        pdf = jnp.where(stay, row[..., 2], row[..., 3])
         r1 = jnp.where(
             stay,
             u1 / jnp.maximum(pk, 1e-20),
@@ -130,14 +140,14 @@ class Distribution2D:
         )
         x = cell % w
         y = cell // w
-        pdf = self.joint_pdf[cell]
         vx = jnp.clip(r0, 0.0, 1.0)
         vy = jnp.clip(r1, 0.0, 1.0)
         return x, y, pdf, jnp.stack([vx, vy], axis=-1)
 
     def prob(self, x, y):
-        """Discrete probability of cell (x, y)."""
-        return self.marginal_pdf[y] * self.cond_pdf[y, x]
+        """Discrete probability of cell (x, y) — one joint-table gather."""
+        h, w = self.shape
+        return self.joint_pdf[jnp.clip(y, 0, h - 1) * w + jnp.clip(x, 0, w - 1)]
 
 
 def _build_alias(p: np.ndarray):
