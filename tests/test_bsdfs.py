@@ -176,7 +176,7 @@ def test_thinsheet_textured_thickness_and_structured_alpha():
         wi = fixed_wi(n)
         # uv spanning checker cells -> transparency must VARY across uv
         uv = jnp.stack([jnp.linspace(0.0, 1.0, n), jnp.full((n,), 0.26)], -1)
-        params, mtype, albedo = _gather(ctx, jnp.zeros((n,), jnp.int32), uv)
+        params, mtype, albedo = _gather(ctx, jnp.zeros((n,), jnp.int32), uv)[:3]
         mod = module_for_id(int(np.asarray(mtype)[0]))
         tr = np.asarray(mod.forward_transparency(ctx, params, albedo, uv, wi))
         assert np.isfinite(tr).all()

@@ -168,3 +168,26 @@ def test_sobol_qmc_variance_below_hash():
     var_qmc = est_qmc.var()
     # Sobol at 64 spp on a smooth 8-dim integrand: >= 4x variance reduction
     assert var_qmc < var_hash / 4.0, (var_qmc, var_hash)
+
+
+def test_sobol_window_prefetch_parity():
+    """prefetch(K) windowed draws are bitwise identical to per-draw gathers,
+    across bases (incl. the 512-row clamp edge), 2d/1d sites, and skip."""
+    import jax.numpy as jnp
+
+    from tungsten_tpu.sampling.sampler import Sampler
+
+    N = 257
+    lane = jnp.arange(N, dtype=jnp.uint32)
+    seed = jnp.array([123, 77], jnp.uint32)
+    samp = jnp.full((N,), 5, jnp.uint32)
+    pix = jnp.arange(N, dtype=jnp.uint32) * 31
+    for base in [0, 2, 26, 505, 511, 520]:
+        s0 = Sampler(seed, lane, jnp.full((N,), base, jnp.int32), None,
+                     samp, pix, True)
+        sw = s0.prefetch(8)
+        s0, sw = s0.skip(1), sw.skip(1)
+        for k in range(7):  # offsets 1..7, the last past-window draws re-gather
+            u_a, s0 = s0.next_2d()
+            u_b, sw = sw.next_2d()
+            assert jnp.array_equal(u_a, u_b), (base, k)

@@ -157,7 +157,7 @@ def _forward_transparency(scene, mat_id, uv, wi):
     from ..models.bsdfs.dispatch import module_for_id, _gather
 
     ctx = (scene.materials, scene.textures)
-    params, mtype, albedo = _gather(ctx, mat_id, uv)
+    params, mtype, albedo = _gather(ctx, mat_id, uv)[:3]
     out = jnp.zeros(wi.shape[:-1] + (3,), jnp.float32)
     for tid in scene.materials.present:
         mod = module_for_id(tid)
@@ -803,7 +803,7 @@ def _trace_pass_fast(scene: FlatScene, seed, lane_ids, px, py, table=None):
         smp = Sampler(
             s["seed"], s["lane_id"], s["base_dim"] + bounce * DIMS_PER_BOUNCE,
             table, s["samp_idx"], s["pix_key"], STRAT,
-        )
+        ).prefetch(8)  # one gather serves every draw site this bounce
         o, d, alive = s["o"], s["d"], s["alive"]
         throughput, emission = s["throughput"], s["emission"]
         was_specular = s["was_specular"]
@@ -1372,7 +1372,7 @@ def trace_regen_batch(scene: FlatScene, seed, px_cycle, py_cycle, pix_cycle,
     def body(s):
         bounce = s["bounce"]  # (W,) per-lane
         smp = Sampler(seed, s["lane_key"], jnp.int32(2) + bounce * DIMS_PER_BOUNCE,
-                      None, s["samp_idx"], s["pix_key"], strat)
+                      None, s["samp_idx"], s["pix_key"], strat).prefetch(8)  # one gather serves every draw site
         o, d, alive = s["o"], s["d"], s["alive"]
         throughput, emission = s["throughput"], s["emission"]
         was_specular = s["was_specular"]
@@ -1442,43 +1442,52 @@ def trace_regen_batch(scene: FlatScene, seed, px_cycle, py_cycle, pix_cycle,
 
         # ---- surface shading data ----
         p, ng, ns, uv, mat_id, light_id = _shading_data(scene, hit, o, d)
-        lobes = scene.materials.lobes[mat_id]
-        # ONE material+albedo gather per bounce, shared by the NEE eval/pdf
+        # ONE material gather per bounce serves params + type + albedo
+        # (header pre-packed) + the lobe mask, shared by the NEE eval/pdf
         # and the continuation sample (gathers are latency-bound per op)
         from ..models.bsdfs.dispatch import _gather as _mat_gather
 
         mat_pre = _mat_gather(ctx, mat_id, uv)
+        lobes = mat_pre[3]
         hit_backside = vo.dot(ns, d) > 0.0
         flip = hit_backside & ~Lobes.is_transmissive(lobes) if meta.enable_two_sided else jnp.zeros_like(hit_backside)
         t_ax, b_ax, frame_n = _shading_frame(scene, jnp.maximum(hit.prim, 0), ns, flip)
         frame = (t_ax, b_ax, frame_n)
         wi = vo.to_local(*frame, -d)
 
-        geo_front = -vo.dot(d, ng) > jnp.maximum(
-            scene.lights.cone_cos[jnp.maximum(light_id, 0)], 0.0
-        )
-        if do_nee:
-            tri_e = jnp.maximum(hit.prim, 0)
-            hl_e = light_id
-            lp_hit = (L.area_direct_pdf(scene, tri_e, o, p, d)
-                      * L.light_choice_pdf(scene, jnp.maximum(hl_e, 0), o))
-            w_emit = jnp.where(
-                mis_applies, warps.power_heuristic(s["pdf_cont"], lp_hit), 1.0
+        if scene.lights.has_surface:
+            geo_front = -vo.dot(d, ng) > jnp.maximum(
+                scene.lights.cone_cos[jnp.maximum(light_id, 0)], 0.0
             )
-            if _DBG_MIS_HALF == "light":
-                w_emit = jnp.where(mis_applies, 0.0, w_emit)
+            if do_nee:
+                tri_e = jnp.maximum(hit.prim, 0)
+                hl_e = light_id
+                lp_hit = (L.area_direct_pdf(scene, tri_e, o, p, d)
+                          * L.light_choice_pdf(scene, jnp.maximum(hl_e, 0), o))
+                w_emit = jnp.where(
+                    mis_applies, warps.power_heuristic(s["pdf_cont"], lp_hit), 1.0
+                )
+                if _DBG_MIS_HALF == "light":
+                    w_emit = jnp.where(mis_applies, 0.0, w_emit)
+            else:
+                w_emit = jnp.ones((n,))
+            add_emit = (
+                hit_surface_lane
+                & (light_id >= 0)
+                & geo_front
+                & (bounce >= meta.min_bounces)
+            )
+            e_hit = eval_texture(
+                scene.textures, scene.lights.tex[jnp.maximum(light_id, 0)],
+                uv, may=scene.lights.emit_kinds,
+            )
+            emission = emission + jnp.where(
+                add_emit[..., None], throughput * e_hit * w_emit[..., None], 0.0
+            )
         else:
-            w_emit = jnp.ones((n,))
-        add_emit = (
-            hit_surface_lane
-            & (light_id >= 0)
-            & geo_front
-            & (bounce >= meta.min_bounces)
-        )
-        e_hit = eval_texture(scene.textures, scene.lights.tex[jnp.maximum(light_id, 0)], uv)
-        emission = emission + jnp.where(
-            add_emit[..., None], throughput * e_hit * w_emit[..., None], 0.0
-        )
+            # no surface emitters in the scene: the whole hit-emitter block
+            # (cone gather, texture eval, area pdf) is statically absent
+            e_hit = jnp.zeros((n, 3))
 
         if want_aovs:
             dist_new = s["aov_dist"] + jnp.where(did_hit, hit.t, 0.0)
@@ -1828,7 +1837,7 @@ def trace_pass(scene: FlatScene, seed, lane_ids, px, py, table=None):
         smp = Sampler(
             s["seed"], s["lane_id"], s["base_dim"] + bounce * DIMS_PER_BOUNCE,
             table, s["samp_idx"], s["pix_key"], STRAT,
-        )
+        ).prefetch(8)  # one gather serves every draw site this bounce
         o, d, alive = s["o"], s["d"], s["alive"]
         throughput, emission = s["throughput"], s["emission"]
         was_specular = s["was_specular"]

@@ -70,6 +70,14 @@ class MaterialTable:
     # ONE row fetch (XLA gathers are latency-bound per op, so count rules)
     gpack: jnp.ndarray = None
 
+    # (M, 28) [params | type | albedo_tex | lobes | albedo tpack row(9)]:
+    # built in flatten once textures exist — the dispatch gather ALSO serves
+    # the lobe mask and the albedo texture header, and albedo_kinds narrows
+    # the albedo eval to the texture types materials actually reference
+    # (the envmap's bitmap branch no longer taxes every albedo eval)
+    gpack2: jnp.ndarray = None
+    albedo_kinds: tuple = field(pytree_node=False, default=None)
+
     # hair BCSDF azimuthal tables (one slab per hair material; None when
     # the scene has no hair): see models/bsdfs/hair.py precompute
     hair_tables: jnp.ndarray = None  # (H, 3, 64, 64, 3)
@@ -185,6 +193,18 @@ def _gather(ctx, mat_id, uv):
     from ..textures import eval_texture
 
     mats, texs = ctx
+    if mats.gpack2 is not None:
+        row = mats.gpack2[mat_id]  # ONE gather: params+type+tex+lobes+header
+        params = row[..., :N_PARAMS]
+        mtype = row[..., N_PARAMS].astype(jnp.int32)
+        tex_id = row[..., N_PARAMS + 1].astype(jnp.int32)
+        lobes = row[..., N_PARAMS + 2].astype(jnp.int32)
+        hdr = row[..., N_PARAMS + 3:]
+        albedo = eval_texture(
+            texs, tex_id, uv, may=mats.albedo_kinds,
+            pre=(hdr[..., :-1], hdr[..., -1].astype(jnp.int32)),
+        )
+        return params, mtype, albedo, lobes
     if mats.gpack is not None:
         row = mats.gpack[mat_id]  # ONE gather for params + type + albedo id
         params = row[..., : row.shape[-1] - 2]
@@ -194,12 +214,12 @@ def _gather(ctx, mat_id, uv):
         params = mats.params[mat_id]
         mtype = mats.type[mat_id]
         albedo = eval_texture(texs, mats.albedo_tex[mat_id], uv)
-    return params, mtype, albedo
+    return params, mtype, albedo, mats.lobes[mat_id]
 
 
 def bsdf_eval(ctx, mat_id, uv, wi, wo, nonspecular_only=False, nested=False,
               pre=None):
-    params, mtype, albedo = pre if pre is not None else _gather(ctx, mat_id, uv)
+    params, mtype, albedo = (pre if pre is not None else _gather(ctx, mat_id, uv))[:3]
     out = jnp.zeros(wi.shape[:-1] + (3,), jnp.float32)
     for tid in _present(ctx, nested):
         f = module_for_id(tid).eval(ctx, params, albedo, uv, wi, wo, nonspecular_only)
@@ -209,7 +229,7 @@ def bsdf_eval(ctx, mat_id, uv, wi, wo, nonspecular_only=False, nested=False,
 
 def bsdf_pdf(ctx, mat_id, uv, wi, wo, nonspecular_only=False, nested=False,
              pre=None):
-    params, mtype, albedo = pre if pre is not None else _gather(ctx, mat_id, uv)
+    params, mtype, albedo = (pre if pre is not None else _gather(ctx, mat_id, uv))[:3]
     out = jnp.zeros(wi.shape[:-1], jnp.float32)
     for tid in _present(ctx, nested):
         p = module_for_id(tid).pdf(ctx, params, albedo, uv, wi, wo, nonspecular_only)
@@ -219,7 +239,7 @@ def bsdf_pdf(ctx, mat_id, uv, wi, wo, nonspecular_only=False, nested=False,
 
 def bsdf_sample(ctx, mat_id, uv, wi, u2, u1, nonspecular_only=False,
                 nested=False, pre=None) -> BsdfSample:
-    params, mtype, albedo = pre if pre is not None else _gather(ctx, mat_id, uv)
+    params, mtype, albedo = (pre if pre is not None else _gather(ctx, mat_id, uv))[:3]
     res = BsdfSample.invalid(wi.shape[0])
     for tid in _present(ctx, nested):
         s = module_for_id(tid).sample(ctx, params, albedo, uv, wi, u2, u1, nonspecular_only)
@@ -238,7 +258,7 @@ def bsdf_eta_sq(ctx, mat_id, uv, wi, wo):
     """sqr(Bsdf::eta(event)) — the non-adjoint radiance factor that eval/sample
     fold in (Bsdf.hpp:87). Adjoint transport divides it back out. Only
     dielectrics/rough dielectrics have eta != 1."""
-    params, mtype, _ = _gather(ctx, mat_id, uv)
+    params, mtype = _gather(ctx, mat_id, uv)[:2]
     out = jnp.ones(wi.shape[:-1], jnp.float32)
     for tid in ctx[0].present:
         mod = module_for_id(tid)

@@ -55,7 +55,10 @@ def env_radiance(scene, d):
     """Escape-winner env emission (evalDirect of the LAST env primitive —
     it masks every earlier env for all directions)."""
     uv, _ = direction_to_uv(scene.env, d)
-    return eval_texture(scene.textures, jnp.broadcast_to(scene.env.tex, d.shape[:-1]), uv)
+    may = (scene.env.tex_kind,) if scene.env.tex_kind >= 0 else None
+    return eval_texture(
+        scene.textures, jnp.broadcast_to(scene.env.tex, d.shape[:-1]), uv,
+        may=may)
 
 
 def _env_direct_pdf_one(scene, env, is_const, d):
@@ -82,7 +85,8 @@ def _sample_env_direct_one(scene, env, is_const, u2) -> LightSample:
     if is_const:
         d = warps.uniform_sphere(u2)
         uv, _ = direction_to_uv(env, d)
-        rad = eval_texture(scene.textures, jnp.broadcast_to(env.tex, (n,)), uv)
+        rad = eval_texture(scene.textures, jnp.broadcast_to(env.tex, (n,)), uv,
+                           may=(env.tex_kind,) if env.tex_kind >= 0 else None)
         return LightSample(
             d=d,
             dist=jnp.full((n,), INF),
@@ -96,7 +100,8 @@ def _sample_env_direct_one(scene, env, is_const, u2) -> LightSample:
     uv = jnp.stack([(uvr[..., 0] + x) / w, 1.0 - (uvr[..., 1] + row) / h], axis=-1)
     d, sin_theta = uv_to_direction(env, uv)
     pdf = pdf_d * (w * h) * warps.INV_PI * warps.INV_TWO_PI / jnp.maximum(sin_theta, 1e-6)
-    rad = eval_texture(scene.textures, jnp.broadcast_to(env.tex, (n,)), uv)
+    rad = eval_texture(scene.textures, jnp.broadcast_to(env.tex, (n,)), uv,
+                       may=(env.tex_kind,) if env.tex_kind >= 0 else None)
     return LightSample(
         d=d,
         dist=jnp.full((n,), INF),
@@ -412,7 +417,15 @@ def sample_area_direct(scene, li, p, u_tri, u2) -> LightSample:
     Analytic lights (sphere/disk/cylinder) dispatch to their exact direct
     samplers (spherical cap / uniform disk / uniform position) — see
     models/primitives/analytic.py."""
-    ls = _sample_area_direct_tris(scene, li, p, u_tri, u2)
+    if scene.lights.has_surface:
+        ls = _sample_area_direct_tris(scene, li, p, u_tri, u2)
+    else:
+        # no surface lights: callers always overwrite via the env/cap/point
+        # merges below — skip the CDF walk and triangle gathers statically
+        n = u_tri.shape[0]
+        z3 = jnp.zeros((n, 3))
+        ls = LightSample(d=z3, dist=jnp.zeros((n,)), pdf=jnp.ones((n,)),
+                         radiance=z3, valid=jnp.zeros((n,), bool))
     if scene.meta.has_analytic:
         from . import analytic as ana_mod
 
@@ -469,7 +482,8 @@ def _sample_area_direct_tris(scene, li, p, u_tri, u2) -> LightSample:
     valid = cos_theta > jnp.maximum(lights.cone_cos[li], 0.0)
     valid = valid & (cos_theta > 0.0)
     pdf = r_sq / jnp.maximum(cos_theta * area, 1e-30)
-    rad = eval_texture(scene.textures, lights.tex[li], uv)
+    rad = eval_texture(scene.textures, lights.tex[li], uv,
+                       may=lights.emit_kinds)
     return LightSample(d=d, dist=dist, pdf=pdf, radiance=rad, valid=valid)
 
 

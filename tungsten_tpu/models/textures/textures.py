@@ -129,6 +129,12 @@ class TextureBuilder:
         self.params.append(p)
         return len(self.types) - 1
 
+    def kinds_of(self, ids) -> tuple:
+        """STATIC sorted tuple of texture types reachable from these ids —
+        the eval_texture `may` hint (invalid/negative ids contribute none)."""
+        return tuple(sorted({
+            self.types[i] for i in ids if 0 <= int(i) < len(self.types)}))
+
     def image(self, tex_id: int) -> np.ndarray:
         """Host-side access to a bitmap's texels (H, W, 3) — used for building
         env-map sampling distributions."""
@@ -273,21 +279,32 @@ def _eval_blade(params, uv):
     return jnp.where(center[..., None], params[..., 0:3], val)
 
 
-def eval_texture(table: TextureTable, tex_id, uv):
+def eval_texture(table: TextureTable, tex_id, uv, may=None, pre=None):
     """Batched lookup: tex_id (N,), uv (N, 2) -> rgb (N, 3).
 
     Dispatch is masked over the texture types *present in the scene* (static),
     so a scene with only constants compiles to a single gather.
+
+    may: optional STATIC tuple of texture types this call site's tex_id set
+    can actually contain (computed at flatten) — branches outside it are
+    never built, so e.g. an albedo eval in a scene whose only bitmap is the
+    envmap skips the (unconditionally executed, latency-bound) texel gather.
+    pre: optional (params, ttype) pair when the caller already fetched the
+    header as part of its own packed row — skips the header gather here.
     """
-    if table.tpack is not None:
+    if pre is not None:
+        params, ttype = pre
+    elif table.tpack is not None:
         row = table.tpack[tex_id]  # one gather for params + type
         params = row[..., :-1]
         ttype = row[..., -1].astype(jnp.int32)
     else:
         params = table.params[tex_id]
         ttype = table.type[tex_id]
+    kinds = table.present if may is None else tuple(
+        t for t in table.present if t in may)
     out = jnp.zeros(uv.shape[:-1] + (3,), jnp.float32)
-    for t in table.present:
+    for t in kinds:
         if t == TEX_CONSTANT:
             val = _eval_constant(params, uv)
         elif t == TEX_CHECKER:

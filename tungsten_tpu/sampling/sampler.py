@@ -140,6 +140,23 @@ def sobol_pair_table():
     return _SOBOL_PAIRS
 
 
+_SOBOL_WIN = {}
+
+
+def sobol_window_table(K):
+    """(512, 2S*K) u32 — row j holds pair rows j..j+K-1 of sobol_pair_table
+    concatenated (end rows edge-pad), so ONE gather at a bounce's base pair
+    index prefetches every direction-number row the bounce will draw
+    (gathers are latency-bound per op at wavefront widths; the per-bounce
+    draw sites sit at STATIC pair offsets from the base, so each serves
+    itself from a static slice of the window)."""
+    if K not in _SOBOL_WIN:
+        P = sobol_pair_table()  # (512, 2S)
+        idx = np.minimum(np.arange(512)[:, None] + np.arange(K)[None, :], 511)
+        _SOBOL_WIN[K] = P[idx].reshape(512, -1).astype(np.uint32)
+    return _SOBOL_WIN[K]
+
+
 def sobol_sample(dim, index):
     """sobol::sample (sobol.h:40-52), vectorized: XOR the matrix columns of
     `dim` selected by the set bits of `index`. dim (N,) int32, index (N,) u32."""
@@ -176,6 +193,12 @@ class Sampler:
     # call (two 1D sites share one _draw; None-ness is static per trace
     # position, so the pairing costs no runtime branching)
     pending: jnp.ndarray = None
+    # prefetched direction-number window (N, 2S*K): pair rows base..base+K-1
+    # fetched in ONE gather by prefetch(); draw sites read static slices.
+    # stat_off counts pair draws since construction — a PYTHON int (every
+    # _advance passes a literal), so the window offset is trace-static.
+    win: jnp.ndarray = None
+    stat_off: int = __import__("flax").struct.field(pytree_node=False, default=0)
 
     @staticmethod
     def create(seed, lane_ids: jnp.ndarray, table=None, samp_idx=None,
@@ -227,10 +250,15 @@ class Sampler:
                 jnp.where(use_qmc, jnp.uint32(0), self.samp_idx),
                 jnp.broadcast_to(self.seed[0] ^ jnp.uint32(0x50B07), shp),
             )
-            rows = jnp.take(
-                jnp.asarray(sobol_pair_table()),
-                jnp.clip(di, 0, SOBOL_DIMS // 2 - 1), axis=0,
-            )  # (N, 2S): bit-reversed dims (2d, 2d+1) side by side
+            o = self.stat_off
+            if self.win is not None and 0 <= o < self.win.shape[-1] // (2 * S):
+                # served from the prefetched window: a STATIC slice, no gather
+                rows = self.win[..., 2 * S * o: 2 * S * (o + 1)]
+            else:
+                rows = jnp.take(
+                    jnp.asarray(sobol_pair_table()),
+                    jnp.clip(di, 0, SOBOL_DIMS // 2 - 1), axis=0,
+                )  # (N, 2S): bit-reversed dims (2d, 2d+1) side by side
             x = jnp.zeros(shp, jnp.uint32)
             y = jnp.zeros(shp, jnp.uint32)
             for i in range(S):
@@ -284,10 +312,30 @@ class Sampler:
         any pending half-draw (skip means skip)."""
         return self._advance(n, pending=None)
 
+    def prefetch(self, K=8) -> "Sampler":
+        """ONE gather prefetching direction-number pair rows dim..dim+K-1
+        (sobol_window_table); subsequent draws at static offsets < K read
+        the window with no gather of their own. No-op outside strat mode."""
+        if not self.strat:
+            return self
+        base = jnp.clip(self.dim.astype(jnp.int32), 0, 511)
+        win = jnp.take(jnp.asarray(sobol_window_table(K)), base, axis=0)
+        return Sampler(
+            self.seed, self.lane_id, self.dim, self.table,
+            self.samp_idx, self.pix_key, self.strat, self.pending,
+            win, 0,
+        )
+
     def _advance(self, n, pending=None):
+        # stat_off is static pytree metadata: keep it 0 whenever there is no
+        # window so windowless Samplers share one treedef (loop carries in
+        # BDPT/MLT would otherwise change structure across iterations)
+        ni = n if isinstance(n, (int, np.integer)) else None
+        win = self.win if ni is not None else None
         return Sampler(
             self.seed, self.lane_id, self.dim + n, self.table,
             self.samp_idx, self.pix_key, self.strat, pending,
+            win, self.stat_off + ni if win is not None else 0,
         )
 
 

@@ -75,6 +75,13 @@ class LightTable:
     max_count: int = field(pytree_node=False, default=1)
     # per-light approximateRadiance kind ("none" = -1/uniform share):
     apx_kind: tuple = field(pytree_node=False, default=())
+    # STATIC: any surface (area/analytic) light exists — gates the whole
+    # hit-emitter block (e_hit texture eval, cone test, area direct pdf)
+    # out of scenes lit only by infinite/point lights
+    has_surface: bool = field(pytree_node=False, default=True)
+    # STATIC: texture kinds reachable from surface-light emission textures
+    # (the eval_texture `may` hint for e_hit / NEE radiance evals)
+    emit_kinds: tuple = field(pytree_node=False, default=None)
 
 
 @pytree
@@ -83,6 +90,9 @@ class EnvLight:
     inv_rot: jnp.ndarray  # (3, 3)
     tex: jnp.ndarray  # () int32 emission texture
     dist: Distribution2D  # over the emission bitmap (sin-weighted, dilated)
+    # STATIC texture kind of `tex` — the eval_texture `may` hint, so the env
+    # radiance eval builds only the one dispatch branch it can ever take
+    tex_kind: int = field(pytree_node=False, default=-1)
 
 
 @pytree
@@ -727,6 +737,7 @@ def flatten_scene(doc: SceneDocument) -> FlatScene:
             inv_rot=jnp.asarray(rot.T, jnp.float32),
             tex=jnp.int32(etex),
             dist=dist,
+            tex_kind=tex_builder.types[etex],
         ))
         env_const_l.append(is_const)
         if samplable:
@@ -884,6 +895,14 @@ def flatten_scene(doc: SceneDocument) -> FlatScene:
             [a[6] for a in l_apx] or [_Z3], np.float32)),
         apx_kind=tuple(a[0] for a in l_apx),
         max_count=max([c for c in (l_count or [1])] + [1]),
+        has_surface=any(
+            es < 0 and cs < 0 and ps < 0
+            for es, cs, ps in zip(
+                l_envslot or [], l_capslot or [], l_pt or [])),
+        emit_kinds=tex_builder.kinds_of([
+            t for t, es, cs, ps in zip(
+                l_tex or [], l_envslot or [], l_capslot or [], l_pt or [])
+            if es < 0 and cs < 0 and ps < 0]),
     )
 
     # ---- analytic prim table + virtual-id rows -----------------------------
@@ -1051,6 +1070,23 @@ def flatten_scene(doc: SceneDocument) -> FlatScene:
          np.asarray(tri_light, np.float32)[:, None]],
         axis=1,
     ).astype(np.float32))
+    textures = tex_builder.build()
+    # widen the material dispatch row with the lobe mask + the albedo
+    # texture HEADER so the hot-loop material fetch is one gather and the
+    # albedo eval skips its header gather; albedo_kinds statically narrows
+    # the albedo dispatch to kinds materials actually reference
+    if materials.gpack is not None and textures.tpack is not None:
+        _at = np.asarray(materials.albedo_tex)
+        _g2 = np.concatenate(
+            [np.asarray(materials.gpack),
+             np.asarray(materials.lobes, np.float32)[:, None],
+             np.asarray(textures.tpack)[
+                 np.clip(_at, 0, textures.tpack.shape[0] - 1)]],
+            axis=1).astype(np.float32)
+        materials = materials.replace(
+            gpack2=jnp.asarray(_g2),
+            albedo_kinds=tex_builder.kinds_of(_at.tolist()),
+        )
     return FlatScene(
         shade_pack=shade_pack,
         tris=tris_soa,
@@ -1076,7 +1112,7 @@ def flatten_scene(doc: SceneDocument) -> FlatScene:
         ana=ana_table,
         materials=materials,
         media=media,
-        textures=tex_builder.build(),
+        textures=textures,
         lights=lights,
         env=env,
         cap=cap,
@@ -1088,11 +1124,13 @@ def flatten_scene(doc: SceneDocument) -> FlatScene:
 
 
 def _default_env(tex_builder) -> EnvLight:
+    etex = tex_builder.add_constant([0.0, 0.0, 0.0])
     return EnvLight(
         rot=jnp.eye(3),
         inv_rot=jnp.eye(3),
-        tex=jnp.int32(tex_builder.add_constant([0.0, 0.0, 0.0])),
+        tex=jnp.int32(etex),
         dist=Distribution2D.build(np.ones((1, 1), np.float32)),
+        tex_kind=tex_builder.types[etex],
     )
 
 
