@@ -1449,6 +1449,12 @@ def trace_regen_batch(scene: FlatScene, seed, px_cycle, py_cycle, pix_cycle,
 
         mat_pre = _mat_gather(ctx, mat_id, uv)
         lobes = mat_pre[3]
+        cx = ctx
+        if len(mat_pre) > 4:
+            # stash the pre-fetched substrate row: nested dispatch inside
+            # wrapper bsdfs (smooth_coat etc.) reads it instead of gathering
+            cx = (ctx[0].replace(sub_pre=mat_pre[4]), ctx[1])
+            mat_pre = mat_pre[:4]
         hit_backside = vo.dot(ns, d) > 0.0
         flip = hit_backside & ~Lobes.is_transmissive(lobes) if meta.enable_two_sided else jnp.zeros_like(hit_backside)
         t_ax, b_ax, frame_n = _shading_frame(scene, jnp.maximum(hit.prim, 0), ns, flip)
@@ -1553,11 +1559,11 @@ def trace_regen_batch(scene: FlatScene, seed, px_cycle, py_cycle, pix_cycle,
             (li, is_env_c, is_cap_c, is_point_c, ls, cp_pick,
              smp) = _choose_and_sample_light(scene, smp, vp)
             wo_l = vo.to_local(*frame, ls.d)
-            f_l = bsdf_eval(ctx, mat_id, uv, wi, wo_l, nonspecular_only=True,
+            f_l = bsdf_eval(cx, mat_id, uv, wi, wo_l, nonspecular_only=True,
                             pre=mat_pre)
             # competing strategy = the continuation sampler's density over
             # continuous directions (full pdf incl. lobe-selection weight)
-            pdf_b = bsdf_pdf(ctx, mat_id, uv, wi, wo_l, pre=mat_pre)
+            pdf_b = bsdf_pdf(cx, mat_id, uv, wi, wo_l, pre=mat_pre)
             if meta.has_media:
                 fp = phase_eval(ptype, g, d, ls.d)
                 f_l = jnp.where(scattered[..., None], fp[..., None], f_l)
@@ -1573,7 +1579,7 @@ def trace_regen_batch(scene: FlatScene, seed, px_cycle, py_cycle, pix_cycle,
                 # traces a dedicated bsdf ray at the chosen light
                 # (TraceBase.cpp:286-319); weight 1 keeps the same
                 # expectation in this arrangement
-                wl_d, _, _ = L.escape_winner(scene, ls.d)
+                wl_d, _, _ = L.escape_winner(scene, ls.d, want_radiance=False)
                 inf_choice = is_env_c | is_cap_c
                 w_light = jnp.where(inf_choice & (wl_d != li), 1.0, w_light)
             skip_l = (
@@ -1635,7 +1641,7 @@ def trace_regen_batch(scene: FlatScene, seed, px_cycle, py_cycle, pix_cycle,
         # ---- continuation sample ----
         u_c2, smp = smp.next_2d()
         u_c1, smp = smp.next_1d()
-        bs = bsdf_sample(ctx, mat_id, uv, wi, u_c2, u_c1, pre=mat_pre)
+        bs = bsdf_sample(cx, mat_id, uv, wi, u_c2, u_c1, pre=mat_pre)
         wo_w = vo.to_global(*frame, bs.wo)
         pdf_cont = bs.pdf
         if meta.has_media:
@@ -1685,9 +1691,11 @@ def trace_regen_batch(scene: FlatScene, seed, px_cycle, py_cycle, pix_cycle,
         # ---- deposit finished paths, then respawn their lanes ----
         fin = s["alive"] & ~alive
         em_clean = jnp.where(jnp.isfinite(emission), emission, 0.0)
-        rad_pix = s["rad_pix"].at[s["pix"]].add(
-            jnp.where(fin[..., None], em_clean, 0.0)
-        )
+        # finished-path deposit: DEFERRED to ride the NEE deposit's scatter
+        # below (same index vector -> one scatter-add per bounce; each XLA
+        # scatter costs a fixed ~0.3 ms at wavefront widths)
+        dep_val = jnp.where(fin[..., None], em_clean, 0.0)
+        rad_pix = s["rad_pix"]
         old_pix = s["pix"]
 
         s2 = dict(s)
@@ -1737,11 +1745,13 @@ def trace_regen_batch(scene: FlatScene, seed, px_cycle, py_cycle, pix_cycle,
             h_next = isect.Hit(
                 t=h2.t[n:], prim=h2.prim[n:], u=h2.u[n:], v=h2.v[n:]
             )
-            # deposit at the pixel the shadow ray belongs to (pre-regen)
+            # ONE scatter: the finished-path deposit + the NEE contribution,
+            # both indexed by the pre-regen pixel
             s2["rad_pix"] = s2["rad_pix"].at[old_pix].add(
-                jnp.where(blocked[..., None], 0.0, nee_add)
+                dep_val + jnp.where(blocked[..., None], 0.0, nee_add)
             )
         else:
+            s2["rad_pix"] = s2["rad_pix"].at[old_pix].add(dep_val)
             h_next = _intersect(scene, s2["o"], s2["d"], s2["near"], far_next)
 
         s2.update(hit_t=h_next.t, hit_prim=h_next.prim, hit_u=h_next.u, hit_v=h_next.v)

@@ -94,6 +94,7 @@ def pack_roughness(spec, key, default, tex_builder):
     from ..textures import texture_from_spec
 
     tid = texture_from_spec(r, tex_builder, spec.get("_resolve_path"))
+    tex_builder.rough_ids.append(tid)
     return -(float(tid) + 2.0)
 
 
@@ -104,7 +105,10 @@ def resolve_roughness(ctx, rough_param, uv):
 
     from ..textures import eval_texture
 
-    _, textures = ctx
+    mats, textures = ctx
+    kinds = getattr(mats, "rough_kinds", None)
+    if kinds is not None and len(kinds) == 0:
+        return rough_param  # STATIC: no textured roughness in this scene
     tid = jnp.maximum((-rough_param - 2.0).astype(jnp.int32), 0)
-    tex_r = eval_texture(textures, tid, uv)[..., 0]
+    tex_r = eval_texture(textures, tid, uv, may=kinds)[..., 0]
     return jnp.where(rough_param < -1.0, tex_r, rough_param)

@@ -77,6 +77,19 @@ class MaterialTable:
     # (the envmap's bitmap branch no longer taxes every albedo eval)
     gpack2: jnp.ndarray = None
     albedo_kinds: tuple = field(pytree_node=False, default=None)
+    # STATIC texture kinds reachable from bsdf roughness slots (() = none)
+    rough_kinds: tuple = field(pytree_node=False, default=None)
+
+    # (M,) substrate/base material index of single-substrate wrappers
+    # (smooth_coat/rough_coat/transparency), -1 otherwise; gpack3 = gpack2
+    # row concatenated with the substrate's gpack2 row, so the nested
+    # dispatch inside a wrapper needs NO gather of its own. sub_pre is the
+    # per-lane decoded substrate pre-tuple, stashed by the integrator body
+    # and picked up by nested bsdf_eval/pdf/sample calls. Only built when
+    # no multi-substrate wrapper (mixed) is in the scene.
+    sub_of: jnp.ndarray = None
+    gpack3: jnp.ndarray = None
+    sub_pre: tuple = None
 
     # hair BCSDF azimuthal tables (one slab per hair material; None when
     # the scene has no hair): see models/bsdfs/hair.py precompute
@@ -132,6 +145,7 @@ def pack_materials(bsdf_specs: List[dict], tex_builder) -> MaterialTable:
     lobes = [0] * n
     params = [np.zeros(N_PARAMS, np.float32)] * n
     albedo = [0] * n
+    subs = [-1] * n
 
     def lobes_of(i, depth=0):
         spec = bsdf_specs[i]
@@ -161,9 +175,11 @@ def pack_materials(bsdf_specs: List[dict], tex_builder) -> MaterialTable:
         lobes[i] = lobes_of(i)
         params[i] = p
         albedo[i] = _albedo_tex_for(spec, tex_builder)
+        subs[i] = spec.get("_substrate_index", spec.get("_base_index", -1))
 
     if not types:
-        types, lobes, params, albedo = [0], [0], [np.zeros(N_PARAMS, np.float32)], [0]
+        types, lobes, params, albedo, subs = (
+            [0], [0], [np.zeros(N_PARAMS, np.float32)], [0], [-1])
     gpack = np.concatenate(
         [np.stack(params),
          np.asarray(types, np.float32)[:, None],
@@ -175,6 +191,7 @@ def pack_materials(bsdf_specs: List[dict], tex_builder) -> MaterialTable:
         params=jnp.asarray(np.stack(params)),
         albedo_tex=jnp.asarray(np.asarray(albedo, np.int32)),
         gpack=jnp.asarray(gpack),
+        sub_of=jnp.asarray(np.asarray(subs, np.int32)),
         hair_tables=jnp.asarray(np.stack(hair_tabs)) if hair_tabs else None,
         hair_cdf=jnp.asarray(np.stack(hair_cdfs)) if hair_cdfs else None,
         hair_sums=jnp.asarray(np.stack(hair_sums)) if hair_sums else None,
@@ -193,6 +210,23 @@ def _gather(ctx, mat_id, uv):
     from ..textures import eval_texture
 
     mats, texs = ctx
+    if mats.gpack3 is not None:
+        row = mats.gpack3[mat_id]  # ONE gather: self row + substrate row
+        half = row.shape[-1] // 2
+
+        def parse(r):
+            params = r[..., :N_PARAMS]
+            mtype = r[..., N_PARAMS].astype(jnp.int32)
+            tex_id = r[..., N_PARAMS + 1].astype(jnp.int32)
+            lobes = r[..., N_PARAMS + 2].astype(jnp.int32)
+            hdr = r[..., N_PARAMS + 3:]
+            albedo = eval_texture(
+                texs, tex_id, uv, may=mats.albedo_kinds,
+                pre=(hdr[..., :-1], hdr[..., -1].astype(jnp.int32)),
+            )
+            return params, mtype, albedo, lobes
+
+        return parse(row[..., :half]) + (parse(row[..., half:]),)
     if mats.gpack2 is not None:
         row = mats.gpack2[mat_id]  # ONE gather: params+type+tex+lobes+header
         params = row[..., :N_PARAMS]
@@ -219,6 +253,8 @@ def _gather(ctx, mat_id, uv):
 
 def bsdf_eval(ctx, mat_id, uv, wi, wo, nonspecular_only=False, nested=False,
               pre=None):
+    if pre is None and nested and ctx[0].sub_pre is not None:
+        pre = ctx[0].sub_pre  # substrate row pre-fetched by the wrapper's own gather
     params, mtype, albedo = (pre if pre is not None else _gather(ctx, mat_id, uv))[:3]
     out = jnp.zeros(wi.shape[:-1] + (3,), jnp.float32)
     for tid in _present(ctx, nested):
@@ -229,6 +265,8 @@ def bsdf_eval(ctx, mat_id, uv, wi, wo, nonspecular_only=False, nested=False,
 
 def bsdf_pdf(ctx, mat_id, uv, wi, wo, nonspecular_only=False, nested=False,
              pre=None):
+    if pre is None and nested and ctx[0].sub_pre is not None:
+        pre = ctx[0].sub_pre  # substrate row pre-fetched by the wrapper's own gather
     params, mtype, albedo = (pre if pre is not None else _gather(ctx, mat_id, uv))[:3]
     out = jnp.zeros(wi.shape[:-1], jnp.float32)
     for tid in _present(ctx, nested):
@@ -239,6 +277,8 @@ def bsdf_pdf(ctx, mat_id, uv, wi, wo, nonspecular_only=False, nested=False,
 
 def bsdf_sample(ctx, mat_id, uv, wi, u2, u1, nonspecular_only=False,
                 nested=False, pre=None) -> BsdfSample:
+    if pre is None and nested and ctx[0].sub_pre is not None:
+        pre = ctx[0].sub_pre  # substrate row pre-fetched by the wrapper's own gather
     params, mtype, albedo = (pre if pre is not None else _gather(ctx, mat_id, uv))[:3]
     res = BsdfSample.invalid(wi.shape[0])
     for tid in _present(ctx, nested):

@@ -237,7 +237,7 @@ def infinite_winner_pdf(scene, d):
     return pdf
 
 
-def escape_winner(scene, d):
+def escape_winner(scene, d, want_radiance=True):
     """(winner light index, radiance, direct pdf) of the infinite primitive
     an escaping ray 'hits' — the LAST listed infinite that intersects d
     (TraceableScene.hpp:194-209). The light index is -2 where nothing
@@ -254,7 +254,8 @@ def escape_winner(scene, d):
             shp,
             jnp.int32(meta.env_light_index if meta.env_light_index >= 0 else -2),
         )
-        e = env_radiance(scene, d)
+        if want_radiance:
+            e = env_radiance(scene, d)
         if meta.env_light_index >= 0:
             pdf = env_direct_pdf(scene, d)
     for k in meta.esc_caps:

@@ -56,6 +56,9 @@ class TextureBuilder:
         self._blob_meta: List[tuple] = []  # (h, w, clamp) per blob
         self._blob_off = 0
         self._cache = {}
+        # tex ids referenced by bsdf roughness slots (pack_roughness) — the
+        # static `may` hint for resolve_roughness
+        self.rough_ids = []
 
     def add_constant(self, rgb) -> int:
         rgb = np.asarray(rgb, np.float32).ravel()

@@ -1083,9 +1083,21 @@ def flatten_scene(doc: SceneDocument) -> FlatScene:
              np.asarray(textures.tpack)[
                  np.clip(_at, 0, textures.tpack.shape[0] - 1)]],
             axis=1).astype(np.float32)
+        _sub = np.asarray(materials.sub_of)
+        _g3 = None
+        from ..models.bsdfs.dispatch import _registry as _breg
+        _mixed_id = _breg()["mixed"][0]
+        if (_sub >= 0).any() and _mixed_id not in materials.present:
+            # single-substrate wrappers only: append the substrate's row so
+            # the nested dispatch never gathers (rows with no substrate
+            # carry their own row — unused)
+            _g3 = np.concatenate(
+                [_g2, _g2[np.clip(_sub, 0, _g2.shape[0] - 1)]], axis=1)
         materials = materials.replace(
             gpack2=jnp.asarray(_g2),
+            gpack3=jnp.asarray(_g3) if _g3 is not None else None,
             albedo_kinds=tex_builder.kinds_of(_at.tolist()),
+            rough_kinds=tex_builder.kinds_of(tex_builder.rough_ids),
         )
     return FlatScene(
         shade_pack=shade_pack,
