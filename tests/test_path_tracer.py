@@ -376,3 +376,33 @@ def test_bdpt_matches_path_tracer_in_media():
     r = img_bd[mask] / np.maximum(img_pt[mask], 1e-9)
     np.testing.assert_allclose(np.median(r, axis=0), 1.0, atol=0.05)
     np.testing.assert_allclose(img_bd[mask].mean(0), img_pt[mask].mean(0), rtol=0.08)
+
+
+def test_knn_gather_matches_fixed_radius():
+    """kNN surface gather (KdTree::nearestNeighbours semantics, gather
+    count-driven radius): with K larger than any in-radius population the
+    per-lane radius saturates at the max search radius and the estimate is
+    BITWISE the fixed-radius one; with a small K the count-driven estimate
+    still converges to the same image (density estimates agree wherever the
+    local photon density is locally uniform) — median ratio ~1."""
+    import json
+
+    from tungsten_tpu.renderer.render import render_sppm
+
+    with open("/root/reference/data/example-scenes/cornell-box/scene.json") as f:
+        raw = json.load(f)
+    raw["camera"]["resolution"] = [32, 24]
+    raw["integrator"]["max_bounces"] = 4
+
+    doc = parse_scene(raw, path="/root/reference/data/example-scenes/cornell-box/scene.json")
+    scene = flatten_scene(doc)
+    kw = dict(spp=2, seed=42, photons_per_iter=1 << 15, initial_radius=0.08)
+    img_fixed = render_sppm(scene, **kw)
+    img_knn_big = render_sppm(scene, gather_count=10_000, **kw)
+    np.testing.assert_array_equal(img_fixed, img_knn_big)
+
+    img_knn = render_sppm(scene, gather_count=20, **kw)
+    mask = img_fixed.max(-1) > 0.02
+    r = img_knn[mask] / np.maximum(img_fixed[mask], 1e-9)
+    med = np.median(r)
+    assert abs(med - 1.0) < 0.15, med

@@ -177,6 +177,11 @@ def main():
                     photons_per_iter=min(int(pm.get("photon_count", 1 << 18)), 1 << 20),
                     alpha=float(pm.get("alpha", 0.3)),
                     volume_photon_type=pm.get("volume_photon_type", "points"),
+                    # plain photon_map gathers by COUNT (kNN, gatherCount
+                    # default 20, PhotonMapSettings.hpp:43); progressive
+                    # keeps the pure radius schedule
+                    gather_count=(int(pm.get("gather_photon_count", 20))
+                                  if itype == "photon_map" else None),
                     verbose=not args.quiet,
                 )
                 out = save_simple(hdr)

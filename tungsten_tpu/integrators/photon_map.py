@@ -1039,7 +1039,7 @@ def gather_pass(scene: FlatScene, seed, lane_ids, px, py, pack, starts, counts,
                 radius, n_emitted, vpack=None, vstarts=None, vcounts=None,
                 v_radius=None, scene_far=None,
                 bpack=None, bstarts=None, bcounts=None, b_radius=None,
-                prows=None, pmask=None, p1d_radius=None):
+                prows=None, pmask=None, p1d_radius=None, knn_count=None):
     """Camera pass: specular-chain walk + fixed-radius photon density estimate
     at the first non-specular hit (PhotonTracer::traceSensorPath). With a
     volume photon grid (vpack/...): per-bounce beam-query volume gather over
@@ -1205,6 +1205,49 @@ def gather_pass(scene: FlatScene, seed, lane_ids, px, py, pack, starts, counts,
         jnp.int32,
     )
     marange = jnp.arange(MAX_PER_CELL)
+
+    # ---- kNN radius (KdTree::nearestNeighbours, KdTree.hpp:178): the
+    # reference's default surface estimate is gather-count-driven — it uses
+    # the distance to the gatherCount-th nearest photon (capped at the max
+    # search radius) as the density radius. TPU shape: ONE 27-cell pass
+    # accumulates a per-lane histogram of squared distances in B uniform
+    # r^2 bins, then the per-lane radius is the first bin where the
+    # cumulative count reaches K (resolution radius^2/B; exact in the
+    # matched-radius limit where fewer than K photons are in range).
+    r2_max = radius * radius
+    if knn_count is not None:
+        B = 32
+
+        def hist_body(k, hist):
+            off = offsets[k]
+            h = _hash_cell(cell[:, 0] + off[0], cell[:, 1] + off[1],
+                           cell[:, 2] + off[2])
+            start = starts[h]
+            cnt = jnp.minimum(counts[h], MAX_PER_CELL)
+            idx = jnp.clip(start[:, None] + marange[None, :], 0, total - 1)
+            ph = pack[idx]
+            mask = marange[None, :] < cnt[:, None]
+            pb = ph[..., 9].astype(jnp.int32)
+            full_b = final["gbounce"][:, None] + pb - 1
+            gate_b = (full_b >= meta.min_bounces) & (full_b < meta.max_bounces)
+            d2 = vo.length_sq(ph[..., 0:3] - gp[:, None, :])
+            ok = mask & gate_b & (d2 < r2_max)
+            b_id = jnp.minimum((d2 / r2_max * B).astype(jnp.int32), B - 1)
+            onehot = (b_id[..., None] == jnp.arange(B)[None, None, :]) & ok[..., None]
+            return hist + jnp.sum(onehot, axis=1)
+
+        hist = jax.lax.fori_loop(
+            0, 27, hist_body, jnp.zeros((n, B), jnp.int32))
+        cum = jnp.cumsum(hist, axis=-1)
+        # first bin reaching K -> r_k^2; fall back to r2_max when < K total
+        reach = cum >= knn_count
+        bin_k = jnp.argmax(reach, axis=-1)
+        r2_k = jnp.where(
+            jnp.any(reach, axis=-1),
+            (bin_k + 1).astype(jnp.float32) / B * r2_max, r2_max)
+        r2_use = r2_k
+    else:
+        r2_use = jnp.full((n,), r2_max)
     gmat_f = jnp.repeat(final["gmat"][:, None], MAX_PER_CELL, 1).reshape(-1)
     guv_f = jnp.repeat(final["guv"][:, None], MAX_PER_CELL, 1).reshape(-1, 2)
     wi_f = jnp.repeat(wi_l[:, None], MAX_PER_CELL, 1).reshape(-1, 3)
@@ -1221,7 +1264,7 @@ def gather_pass(scene: FlatScene, seed, lane_ids, px, py, pack, starts, counts,
         full_b = final["gbounce"][:, None] + pb - 1
         gate_b = (full_b >= meta.min_bounces) & (full_b < meta.max_bounces)
         dvec = ph[..., 0:3] - gp[:, None, :]
-        in_r = mask & gate_b & (vo.length_sq(dvec) < radius * radius)
+        in_r = mask & gate_b & (vo.length_sq(dvec) < r2_use[:, None])
         wo_ph = vo.to_local(
             t_ax[:, None, :], b_ax[:, None, :], final["gn"][:, None, :], ph[..., 6:9]
         )
@@ -1236,7 +1279,7 @@ def gather_pass(scene: FlatScene, seed, lane_ids, px, py, pack, starts, counts,
 
     contrib = jax.lax.fori_loop(0, 27, cell_body, jnp.zeros((n, 3)))
 
-    density = contrib / (jnp.pi * radius * radius * n_emitted)
+    density = contrib / (jnp.pi * r2_use[:, None] * n_emitted)
     emission = final["emission"] + jnp.where(
         final["gathered"][..., None], final["gthr"] * density, 0.0
     )

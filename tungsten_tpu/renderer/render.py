@@ -375,6 +375,7 @@ def render_sppm(
     verbose=False,
     mesh=None,
     volume_photon_type="points",
+    gather_count=None,
 ):
     """Stochastic progressive photon mapping: per iteration one photon pass
     (hash-grid build) + one camera gather pass; radius shrinks per
@@ -483,7 +484,8 @@ def render_sppm(
             lane_cam = shard_lanes(mesh, lane_cam)
         img = gather_pass(
             scene, seed_cam, lane_cam, px, py, pack, starts, counts,
-            jnp.float32(radius), jnp.float32(photons_per_iter), **vargs,
+            jnp.float32(radius), jnp.float32(photons_per_iter),
+            knn_count=gather_count, **vargs,
         )
         acc = img if acc is None else acc + img
         # radius schedule (ProgressivePhotonMapIntegrator.cpp:58-76):
