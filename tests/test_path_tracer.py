@@ -406,3 +406,25 @@ def test_knn_gather_matches_fixed_radius():
     r = img_knn[mask] / np.maximum(img_fixed[mask], 1e-9)
     med = np.median(r)
     assert abs(med - 1.0) < 0.15, med
+
+
+def test_bdpt_image_pyramid_decomposition():
+    """ImagePyramid (s, t) outputs (ImagePyramid.cpp:20-40): the
+    per-technique stack exists for every BDPT family and its weighted sum
+    reconstructs the render exactly."""
+    import json
+
+    from tungsten_tpu.renderer.render import render_bdpt, render_bdpt_pyramid
+
+    with open("/root/reference/data/example-scenes/cornell-box/scene.json") as f:
+        raw = json.load(f)
+    raw["camera"]["resolution"] = [24, 16]
+    raw["integrator"]["max_bounces"] = 4
+    doc = parse_scene(raw, path="/root/reference/data/example-scenes/cornell-box/scene.json")
+    scene = flatten_scene(doc)
+    img, stack = render_bdpt_pyramid(scene, spp=2, seed=5)
+    img_ref = render_bdpt(scene, spp=2, seed=5, passes_per_batch=1)
+    assert (0, 2) in stack and (2, 1) in stack  # unidirectional + splat families
+    tot = sum(stack.values())
+    np.testing.assert_allclose(tot, img, atol=1e-5)
+    np.testing.assert_allclose(img, img_ref, atol=1e-5)

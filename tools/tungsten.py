@@ -186,10 +186,27 @@ def main():
                 )
                 out = save_simple(hdr)
             elif itype == "bidirectional_path_tracer":
-                from tungsten_tpu.renderer.render import render_bdpt
+                if doc.integrator.get("image_pyramid", False):
+                    # per-technique decomposition stack: <out>-s=%d-t=%d.png
+                    # (ImagePyramid::saveBuffers naming, ImagePyramid.cpp:36)
+                    from tungsten_tpu.renderer.render import render_bdpt_pyramid
 
-                hdr = render_bdpt(scene, spp=args.spp, seed=args.seed, verbose=not args.quiet)
-                out = save_simple(hdr)
+                    hdr, stack = render_bdpt_pyramid(
+                        scene, spp=args.spp, seed=args.seed,
+                        verbose=not args.quiet)
+                    out = save_simple(hdr)
+                    base = os.path.splitext(out)[0]
+                    from tungsten_tpu.io.imageio import save_image
+
+                    for (s, t), im in stack.items():
+                        ldr = np.clip(np.asarray(
+                            tonemap(scene.meta.tonemap, jnp.asarray(im))), 0, 1)
+                        save_image(f"{base}-s={s}-t={t}.png", ldr)
+                else:
+                    from tungsten_tpu.renderer.render import render_bdpt
+
+                    hdr = render_bdpt(scene, spp=args.spp, seed=args.seed, verbose=not args.quiet)
+                    out = save_simple(hdr)
             elif itype == "light_tracer":
                 hdr = render_light_traced(scene, spp=args.spp, seed=args.seed)
                 out = save_simple(hdr)

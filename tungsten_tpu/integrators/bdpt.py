@@ -499,6 +499,14 @@ def trace_bdpt_batch(scene: FlatScene, seed, lane_ids, px, py, base_pass, n_pass
 
 
 @jax.jit
+def trace_bdpt_pass_pyramid(scene: FlatScene, seed, lane_ids, px, py):
+    """One BDPT sample with the per-technique (s, t) decomposition kept
+    (the reference's ImagePyramid diagnostic, ImagePyramid.cpp:20-40).
+    Returns (eye, splat, {(s, t): per-lane add or t=1 splat buffer})."""
+    return _bdpt_sample(scene, seed, lane_ids, px, py, pyramid=True)
+
+
+@jax.jit
 def trace_bdpt_pass(scene: FlatScene, seed, lane_ids, px, py):
     """One BDPT sample per lane. Returns (eye_radiance (N, 3),
     splat_buffer (H*W, 3)) — t=1 techniques go to the splat buffer
@@ -507,7 +515,8 @@ def trace_bdpt_pass(scene: FlatScene, seed, lane_ids, px, py):
 
 
 def _bdpt_sample(scene: FlatScene, seed, lane_ids, px, py, table=None,
-                 skip_dims=1, sel=None, collect=False, return_verts=False):
+                 skip_dims=1, sel=None, collect=False, return_verts=False,
+                 pyramid=False):
     """Core BDPT sample evaluation.
 
     table: optional (N, D, 2) primary-sample table (MLT replay — the
@@ -603,6 +612,9 @@ def _bdpt_sample(scene: FlatScene, seed, lane_ids, px, py, table=None,
 
     eye = jnp.zeros((n, 3))
     splat = jnp.zeros((meta.res_x * meta.res_y, 3), jnp.float32)
+    # per-(s, t) technique decomposition buffers (ImagePyramid.cpp:20-40):
+    # per-lane adds for t >= 2 techniques, splat buffers for t = 1
+    pyr = {}
     le_tex = scene.lights.tex
 
     # ---- s = 0: camera path hits a light ----
@@ -634,9 +646,12 @@ def _bdpt_sample(scene: FlatScene, seed, lane_ids, px, py, table=None,
         else:
             w = _mis_weight_static(scene, cv, lv, 0, t, over_c1, over_c2, None, None)
         contrib = C["throughput"] * le * w[..., None]
-        eye = eye + jnp.where(
+        add_st = jnp.where(
             (on_light & front & tech_mask(0, t))[..., None], contrib, 0.0
         )
+        eye = eye + add_st
+        if pyramid:
+            pyr[(0, t)] = add_st
 
     # ---- s >= 1, t >= 2 connections ----
     for t in range(2, k_max + 1):
@@ -746,7 +761,10 @@ def _bdpt_sample(scene: FlatScene, seed, lane_ids, px, py, table=None,
                 w = jnp.zeros((n,))
             else:
                 w = _mis_weight_static(scene, cv, lv, s, t, over_c1, over_c2, over_l1, over_l2)
-            eye = eye + jnp.where(visible[..., None], contrib * w[..., None], 0.0)
+            add_st = jnp.where(visible[..., None], contrib * w[..., None], 0.0)
+            eye = eye + add_st
+            if pyramid:
+                pyr[(s, t)] = add_st
 
     # ---- t = 1: splat light-subpath vertices to the camera ----
     t1_entries = []
@@ -813,6 +831,11 @@ def _bdpt_sample(scene: FlatScene, seed, lane_ids, px, py, table=None,
                 splat, pixel, value * w[..., None], visible, meta.res_x, meta.res_y,
                 filter_name=meta.filter
             )
+            if pyramid:
+                pyr[(s, 1)] = splat_filtered(
+                    jnp.zeros_like(splat), pixel, value * w[..., None],
+                    visible, meta.res_x, meta.res_y, filter_name=meta.filter,
+                )
 
     eye = jnp.where(jnp.isfinite(eye), eye, 0.0)
     if collect:
@@ -832,4 +855,6 @@ def _bdpt_sample(scene: FlatScene, seed, lane_ids, px, py, table=None,
             out["n_lv"] = n_lv
         return out
     splat = jnp.where(jnp.isfinite(splat), splat, 0.0)
+    if pyramid:
+        return eye, splat, pyr
     return eye, splat

@@ -364,6 +364,45 @@ def render_bdpt(scene: FlatScene, spp=None, seed=DEFAULT_SEED, verbose=False,
     return img
 
 
+def render_bdpt_pyramid(scene: FlatScene, spp=None, seed=DEFAULT_SEED,
+                        verbose=False):
+    """BDPT render that ALSO returns the per-technique (s, t) image stack
+    (the reference's ImagePyramid diagnostic, ImagePyramid.cpp:20-40 /
+    BidirectionalPathTraceIntegrator saveOutputs): {(s, t): (h, w, 3) HDR},
+    weighted like the reference (t=1 splats by 1/(w*h*spp), others 1/spp).
+    The weighted sum over all techniques equals the render."""
+    from ..integrators.bdpt import trace_bdpt_pass_pyramid
+
+    meta = scene.meta
+    spp = spp if spp is not None else meta.spp
+    w, h = meta.res_x, meta.res_y
+    n = w * h
+    px = jnp.tile(jnp.arange(w, dtype=jnp.int32), h)
+    py = jnp.repeat(jnp.arange(h, dtype=jnp.int32), w)
+    lane_ids = jnp.arange(n, dtype=jnp.uint32)
+    eye_acc = None
+    splat_acc = None
+    pyr_acc = {}
+    for it in range(spp):
+        # same per-pass seed derivation as trace_bdpt_batch
+        seed_arr = jnp.array([seed & 0xFFFFFFFF, 0x20000 + it], jnp.uint32)
+        eye, splat, pyr = trace_bdpt_pass_pyramid(
+            scene, seed_arr, lane_ids, px, py)
+        eye_acc = eye if eye_acc is None else eye_acc + eye
+        splat_acc = splat if splat_acc is None else splat_acc + splat
+        for k, v in pyr.items():
+            pyr_acc[k] = v if k not in pyr_acc else pyr_acc[k] + v
+        if verbose:
+            print(f"  bdpt-pyramid spp {it + 1}/{spp}")
+    img = np.asarray(eye_acc).reshape(h, w, 3) / spp
+    img = img + np.asarray(splat_acc).reshape(h, w, 3) / (spp * float(n))
+    stack = {}
+    for (s, t), v in sorted(pyr_acc.items()):
+        weight = 1.0 / (spp * float(n)) if t == 1 else 1.0 / spp
+        stack[(s, t)] = np.asarray(v).reshape(h, w, 3) * weight
+    return img, stack
+
+
 def render_sppm(
     scene: FlatScene,
     spp=None,
