@@ -141,31 +141,47 @@ def faces_to_quads(ids, axes, signs, cells, origin):
     t2 = np.where(flip[None, :], np.stack([b, d, c]), np.stack([b, c, d])).T
     indices = np.concatenate([t1, t2]).astype(np.int32)
     face_ids = np.concatenate([ids, ids]).astype(np.uint16)
-    return pos, indices, face_ids
+    # per-corner uv (corner order pos0, +eu, +eu+ev, +ev); v flipped so the
+    # texture's top row lands at the face's +v edge (BitmapTexture flips v)
+    uv = np.tile(np.asarray([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32),
+                 (f, 1))
+    return pos, indices, face_ids, uv
 
 
-def load_minecraft_map(map_dir: str):
+def load_minecraft_map(map_dir: str, with_faces=False):
     """World decode -> (pos, indices, face legacy ids). Raises if no region
-    data is found (matching the reference's DBG + empty map)."""
+    data is found (matching the reference's DBG + empty map).
+
+    with_faces=True additionally returns per-TRIANGLE packed ids
+    (id << 4 | data), face axes/signs, and per-vertex uv — the inputs the
+    stage-2 resource-pack material builder needs."""
     from ...io.anvil import load_world
 
     regions = load_world(map_dir)
     if not regions:
         raise ValueError(f"no region data under '{map_dir}'")
-    pos_l, idx_l, fid_l = [], [], []
+    pos_l, idx_l, fid_l, pk_l, ax_l, sg_l, uv_l = [], [], [], [], [], [], []
     vbase = 0
     for (gx, gz), (grid, _biomes, _h) in sorted(regions.items()):
         ids, axes, signs, cells = exposed_faces(grid)
         if len(ids) == 0:
             continue
-        pos, indices, fids = faces_to_quads(
+        pos, indices, fids, uv = faces_to_quads(
             ids, axes, signs, cells, origin=(gx * 256, gz * 256))
         pos_l.append(pos)
         idx_l.append(indices + vbase)
         fid_l.append(fids >> 4)  # legacy id (drop the data nibble)
+        pk_l.append(fids)
+        ax_l.append(np.concatenate([axes, axes]))
+        sg_l.append(np.concatenate([signs, signs]))
+        uv_l.append(uv)
         vbase += len(pos)
-    return (np.concatenate(pos_l), np.concatenate(idx_l),
-            np.concatenate(fid_l))
+    out = (np.concatenate(pos_l), np.concatenate(idx_l),
+           np.concatenate(fid_l))
+    if with_faces:
+        return out + (np.concatenate(pk_l), np.concatenate(ax_l),
+                      np.concatenate(sg_l), np.concatenate(uv_l))
+    return out
 
 
 def block_materials(legacy_ids: np.ndarray):

@@ -339,6 +339,10 @@ def texture_from_spec(spec, tex_builder, resolve_path=None):
         return tex_builder.add_bitmap(img, path_key=spec)
     if isinstance(spec, dict):
         t = spec.get("type")
+        if t == "_prebuilt":
+            # internal: a texture already registered with this builder
+            # (mc-loader resource-pack atlas entries)
+            return int(spec["id"])
         if t == "checker":
             return tex_builder.add_checker(
                 spec.get("on_color", 0.8), spec.get("off_color", 0.2),

@@ -385,13 +385,27 @@ def flatten_scene(doc: SceneDocument) -> FlatScene:
 
         if ptype == "minecraft_map":
             # staged mc-loader (TraceableMinecraftMap.cpp): exact NBT/Anvil
-            # world decode, exposed faces as quads, built-in block palette;
-            # resource packs + MultiQuadLight are the next stage
+            # world decode, exposed faces as quads; with "resource_packs"
+            # the stage-2 model resolver (mc_resources.py analog of
+            # ResourcePackLoader.cpp) assigns REAL per-face textures + uv
+            # and emitters.json emission; without packs the stage-1
+            # built-in palette applies
             from ..models.primitives import minecraft as mc
 
-            pos, indices, fids = mc.load_minecraft_map(
-                doc.resolve_path(prim["map_path"]))
-            specs, mat_of_face, emis = mc.block_materials(fids)
+            packs = prim.get("resource_packs", [])
+            if isinstance(packs, str):
+                packs = [packs]
+            pos, indices, fids, pk, fax, fsg, quv = mc.load_minecraft_map(
+                doc.resolve_path(prim["map_path"]), with_faces=True)
+            if packs:
+                from ..models.primitives.mc_resources import (
+                    ResourcePack, block_materials_pack)
+
+                rp = ResourcePack([doc.resolve_path(p) for p in packs])
+                specs, mat_of_face, emis = block_materials_pack(
+                    pk, fax, fsg, rp, tex_builder)
+            else:
+                specs, mat_of_face, emis = mc.block_materials(fids)
             base_bsdf = len(doc.bsdfs)
             doc.bsdfs.extend(specs)
             wpos = tf.transform_point(m, pos).astype(np.float32)
@@ -405,7 +419,7 @@ def flatten_scene(doc: SceneDocument) -> FlatScene:
                 pos_l.append(wpos[used])
                 n_l.append(None)
                 tan_l.append(None)
-                uv_l.append(np.zeros((len(used), 2), np.float32))
+                uv_l.append(quv[used])
                 idx_l.append(inv.reshape(-1, 3).astype(np.int32) + vert_base)
                 nt = len(sub_idx)
                 mat_l.append(np.full(nt, base_bsdf + j, np.int32))
