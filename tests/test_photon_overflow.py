@@ -42,3 +42,26 @@ def test_no_overflow_unchanged():
     # powers pass through exactly (no compensation applied)
     assert np.allclose(np.sort(np.asarray(pack)[:n, 3].ravel()),
                        np.sort(power[:, 0]))
+
+
+def test_baseline_sppm_overflow_free():
+    """BASELINE water-caustic at 5M photons must not overflow any grid cell
+    (the energy-compensation fallback must never fire on the eval configs).
+    Gated: slow (minutes) — set TUNGSTEN_SLOW_TESTS=1 to run; the recorded
+    on-chip run lives in COVERAGE.md (round-5 validation snapshots)."""
+    import os
+
+    import pytest
+
+    if not os.environ.get("TUNGSTEN_SLOW_TESTS"):
+        pytest.skip("slow: 5M-photon BASELINE-scale run (TUNGSTEN_SLOW_TESTS=1)")
+    from tungsten_tpu.renderer.render import render_sppm
+    from tungsten_tpu.scene.flatten import flatten_scene
+    from tungsten_tpu.scene.load import load_scene
+
+    doc = load_scene(
+        "/root/reference/data/example-scenes/water-caustic/scene.json")
+    doc.camera["resolution"] = [160, 90]
+    scene = flatten_scene(doc)
+    render_sppm(scene, spp=1, photons_per_iter=5_000_000)
+    assert render_sppm.last_overflow == 0

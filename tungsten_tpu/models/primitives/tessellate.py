@@ -180,6 +180,15 @@ def curve_tubes(curve_ends, nodes, sides: int = 3, taper: bool = False,
     est_tris = seg_total * sides * 2
     if est_tris > max_tris:
         stride = int(np.ceil(est_tris / max_tris))
+        import warnings
+
+        warnings.warn(
+            f"curve tessellation budget: {est_tris} tris exceed max_tris="
+            f"{max_tris}; keeping every {stride}-th strand "
+            f"({len(keep[::stride])}/{len(keep)}). The reference renders "
+            f"every strand (Curves.cpp has no such cap) — raise the "
+            f"primitive's 'max_tris' to keep full geometry.",
+            stacklevel=2)
         keep = keep[::stride]
 
     pos_l, nrm_l, idx_l, uv_l, tan_l = [], [], [], [], []
