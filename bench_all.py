@@ -76,9 +76,42 @@ def bench_sppm(path, res, iters, photons, trials):
 
 
 def bench_kelemen(path, res, spp, trials):
-    from tungsten_tpu.integrators.kelemen import render_kelemen
+    # the reference repo does not SHIP fire.vdb (assets excluded from git);
+    # synthesize a smoke ball with the byte-exact test writer so the
+    # Kelemen+VDB ratio-tracking config still runs end-to-end
+    import importlib.util
+    import json
+    import tempfile
 
-    scene = _load(path, res)
+    import numpy as np
+
+    spec = importlib.util.spec_from_file_location(
+        "vdb_writer", os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "tests", "test_vdb.py"))
+    tv = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(tv)
+    vpath = os.path.join(tempfile.gettempdir(), "bench_fire.vdb")
+    if not os.path.exists(vpath):
+        g = np.mgrid[0:24, 0:24, 0:24].astype(np.float32)
+        r = np.linalg.norm(g - 11.5, axis=0)
+        dens = np.maximum(1.0 - r / 10.0, 0.0) ** 2
+        xs, ys, zs = np.nonzero(dens > 1e-4)
+        dvox = {(int(x), int(y), int(z)): float(dens[x, y, z])
+                for x, y, z in zip(xs, ys, zs)}
+        cvox = {k: (2.0 * v, 1.2 * v, 0.5 * v) for k, v in dvox.items()}
+        tv.write_vdb(vpath, [
+            {"name": "density", "type": "float", "voxels": dvox},
+            {"name": "Cd", "type": "vec3s", "voxels": cvox},
+        ])
+    with open(path) as f:
+        raw = json.load(f)
+    raw["media"][0]["grid"]["file"] = vpath
+    raw["camera"]["resolution"] = list(res)
+    from tungsten_tpu.integrators.kelemen import render_kelemen
+    from tungsten_tpu.scene.flatten import flatten_scene
+    from tungsten_tpu.scene.load import parse_scene
+
+    scene = flatten_scene(parse_scene(raw, path=path))
     n = res[0] * res[1] * spp
     return _timed(lambda: render_kelemen(scene, spp=spp), n, trials)
 
