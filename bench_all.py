@@ -107,6 +107,11 @@ def bench_kelemen(path, res, spp, trials):
         raw = json.load(f)
     raw["media"][0]["grid"]["file"] = vpath
     raw["camera"]["resolution"] = list(res)
+    # bound the per-mutation path length: the scene ships max_bounces=64
+    # with a 128-bounce medium — a single PSSMLT dispatch at that depth
+    # exceeds this runtime's dispatch watchdog (observed backend crash)
+    raw["integrator"]["max_bounces"] = min(
+        int(raw["integrator"].get("max_bounces", 16)), 12)
     from tungsten_tpu.integrators.kelemen import render_kelemen
     from tungsten_tpu.scene.flatten import flatten_scene
     from tungsten_tpu.scene.load import parse_scene
