@@ -1127,10 +1127,19 @@ def _choose_and_sample_light(scene, sampler, p):
     choice_pdf, sampler) — LightSample.pdf excludes the choice pdf."""
     meta = scene.meta
     u_choose, sampler = sampler.next_1d()
-    li, choice_weight = L.choose_light(scene, u_choose, p)
-    choice_pdf = jnp.where(choice_weight > 0.0,
-                           1.0 / jnp.maximum(choice_weight, 1e-30), 0.0)
-    is_env_choice = scene.lights.is_env[li]
+    if meta.n_lights == 1:
+        # STATIC single-light fast path: the choice, its pdf, and the light
+        # KIND are all compile-time facts — no per-lane table gathers
+        n1 = p.shape[0]
+        li = jnp.zeros((n1,), jnp.int32)
+        choice_weight = jnp.ones((n1,))
+        choice_pdf = jnp.ones((n1,))
+        is_env_choice = jnp.full((n1,), 0 in meta.env_light_idx)
+    else:
+        li, choice_weight = L.choose_light(scene, u_choose, p)
+        choice_pdf = jnp.where(choice_weight > 0.0,
+                               1.0 / jnp.maximum(choice_weight, 1e-30), 0.0)
+        is_env_choice = scene.lights.is_env[li]
     is_cap_choice = jnp.zeros_like(is_env_choice)
 
     u_point, sampler = sampler.next_2d()
