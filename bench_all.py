@@ -118,7 +118,10 @@ def bench_kelemen(path, res, spp, trials):
 
     scene = flatten_scene(parse_scene(raw, path=path))
     n = res[0] * res[1] * spp
-    return _timed(lambda: render_kelemen(scene, spp=spp), n, trials)
+    # smaller chain pool + bootstrap: the default 16k x16 bootstrap
+    # dispatch at VDB-medium depth exceeds this runtime's watchdog
+    return _timed(lambda: render_kelemen(
+        scene, spp=spp, n_chains=1 << 12, bootstrap_factor=4), n, trials)
 
 
 CONFIGS = [
